@@ -1,0 +1,108 @@
+"""Chi-square sample/pdf agreement for every warp (reference test_chisquare.cpp
+and test_samplers.cpp analogue) plus vMF distribution tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_path_guiding_tpu.core import chi2, vmf, warp
+
+N = 200_000
+
+
+def _uniforms(seed, n=N):
+    return np.asarray(jax.random.uniform(jax.random.PRNGKey(seed), (n, 2)))
+
+
+@pytest.mark.parametrize(
+    "name,sample_fn,pdf_fn",
+    [
+        (
+            "uniform_sphere",
+            warp.square_to_uniform_sphere,
+            warp.square_to_uniform_sphere_pdf,
+        ),
+        (
+            "uniform_hemisphere",
+            warp.square_to_uniform_hemisphere,
+            warp.square_to_uniform_hemisphere_pdf,
+        ),
+        (
+            "cosine_hemisphere",
+            warp.square_to_cosine_hemisphere,
+            warp.square_to_cosine_hemisphere_pdf,
+        ),
+        (
+            "uniform_cone",
+            lambda u: warp.square_to_uniform_cone(u, 0.5),
+            lambda d: warp.square_to_uniform_cone_pdf(d, 0.5),
+        ),
+    ],
+)
+def test_warp_chi2(name, sample_fn, pdf_fn):
+    u = _uniforms(hash(name) % (2**31))
+    dirs = np.asarray(sample_fn(jnp.asarray(u)))
+    # discontinuous pdfs (cone boundary) need finer per-bin quadrature
+    quad_res = 32 if "cone" in name else 8
+    passed, p, msg = chi2.chi2_test_sphere(
+        dirs, lambda d: np.asarray(pdf_fn(jnp.asarray(d))), quad_res=quad_res
+    )
+    assert passed, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("kappa", [0.0, 0.5, 5.0, 50.0])
+def test_vmf_chi2(kappa):
+    u = _uniforms(int(kappa * 977) + 3)
+    mu = jnp.asarray(np.tile([0.3, -0.5, 0.81240384], (N, 1)), dtype=jnp.float32)
+    mu = mu / jnp.linalg.norm(mu, axis=-1, keepdims=True)
+    dirs = np.asarray(vmf.vmf_sample(jnp.asarray(u), mu, jnp.full((N,), kappa)))
+    mu1 = mu[0]
+
+    def pdf(d):
+        d = jnp.asarray(d)
+        return np.asarray(vmf.vmf_pdf(d, jnp.broadcast_to(mu1, d.shape), jnp.full(d.shape[:-1], kappa)))
+
+    passed, p, msg = chi2.chi2_test_sphere(dirs, pdf)
+    assert passed, f"vmf kappa={kappa}: {msg}"
+
+
+def test_vmf_pdf_integrates_to_one():
+    # quasi-uniform sphere quadrature
+    nt, nh = 256, 512
+    t = (np.arange(nt) + 0.5) / nt * np.pi
+    h = (np.arange(nh) + 0.5) / nh * 2 * np.pi
+    TT, HH = np.meshgrid(t, h, indexing="ij")
+    d = np.stack([np.sin(TT) * np.cos(HH), np.sin(TT) * np.sin(HH), np.cos(TT)], -1)
+    dA = (np.pi / nt) * (2 * np.pi / nh) * np.sin(TT)
+    for kappa in [0.0, 1.0, 10.0, 100.0]:
+        p = np.asarray(
+            vmf.vmf_pdf(
+                jnp.asarray(d.reshape(-1, 3), dtype=jnp.float32),
+                jnp.asarray(np.tile([0, 0, 1.0], (d.size // 3, 1)), dtype=jnp.float32),
+                jnp.full((d.size // 3,), kappa),
+            )
+        ).reshape(TT.shape)
+        integral = (p * dA).sum()
+        assert abs(integral - 1.0) < 2e-2, (kappa, integral)
+
+
+def test_vmf_moment_fit_roundtrip():
+    # sample a known vMF, fit from moments, recover mu and kappa
+    for kappa in [2.0, 20.0]:
+        u = _uniforms(int(kappa) + 11)
+        mu_true = np.array([0.6, 0.0, 0.8], dtype=np.float32)
+        mu = jnp.broadcast_to(jnp.asarray(mu_true), (N, 3))
+        d = vmf.vmf_sample(jnp.asarray(u), mu, jnp.full((N,), kappa))
+        w = jnp.ones((N,))
+        mu_fit, kappa_fit = vmf.vmf_fit_from_moments(
+            jnp.sum(d * w[:, None], axis=0), jnp.sum(w)
+        )
+        assert np.dot(np.asarray(mu_fit), mu_true) > 0.999
+        assert abs(float(kappa_fit) - kappa) / kappa < 0.1
+
+
+def test_tent_monotone_and_bounded():
+    u = np.linspace(0, 1, 1001)[:-1]
+    x = np.asarray(warp.interval_to_tent(jnp.asarray(u)))
+    assert np.all(np.diff(x) >= -1e-6)
+    assert x.min() >= -1.0 and x.max() <= 1.0
