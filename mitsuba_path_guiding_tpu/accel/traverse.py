@@ -1,0 +1,184 @@
+"""Ray-scene intersection: Moeller-Trumbore + stack-based BVH traversal.
+
+Replaces the reference's kd-tree traversal hot loop
+(/root/reference/include/mitsuba/render/skdtree.h, triaccel.h SSE packets)
+with a vmapped ``lax.while_loop`` over a fixed-depth traversal stack —
+XLA maps the vmap onto VPU lanes; the node arrays stay device-resident.
+A brute-force all-triangles path doubles as the test oracle
+(reference test_kd.cpp brute-force comparison, SURVEY.md §4) and as the
+fastest path for tiny scenes (fully dense, MXU/VPU-friendly).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.core.math import cross, dot, safe_rcp
+from mitsuba_path_guiding_tpu.scene.types import BVH, Geometry
+
+INF = jnp.float32(3.0e38)
+EPS_T = 1e-4  # min ray t (self-intersection offset, reference ShadowEpsilon)
+STACK_SIZE = 48  # static traversal stack depth bound
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray       # (N,) hit distance (INF if miss)
+    prim: jnp.ndarray    # (N,) int32 triangle index (-1 if miss)
+    u: jnp.ndarray       # (N,) barycentric
+    v: jnp.ndarray       # (N,)
+    valid: jnp.ndarray   # (N,) bool
+
+
+def moeller_trumbore(o, d, p0, e1, e2, tmin, tmax):
+    """Batched Moeller-Trumbore. All args broadcast; returns (t, u, v, hit)."""
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    inv_det = safe_rcp(det)
+    tvec = o - p0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+    )
+    return t, u, v, hit
+
+
+def intersect_brute(geo: Geometry, o, d, tmax=None) -> Hit:
+    """O(N*T) dense intersection — oracle + small-scene fast path."""
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INF)
+    t, u, v, hit = moeller_trumbore(
+        o[:, None, :],
+        d[:, None, :],
+        geo.p0[None, :, :],
+        geo.e1[None, :, :],
+        geo.e2[None, :, :],
+        EPS_T,
+        tmax[:, None],
+    )
+    t = jnp.where(hit, t, INF)
+    best = jnp.argmin(t, axis=1)
+    ar = jnp.arange(n)
+    bt = t[ar, best]
+    valid = bt < INF
+    return Hit(
+        t=bt,
+        prim=jnp.where(valid, best.astype(jnp.int32), -1),
+        u=u[ar, best],
+        v=v[ar, best],
+        valid=valid,
+    )
+
+
+def _ray_aabb(o, inv_d, bmin, bmax, tmax):
+    """Slab test; returns (hit, t_near).
+
+    Axes where the ray is parallel to the slab (|inv_d| saturated by
+    safe_rcp) are handled by a containment test — otherwise an origin
+    exactly on a box face yields t = 0 * 1e20 = 0 and falsely culls."""
+    parallel = jnp.abs(inv_d) >= 1e19
+    inside = (o >= bmin) & (o <= bmax)
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    lo = jnp.where(parallel, jnp.where(inside, -INF, INF), jnp.minimum(t0, t1))
+    hi = jnp.where(parallel, jnp.where(inside, INF, -INF), jnp.maximum(t0, t1))
+    tn = jnp.max(lo, axis=-1)
+    tf = jnp.min(hi, axis=-1)
+    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= tmax), tn
+
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def intersect_bvh(geo: Geometry, bvh: BVH, o, d, tmax=None, any_hit: bool = False) -> Hit:
+    """Closest-hit (or any-hit) BVH traversal, vmapped over rays."""
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INF)
+    # Static traversal stack bound: SAH builds stay well under this for any
+    # realistic scene (checked at build time in scene/builder.py).
+    stack_size = STACK_SIZE
+
+    def one_ray(o1, d1, tmax1):
+        inv_d = safe_rcp(d1)
+
+        # state: (stack, sp, best_t, best_prim, best_u, best_v)
+        stack = jnp.zeros((stack_size,), jnp.int32)
+        state = (stack, jnp.int32(1), tmax1, jnp.int32(-1), 0.0, 0.0)
+
+        def cond(s):
+            _, sp, _, best_prim, _, _ = s
+            alive = sp > 0
+            if any_hit:
+                alive &= best_prim < 0
+            return alive
+
+        def body(s):
+            stack, sp, best_t, best_prim, best_u, best_v = s
+            sp = sp - 1
+            node = stack[sp]
+            hit_box, _ = _ray_aabb(o1, inv_d, bvh.node_min[node], bvh.node_max[node], best_t)
+            c0 = bvh.child0[node]
+            c1 = bvh.child1[node]
+            is_leaf = c0 < 0
+
+            # --- leaf: test up to MAX_LEAF prims (static unroll, masked)
+            prim_start = -(c0 + 1)
+            prim_count = -c1
+
+            def leaf_case(args):
+                stack, sp, best_t, best_prim, best_u, best_v = args
+                for k in range(4):  # MAX_LEAF
+                    pid = bvh.prim_idx[jnp.minimum(prim_start + k, bvh.prim_idx.shape[0] - 1)]
+                    t, u, v, h = moeller_trumbore(
+                        o1, d1, geo.p0[pid], geo.e1[pid], geo.e2[pid], EPS_T, best_t
+                    )
+                    take = h & (k < prim_count)
+                    best_prim = jnp.where(take, pid, best_prim)
+                    best_u = jnp.where(take, u, best_u)
+                    best_v = jnp.where(take, v, best_v)
+                    best_t = jnp.where(take, t, best_t)
+                return stack, sp, best_t, best_prim, best_u, best_v
+
+            def inner_case(args):
+                stack, sp, best_t, best_prim, best_u, best_v = args
+                # near-child-first ordering by entry distance
+                _, tn0 = _ray_aabb(o1, inv_d, bvh.node_min[c0], bvh.node_max[c0], best_t)
+                _, tn1 = _ray_aabb(o1, inv_d, bvh.node_min[c1], bvh.node_max[c1], best_t)
+                near = jnp.where(tn0 <= tn1, c0, c1)
+                far = jnp.where(tn0 <= tn1, c1, c0)
+                stack = stack.at[sp].set(far)
+                stack = stack.at[sp + 1].set(near)
+                return stack, sp + 2, best_t, best_prim, best_u, best_v
+
+            def skip_case(args):
+                return args
+
+            args = (stack, sp, best_t, best_prim, best_u, best_v)
+            branch = jnp.where(hit_box, jnp.where(is_leaf, 1, 2), 0)
+            return jax.lax.switch(branch, [skip_case, leaf_case, inner_case], args)
+
+        _, _, best_t, best_prim, best_u, best_v = jax.lax.while_loop(cond, body, state)
+        valid = best_prim >= 0
+        return jnp.where(valid, best_t, INF), best_prim, best_u, best_v, valid
+
+    t, prim, u, v, valid = jax.vmap(one_ray)(o, d, tmax)
+    return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
+
+
+def occluded(geo: Geometry, bvh: BVH, o, d, tmax, use_bvh: bool = True) -> jnp.ndarray:
+    """Shadow-ray visibility: True if any hit before tmax."""
+    if use_bvh:
+        h = intersect_bvh(geo, bvh, o, d, tmax, any_hit=True)
+    else:
+        h = intersect_brute(geo, o, d, tmax)
+    return h.valid

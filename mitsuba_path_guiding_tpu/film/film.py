@@ -1,0 +1,206 @@
+"""Film: weighted sample accumulation with reconstruction-filter splatting.
+
+Counterpart of the reference's ImageBlock/Film stack
+(/root/reference/include/mitsuba/render/imageblock.h:40-188, film.h:37-94,
+src/films/hdrfilm.cpp): per-tile ImageBlocks with border splatting become a
+single device-resident (H*W, 4) accumulation array (RGB + filter weight)
+updated by scatter-add over pixel ids — the segment-reduction form of
+filter splatting (SURVEY.md §7 "hard parts": scatter into the film).
+
+The accumulator is a pytree so it can live sharded across devices and be
+psum-merged (the WorkResult merge of BlockedRenderProcess::processResult).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_path_guiding_tpu.film.rfilter import get_filter
+
+
+class Film(NamedTuple):
+    rgb_weight: jnp.ndarray  # (H*W, 4): filtered RGB sum + filter weight sum
+    width: int
+    height: int
+
+
+def new_film(width: int, height: int) -> Film:
+    return Film(
+        rgb_weight=jnp.zeros((width * height, 4), dtype=jnp.float32),
+        width=width,
+        height=height,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "filter_name"))
+def splat(
+    rgb_weight: jnp.ndarray,
+    film_xy: jnp.ndarray,
+    values: jnp.ndarray,
+    width: int,
+    height: int,
+    filter_name: str = "box",
+    sample_weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scatter samples into the accumulator through a reconstruction filter.
+
+    film_xy: (N,2) continuous film position; values: (N,3) radiance.
+    Footprint is the (2R)x(2R) integer pixel neighborhood of each sample
+    (reference ImageBlock::put loop, imageblock.h:131-188)."""
+    fn, radius = get_filter(filter_name)
+    n = film_xy.shape[0]
+    if sample_weight is None:
+        sample_weight = jnp.ones((n,), dtype=jnp.float32)
+
+    # center pixel of the footprint
+    cx = jnp.floor(film_xy[..., 0] - 0.5).astype(jnp.int32)
+    cy = jnp.floor(film_xy[..., 1] - 0.5).astype(jnp.int32)
+    taps = 2 * radius  # box(R=1)->2x2? box radius ceil(0.5-eps)=1 -> 2 taps
+    taps = max(taps, 1)
+    updates = []
+    idxs = []
+    for oy in range(-radius + 1, radius + 1):
+        for ox in range(-radius + 1, radius + 1):
+            px = cx + ox
+            py = cy + oy
+            # filter weight at pixel center (px+0.5, py+0.5)
+            wx = fn(px.astype(jnp.float32) + 0.5 - film_xy[..., 0])
+            wy = fn(py.astype(jnp.float32) + 0.5 - film_xy[..., 1])
+            w = wx * wy * sample_weight
+            inside = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+            w = jnp.where(inside, w, 0.0)
+            pid = jnp.clip(py, 0, height - 1) * width + jnp.clip(px, 0, width - 1)
+            upd = jnp.concatenate([values * w[..., None], w[..., None]], axis=-1)
+            updates.append(upd)
+            idxs.append(pid)
+    all_idx = jnp.concatenate(idxs, axis=0)
+    all_upd = jnp.concatenate(updates, axis=0)
+    return rgb_weight.at[all_idx].add(all_upd)
+
+
+def develop(film: Film) -> jnp.ndarray:
+    """(H, W, 3) image = filtered RGB / filter weight (reference
+    hdrfilm.cpp:432 develop)."""
+    rgbw = film.rgb_weight
+    img = rgbw[..., 0:3] / jnp.maximum(rgbw[..., 3:4], 1e-8)
+    return img.reshape(film.height, film.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# output formats (host-side; reference bitmap.cpp / fork cnpy mfilm)
+# ---------------------------------------------------------------------------
+
+def write_npy(path: str, img) -> None:
+    """NumPy output — the fork's research-pipeline format
+    (/root/reference/src/films/mfilm.cpp:25,257 via cnpy)."""
+    np.save(path, np.asarray(img))
+
+
+def write_pfm(path: str, img) -> None:
+    """Portable float map (reference bitmap.cpp writePFM)."""
+    img = np.asarray(img, dtype=np.float32)
+    h, w, c = img.shape
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if c == 3 else b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")  # little-endian
+        f.write(img[::-1].tobytes())  # PFM is bottom-up
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        c = 3 if header == b"PF" else 1
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), dtype="<f4" if scale < 0 else ">f4")
+        img = data.reshape(h, w, c)[::-1]
+    return img
+
+
+def write_png(path: str, img, gamma_encode: bool = True) -> None:
+    """Minimal 8-bit PNG writer (zlib from the stdlib; reference ldrfilm)."""
+    import struct
+    import zlib
+
+    from mitsuba_path_guiding_tpu.core.spectrum import srgb_encode
+
+    img = np.asarray(img)
+    if gamma_encode:
+        img = np.asarray(srgb_encode(jnp.asarray(np.clip(img, 0, 1))))
+    arr = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def write_exr(path: str, img) -> None:
+    """Minimal uncompressed scanline OpenEXR (FLOAT RGB) writer — enough for
+    the reference's primary output format (hdrfilm EXR) without external deps."""
+    import struct
+
+    img = np.asarray(img, dtype=np.float32)
+    h, w, _ = img.shape
+
+    def attr(name, type_, data):
+        return name.encode() + b"\x00" + type_.encode() + b"\x00" + struct.pack("<I", len(data)) + data
+
+    # channel list: B, G, R (alphabetical), FLOAT (type 2)
+    ch = b""
+    for cname in (b"B", b"G", b"R"):
+        ch += cname + b"\x00" + struct.pack("<IiII", 2, 0, 1, 1)
+    ch += b"\x00"
+
+    header = b""
+    header += attr("channels", "chlist", ch)
+    header += attr("compression", "compression", b"\x00")  # none
+    header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    offset_table_pos = len(magic) + len(header)
+    scanline_size = 8 + w * 4 * 3  # y + size prefix per scanline chunk
+    first_data = offset_table_pos + 8 * h
+    offsets = b"".join(
+        struct.pack("<Q", first_data + i * scanline_size) for i in range(h)
+    )
+    body = b""
+    for y in range(h):
+        row = img[y]
+        data = row[:, 2].tobytes() + row[:, 1].tobytes() + row[:, 0].tobytes()
+        body += struct.pack("<iI", y, len(data)) + data
+    with open(path, "wb") as f:
+        f.write(magic + header + offsets + body)
+
+
+def write_image(path: str, img) -> None:
+    """Dispatch on extension (npy/pfm/png/exr)."""
+    low = path.lower()
+    if low.endswith(".npy"):
+        write_npy(path, img)
+    elif low.endswith(".pfm"):
+        write_pfm(path, img)
+    elif low.endswith(".png"):
+        write_png(path, img)
+    elif low.endswith(".exr"):
+        write_exr(path, img)
+    else:
+        raise ValueError(f"unknown image extension: {path}")

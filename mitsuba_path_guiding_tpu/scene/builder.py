@@ -1,0 +1,296 @@
+"""Scene compiler: dict scene description -> flat SceneData arrays.
+
+The TPU-native analogue of the reference's two-phase scene construction
+(SceneHandler XML -> Properties -> PluginManager::createObject -> configure,
+/root/reference/src/librender/scenehandler.cpp:197-273, scene.cpp:272-365):
+a typed dict (the Properties model) is validated and compiled host-side into
+one SceneData pytree — triangles pre-transformed to world space, materials
+deduplicated into an enum table, emitters gathered into a power-weighted
+sampling table, BVH built (the kd-tree build step of Scene::initialize).
+
+Scene description schema (see scenes.py for examples):
+    {"sensor": {"type": "perspective", "to_world": 4x4, "fov": deg, ...},
+     "shapes": [{"type": "rectangle"|"cube"|"sphere"|"disk"|"obj"|"ply"|
+                 "trimesh", "to_world": 4x4,
+                 "bsdf": {"type": "diffuse", "reflectance": [r,g,b], ...},
+                 "emitter": {"radiance": [r,g,b]}  # optional area light
+               }, ...],
+     "emitters": [{"type": "point"|"constant"|"directional"|"spot", ...}],
+     "medium": {"sigma_a": [..], "sigma_s": [..], "g": float}  # optional
+    }
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.accel.bvh import build_bvh
+from mitsuba_path_guiding_tpu.accel.traverse import STACK_SIZE
+from mitsuba_path_guiding_tpu.core.spectrum import LUM_WEIGHTS
+from mitsuba_path_guiding_tpu.scene.shapes import SHAPE_BUILDERS
+from mitsuba_path_guiding_tpu.scene.transforms import look_at, scale, translate
+from mitsuba_path_guiding_tpu.scene.types import (
+    BSDFType,
+    BVH,
+    Emitters,
+    EmitterKind,
+    Geometry,
+    Materials,
+    MediumData,
+    SceneData,
+    Sensor,
+)
+
+_BSDF_TYPES = {
+    "diffuse": BSDFType.DIFFUSE,
+    "roughdiffuse": BSDFType.ROUGH_DIFFUSE,
+    "conductor": BSDFType.CONDUCTOR,
+    "dielectric": BSDFType.DIELECTRIC,
+    "thindielectric": BSDFType.DIELECTRIC,  # approximated as dielectric
+    "roughconductor": BSDFType.ROUGH_CONDUCTOR,
+    "roughdielectric": BSDFType.ROUGH_DIELECTRIC,
+    "plastic": BSDFType.PLASTIC,
+    "roughplastic": BSDFType.ROUGH_PLASTIC,
+    "phong": BSDFType.PHONG,
+    "null": BSDFType.NULL,
+}
+
+# named conductor IOR presets (reference data/ior/*.spd, RGB-averaged)
+_CONDUCTOR_IOR = {
+    "Au": ([0.143, 0.375, 1.442], [3.983, 2.386, 1.603]),
+    "Ag": ([0.155, 0.116, 0.138], [4.828, 3.122, 2.146]),
+    "Al": ([1.345, 0.965, 0.617], [7.475, 6.400, 5.303]),
+    "Cu": ([0.201, 0.924, 1.102], [3.910, 2.448, 2.168]),
+    "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # perfect mirror
+}
+
+
+def _rgb(x, default):
+    if x is None:
+        return np.array(default, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    return np.full(3, float(x)) if x.ndim == 0 else x
+
+
+def _compile_bsdf(spec: dict):
+    """One material table row from a bsdf dict."""
+    t = spec.get("type", "diffuse")
+    if t not in _BSDF_TYPES:
+        raise ValueError(f"unknown bsdf type: {t}")
+    row = {
+        "type": _BSDF_TYPES[t],
+        "reflectance": _rgb(spec.get("reflectance", spec.get("diffuse_reflectance")), [0.5, 0.5, 0.5]),
+        "specular": _rgb(spec.get("specular_reflectance"), [1.0, 1.0, 1.0]),
+        "eta": _rgb(spec.get("eta"), [1.5, 1.5, 1.5]),
+        "k": _rgb(spec.get("k"), [0.0, 0.0, 0.0]),
+        "alpha": float(spec.get("alpha", 0.1)),
+        "texture_id": -1,
+    }
+    if t in ("conductor", "roughconductor"):
+        mat = spec.get("material", None)
+        if mat is not None or "eta" not in spec:
+            eta, k = _CONDUCTOR_IOR[mat or "none"]
+            row["eta"], row["k"] = np.array(eta), np.array(k)
+    if t in ("dielectric", "thindielectric", "roughdielectric", "plastic", "roughplastic"):
+        int_ior = float(spec.get("int_ior", 1.5046))
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        row["eta"] = np.full(3, int_ior / ext_ior)
+    return row
+
+
+def _to_world(spec):
+    m = spec.get("to_world", None)
+    if m is None:
+        m = np.eye(4)
+        if "center" in spec or "radius" in spec:  # sphere/point conveniences
+            r = float(spec.get("radius", 1.0))
+            c = spec.get("center", [0.0, 0.0, 0.0])
+            m = translate(*c) @ scale(r)
+    return np.asarray(m, dtype=np.float64)
+
+
+def build_scene(desc: dict) -> SceneData:
+    shapes = desc.get("shapes", [])
+    if not shapes:
+        raise ValueError("scene has no shapes")
+
+    # ---- materials (dedup by content) and triangle soup
+    mat_rows: list[dict] = []
+    mat_cache: dict[str, int] = {}
+
+    def mat_index(bspec):
+        row = _compile_bsdf(bspec or {"type": "diffuse"})
+        key = repr(sorted((k, repr(v)) for k, v in row.items()))
+        if key not in mat_cache:
+            mat_cache[key] = len(mat_rows)
+            mat_rows.append(row)
+        return mat_cache[key]
+
+    tris = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
+    tri_mat, tri_emitter = [], []
+    # emitter records built in parallel: per emissive triangle one AREA record
+    em = {k: [] for k in ("kind", "tri", "radiance", "position", "aux", "cutoff", "area", "power")}
+
+    def add_emitter(kind, radiance, position=(0, 0, 0), aux=(0, 0, 1), cutoff=(0.0, 0.0), tri=-1, area=1.0, power=1.0):
+        em["kind"].append(kind)
+        em["tri"].append(tri)
+        em["radiance"].append(np.asarray(radiance, dtype=np.float64))
+        em["position"].append(np.asarray(position, dtype=np.float64))
+        em["aux"].append(np.asarray(aux, dtype=np.float64))
+        em["cutoff"].append(np.asarray(cutoff, dtype=np.float64))
+        em["area"].append(area)
+        em["power"].append(max(power, 1e-12))
+        return len(em["kind"]) - 1
+
+    for sh in shapes:
+        mesh = SHAPE_BUILDERS[sh["type"]](sh).transformed(_to_world(sh))
+        p0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = mesh.face_arrays()
+        mid = mat_index(sh.get("bsdf"))
+        base = len(tri_mat)
+        for k, v in zip(tris, (p0, e1, e2, n0, n1, n2, uv0, uv1, uv2)):
+            tris[k].append(v)
+        nf = len(p0)
+        tri_mat.extend([mid] * nf)
+        if "emitter" in sh and sh["emitter"] is not None:
+            rad = _rgb(sh["emitter"].get("radiance"), [1.0, 1.0, 1.0])
+            lum = float(np.dot(rad, np.asarray(LUM_WEIGHTS)))
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            for f in range(nf):
+                eid = add_emitter(
+                    EmitterKind.AREA, rad, tri=base + f, area=float(areas[f]),
+                    power=lum * float(areas[f]) * np.pi,
+                )
+                tri_emitter.append(eid)
+        else:
+            tri_emitter.extend([-1] * nf)
+
+    env_id = -1
+    for espec in desc.get("emitters", []):
+        t = espec["type"]
+        if t == "constant":
+            rad = _rgb(espec.get("radiance"), [1.0, 1.0, 1.0])
+            env_id = add_emitter(
+                EmitterKind.CONSTANT, rad,
+                power=float(np.dot(rad, np.asarray(LUM_WEIGHTS))) * 4 * np.pi,
+            )
+        elif t == "point":
+            inten = _rgb(espec.get("intensity"), [1.0, 1.0, 1.0])
+            pos = np.asarray(espec.get("position", _to_world(espec)[:3, 3]), dtype=np.float64)
+            add_emitter(
+                EmitterKind.POINT, inten, position=pos,
+                power=float(np.dot(inten, np.asarray(LUM_WEIGHTS))) * 4 * np.pi,
+            )
+        elif t == "directional":
+            irr = _rgb(espec.get("irradiance"), [1.0, 1.0, 1.0])
+            d = np.asarray(espec["direction"], dtype=np.float64)
+            d = d / np.linalg.norm(d)
+            add_emitter(
+                EmitterKind.DIRECTIONAL, irr, position=d,
+                power=float(np.dot(irr, np.asarray(LUM_WEIGHTS))),
+            )
+        elif t == "spot":
+            inten = _rgb(espec.get("intensity"), [1.0, 1.0, 1.0])
+            tw = _to_world(espec)
+            pos = tw[:3, 3]
+            axis = tw[:3, 2] / np.linalg.norm(tw[:3, 2])
+            cutoff = np.cos(np.deg2rad(float(espec.get("cutoff_angle", 20.0))))
+            beam = np.cos(np.deg2rad(float(espec.get("beam_width", float(espec.get("cutoff_angle", 20.0)) * 0.75))))
+            add_emitter(
+                EmitterKind.SPOT, inten, position=pos, aux=axis,
+                cutoff=(cutoff, beam),
+                power=float(np.dot(inten, np.asarray(LUM_WEIGHTS))) * 2 * np.pi * (1 - cutoff),
+            )
+        else:
+            raise ValueError(f"unknown emitter type {t}")
+
+    if not em["kind"]:
+        raise ValueError("scene has no emitters")
+
+    f32 = lambda a: jnp.asarray(np.concatenate(a, axis=0).astype(np.float32))
+    geo = Geometry(
+        p0=f32(tris["p0"]), e1=f32(tris["e1"]), e2=f32(tris["e2"]),
+        n0=f32(tris["n0"]), n1=f32(tris["n1"]), n2=f32(tris["n2"]),
+        uv0=f32(tris["uv0"]), uv1=f32(tris["uv1"]), uv2=f32(tris["uv2"]),
+        mat_id=jnp.asarray(np.asarray(tri_mat, dtype=np.int32)),
+        emitter_id=jnp.asarray(np.asarray(tri_emitter, dtype=np.int32)),
+    )
+
+    p0h = np.concatenate(tris["p0"], axis=0)
+    e1h = np.concatenate(tris["e1"], axis=0)
+    e2h = np.concatenate(tris["e2"], axis=0)
+    bvh = build_bvh(p0h, e1h, e2h)
+    if bvh.max_depth + 2 > STACK_SIZE:
+        raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
+
+    mats = Materials(
+        type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
+        reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),
+        specular=jnp.asarray(np.stack([m["specular"] for m in mat_rows]).astype(np.float32)),
+        eta=jnp.asarray(np.stack([m["eta"] for m in mat_rows]).astype(np.float32)),
+        k=jnp.asarray(np.stack([m["k"] for m in mat_rows]).astype(np.float32)),
+        alpha=jnp.asarray(np.asarray([m["alpha"] for m in mat_rows], dtype=np.float32)),
+        texture_id=jnp.asarray(np.asarray([m["texture_id"] for m in mat_rows], dtype=np.int32)),
+    )
+
+    power = np.asarray(em["power"], dtype=np.float64)
+    pmf = power / power.sum()
+    cdf = np.cumsum(pmf)
+    if env_id >= 0:
+        env_radiance = np.asarray(em["radiance"][env_id], dtype=np.float32)
+        env_pdf = np.float32(pmf[env_id] / (4.0 * np.pi))
+    else:
+        env_radiance = np.zeros(3, dtype=np.float32)
+        env_pdf = np.float32(0.0)
+    emitters = Emitters(
+        kind=jnp.asarray(np.asarray(em["kind"], dtype=np.int32)),
+        tri=jnp.asarray(np.asarray(em["tri"], dtype=np.int32)),
+        radiance=jnp.asarray(np.stack(em["radiance"]).astype(np.float32)),
+        position=jnp.asarray(np.stack(em["position"]).astype(np.float32)),
+        aux=jnp.asarray(np.stack(em["aux"]).astype(np.float32)),
+        cutoff=jnp.asarray(np.stack(em["cutoff"]).astype(np.float32)),
+        area=jnp.asarray(np.asarray(em["area"], dtype=np.float32)),
+        pmf=jnp.asarray(pmf.astype(np.float32)),
+        cdf=jnp.asarray(cdf.astype(np.float32)),
+        env_radiance=jnp.asarray(env_radiance),
+        env_pdf=jnp.asarray(env_pdf),
+    )
+
+    sspec = desc.get("sensor", {})
+    fov = float(sspec.get("fov", 45.0))
+    # fov is along the x (width) axis unless fov_axis says otherwise;
+    # the y tan is filled in at render time from the aspect ratio.
+    tan_half = np.tan(np.deg2rad(fov) / 2)
+    sensor = Sensor(
+        to_world=jnp.asarray(np.asarray(sspec.get("to_world", look_at([0, 0, -5], [0, 0, 0]))).astype(np.float32)),
+        tan_half_fov_x=jnp.float32(tan_half),
+        tan_half_fov_y=jnp.float32(tan_half),  # scaled by aspect in raygen
+        aperture_radius=jnp.float32(sspec.get("aperture_radius", 0.0)),
+        focus_distance=jnp.float32(sspec.get("focus_distance", 1.0)),
+        near_clip=jnp.float32(sspec.get("near_clip", 1e-3)),
+    )
+
+    med = desc.get("medium", None)
+    if med is not None:
+        medium = MediumData(
+            sigma_a=jnp.asarray(np.asarray(med.get("sigma_a", [0.0] * 3), dtype=np.float32)),
+            sigma_s=jnp.asarray(np.asarray(med.get("sigma_s", [0.0] * 3), dtype=np.float32)),
+            phase_g=jnp.float32(med.get("g", 0.0)),
+            enabled=True,
+        )
+    else:
+        medium = MediumData(
+            sigma_a=jnp.zeros(3), sigma_s=jnp.zeros(3), phase_g=jnp.float32(0.0), enabled=False
+        )
+
+    v0 = p0h
+    v1 = p0h + e1h
+    v2 = p0h + e2h
+    lo = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
+    hi = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
+    pad = 1e-3 * (hi - lo).max() + 1e-6
+    return SceneData(
+        geo=geo, bvh=bvh, mats=mats, emitters=emitters, sensor=sensor, medium=medium,
+        aabb_min=jnp.asarray((lo - pad).astype(np.float32)),
+        aabb_max=jnp.asarray((hi + pad).astype(np.float32)),
+    )

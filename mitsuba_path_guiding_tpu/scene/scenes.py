@@ -1,0 +1,138 @@
+"""Built-in test scenes mirroring the benchmark configs (BASELINE.md).
+
+Cornell box geometry follows the classic Cornell data (the reference ships
+equivalent scenes as XML under its test data); dimensions in meters-ish
+units with the camera on -z looking at +z.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate, scale, translate
+
+
+def cornell_box(light_scale: float = 1.0, box_material: str = "diffuse"):
+    """The classic Cornell box: white floor/ceiling/back, red left, green
+    right, two boxes, area light on the ceiling (BASELINE config 1/2)."""
+    white = {"type": "diffuse", "reflectance": [0.725, 0.71, 0.68]}
+    red = {"type": "diffuse", "reflectance": [0.63, 0.065, 0.05]}
+    green = {"type": "diffuse", "reflectance": [0.14, 0.45, 0.091]}
+    if box_material == "mirror":
+        tall_mat = {"type": "conductor", "material": "none"}
+    elif box_material == "glass":
+        tall_mat = {"type": "dielectric", "int_ior": 1.5}
+    else:
+        tall_mat = white
+
+    shapes = [
+        # floor y=0 (normal +y): rectangle is z=0 plane, rotate -90 about x
+        {"type": "rectangle", "to_world": translate(0, 0, 0) @ rotate([1, 0, 0], -90) @ scale(1.0), "bsdf": white},
+        # ceiling y=2 (normal -y)
+        {"type": "rectangle", "to_world": translate(0, 2, 0) @ rotate([1, 0, 0], 90) @ scale(1.0), "bsdf": white},
+        # back wall z=1 (normal -z)
+        {"type": "rectangle", "to_world": translate(0, 1, 1) @ rotate([1, 0, 0], 180) @ scale(1.0), "bsdf": white},
+        # left wall x=-1 (normal +x)
+        {"type": "rectangle", "to_world": translate(-1, 1, 0) @ rotate([0, 1, 0], 90) @ scale(1.0), "bsdf": red},
+        # right wall x=1 (normal -x)
+        {"type": "rectangle", "to_world": translate(1, 1, 0) @ rotate([0, 1, 0], -90) @ scale(1.0), "bsdf": green},
+        # tall box
+        {
+            "type": "cube",
+            "to_world": translate(-0.35, 0.6, 0.45) @ rotate([0, 1, 0], 20) @ scale(0.3, 0.6, 0.3),
+            "bsdf": tall_mat,
+        },
+        # short box
+        {
+            "type": "cube",
+            "to_world": translate(0.4, 0.3, -0.1) @ rotate([0, 1, 0], -18) @ scale(0.3, 0.3, 0.3),
+            "bsdf": white,
+        },
+        # light (slightly below ceiling, facing down)
+        {
+            "type": "rectangle",
+            "to_world": translate(0, 1.995, 0) @ rotate([1, 0, 0], 90) @ scale(0.25),
+            "bsdf": {"type": "diffuse", "reflectance": [0, 0, 0]},
+            "emitter": {"radiance": [17.0 * light_scale, 12.0 * light_scale, 4.0 * light_scale]},
+        },
+    ]
+    return {
+        "sensor": {
+            "type": "perspective",
+            "fov": 60.0,
+            "to_world": look_at([0, 1.0, -3.2], [0, 1.0, 0]),
+        },
+        "shapes": shapes,
+        "emitters": [],
+    }
+
+
+def furnace(albedo=0.5, env_radiance=1.0):
+    """White-furnace: a diffuse sphere in a constant environment.  Any
+    unbiased integrator must return exactly ``env_radiance`` everywhere
+    (energy conservation check, reference-style analytical validation)."""
+    return {
+        "sensor": {
+            "type": "perspective",
+            "fov": 45.0,
+            "to_world": look_at([0, 0, -4], [0, 0, 0]),
+        },
+        "shapes": [
+            {
+                "type": "sphere",
+                "center": [0, 0, 0],
+                "radius": 1.0,
+                "sphere_res": 48,
+                "bsdf": {"type": "diffuse", "reflectance": [albedo] * 3},
+            }
+        ],
+        "emitters": [{"type": "constant", "radiance": [env_radiance] * 3}],
+    }
+
+
+def veach_mis(width=512):
+    """Veach MIS test: four glossy plates of increasing roughness under four
+    area lights of decreasing size (BASELINE config 3 family)."""
+    plates = []
+    # plates tilted toward camera, varying GGX roughness
+    for i, (z, y, a) in enumerate([(1.2, 0.0, 0.005), (0.9, 0.35, 0.02), (0.6, 0.7, 0.05), (0.3, 1.05, 0.1)]):
+        plates.append(
+            {
+                "type": "rectangle",
+                "to_world": translate(0, y, z) @ rotate([1, 0, 0], -60) @ scale(1.6, 0.16, 1.0),
+                "bsdf": {"type": "roughconductor", "material": "Ag", "alpha": a},
+            }
+        )
+    lights = []
+    for x, r, p in [(-1.2, 0.02, 800.0), (-0.4, 0.06, 90.0), (0.4, 0.18, 10.0), (1.2, 0.54, 1.2)]:
+        lights.append(
+            {
+                "type": "sphere",
+                "center": [x, 2.2, 0.6],
+                "radius": r,
+                "sphere_res": 16,
+                "bsdf": {"type": "diffuse", "reflectance": [0, 0, 0]},
+                "emitter": {"radiance": [p, p, p]},
+            }
+        )
+    floor = {
+        "type": "rectangle",
+        "to_world": translate(0, -0.35, 0.5) @ rotate([1, 0, 0], -90) @ scale(6, 6, 1),
+        "bsdf": {"type": "diffuse", "reflectance": [0.35, 0.35, 0.35]},
+    }
+    return {
+        "sensor": {
+            "type": "perspective",
+            "fov": 50.0,
+            "to_world": look_at([0, 1.2, -3.8], [0, 0.8, 0.6]),
+        },
+        "shapes": plates + lights + [floor],
+        "emitters": [],
+    }
+
+
+def volumetric_box(sigma_s=0.6, sigma_a=0.05, g=0.3, light_scale=1.0):
+    """Cornell box filled with a homogeneous scattering medium
+    (BASELINE config 4: guided distance + phase sampling)."""
+    sc = cornell_box(light_scale=light_scale)
+    sc["medium"] = {"sigma_s": [sigma_s] * 3, "sigma_a": [sigma_a] * 3, "g": g}
+    return sc

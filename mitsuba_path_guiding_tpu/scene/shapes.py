@@ -1,0 +1,249 @@
+"""Shape tessellation: analytic primitives and mesh loading -> triangle soup.
+
+Counterpart of /root/reference/src/shapes/ (rectangle, cube, sphere, disk,
+obj, ply, serialized): on TPU every shape compiles to world-space triangles
+at scene-build time; there is no per-shape intersection dispatch.  Analytic
+primitives use the same canonical-space conventions as the reference plugins
+(unit square [-1,1]^2 at z=0, unit cube [-1,1]^3, unit sphere, unit disk).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mitsuba_path_guiding_tpu.scene.transforms import apply_normals, apply_points
+
+
+class Mesh:
+    """Host-side triangle mesh: vertices (V,3), faces (F,3), optional
+    per-vertex normals (V,3) and uvs (V,2)."""
+
+    def __init__(self, vertices, faces, normals=None, uvs=None):
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.faces = np.asarray(faces, dtype=np.int64)
+        self.normals = None if normals is None else np.asarray(normals, dtype=np.float64)
+        self.uvs = None if uvs is None else np.asarray(uvs, dtype=np.float64)
+
+    def transformed(self, m):
+        v = apply_points(m, self.vertices)
+        n = None if self.normals is None else apply_normals(m, self.normals)
+        flipped = np.linalg.det(m[:3, :3]) < 0
+        faces = self.faces[:, ::-1] if flipped else self.faces
+        return Mesh(v, faces, n, self.uvs)
+
+    def face_arrays(self):
+        """Per-face (p0, e1, e2, n0, n1, n2, uv0, uv1, uv2) with geometric
+        normals where no shading normals exist."""
+        v = self.vertices
+        f = self.faces
+        p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        e1, e2 = p1 - p0, p2 - p0
+        gn = np.cross(e1, e2)
+        gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+        gn = gn / np.maximum(gl, 1e-20)
+        if self.normals is not None:
+            n0, n1, n2 = (self.normals[f[:, i]] for i in range(3))
+        else:
+            n0 = n1 = n2 = gn
+        if self.uvs is not None:
+            uv0, uv1, uv2 = (self.uvs[f[:, i]] for i in range(3))
+        else:
+            uv0 = uv1 = uv2 = np.zeros((len(f), 2))
+        return p0, e1, e2, n0, n1, n2, uv0, uv1, uv2
+
+
+def make_rectangle():
+    """Unit square [-1,1]^2 in the z=0 plane, normal +z
+    (reference src/shapes/rectangle.cpp canonical space)."""
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], dtype=np.float64)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    n = np.tile([0.0, 0.0, 1.0], (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float64)
+    return Mesh(v, f, n, uv)
+
+
+def make_cube():
+    """[-1,1]^3 cube, outward flat normals (reference src/shapes/cube.cpp)."""
+    verts, faces, normals = [], [], []
+    # each face as its own 4 verts (flat shading)
+    axes = [
+        ((0, 0, 1), (1, 0, 0), (0, 1, 0)),
+        ((0, 0, -1), (0, 1, 0), (1, 0, 0)),
+        ((1, 0, 0), (0, 1, 0), (0, 0, 1)),
+        ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),
+        ((0, 1, 0), (0, 0, 1), (1, 0, 0)),
+        ((0, -1, 0), (1, 0, 0), (0, 0, 1)),
+    ]
+    for n, u, v in axes:
+        n, u, v = np.array(n, float), np.array(u, float), np.array(v, float)
+        base = len(verts)
+        for su, sv in [(-1, -1), (1, -1), (1, 1), (-1, 1)]:
+            verts.append(n + su * u + sv * v)
+            normals.append(n)
+        faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    return Mesh(np.array(verts), np.array(faces), np.array(normals))
+
+
+def make_sphere(res_theta=32, res_phi=64):
+    """Unit UV sphere with smooth normals (reference src/shapes/sphere.cpp is
+    analytic; tessellation density is configurable via ``sphere_res``)."""
+    t = np.linspace(0, np.pi, res_theta + 1)
+    p = np.linspace(0, 2 * np.pi, res_phi + 1)[:-1]
+    TT, PP = np.meshgrid(t, p, indexing="ij")
+    x = np.sin(TT) * np.cos(PP)
+    y = np.sin(TT) * np.sin(PP)
+    z = np.cos(TT)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    idx = np.arange((res_theta + 1) * res_phi).reshape(res_theta + 1, res_phi)
+    faces = []
+    for i in range(res_theta):
+        for j in range(res_phi):
+            a, b = idx[i, j], idx[i, (j + 1) % res_phi]
+            c, d = idx[i + 1, (j + 1) % res_phi], idx[i + 1, j]
+            if i > 0:
+                faces.append([a, b, c])
+            if i < res_theta - 1:
+                faces.append([a, c, d])
+    return Mesh(verts, np.array(faces), verts.copy())
+
+
+def make_disk(res=64):
+    """Unit disk at z=0, normal +z (reference src/shapes/disk.cpp)."""
+    ang = np.linspace(0, 2 * np.pi, res + 1)[:-1]
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros(res)], axis=-1)
+    verts = np.concatenate([[[0, 0, 0]], rim], axis=0)
+    faces = [[0, 1 + i, 1 + (i + 1) % res] for i in range(res)]
+    n = np.tile([0.0, 0.0, 1.0], (len(verts), 1))
+    return Mesh(verts, np.array(faces), n)
+
+
+def load_obj(path):
+    """Minimal Wavefront OBJ loader (reference src/shapes/obj.cpp; v/vn/vt/f,
+    polygon fan triangulation, negative indices)."""
+    vs, vns, vts = [], [], []
+    out_v, out_n, out_t, faces = [], [], [], []
+    cache = {}
+
+    def vertex(tok):
+        if tok in cache:
+            return cache[tok]
+        parts = tok.split("/")
+        vi = int(parts[0])
+        vi = vi - 1 if vi > 0 else len(vs) + vi
+        ti = ni = None
+        if len(parts) > 1 and parts[1]:
+            ti = int(parts[1])
+            ti = ti - 1 if ti > 0 else len(vts) + ti
+        if len(parts) > 2 and parts[2]:
+            ni = int(parts[2])
+            ni = ni - 1 if ni > 0 else len(vns) + ni
+        out_v.append(vs[vi])
+        out_t.append(vts[ti] if ti is not None else [0.0, 0.0])
+        out_n.append(vns[ni] if ni is not None else None)
+        cache[tok] = len(out_v) - 1
+        return cache[tok]
+
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("v "):
+                vs.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vn "):
+                vns.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                vts.append([float(x) for x in line.split()[1:3]])
+            elif line.startswith("f "):
+                toks = line.split()[1:]
+                ids = [vertex(t) for t in toks]
+                for k in range(1, len(ids) - 1):
+                    faces.append([ids[0], ids[k], ids[k + 1]])
+
+    has_normals = all(n is not None for n in out_n) and len(out_n) > 0
+    return Mesh(
+        np.asarray(out_v),
+        np.asarray(faces),
+        np.asarray(out_n) if has_normals else None,
+        np.asarray(out_t) if vts else None,
+    )
+
+
+def load_ply(path):
+    """Minimal binary/ascii PLY loader (reference src/shapes/ply.cpp subset:
+    vertex x/y/z[/nx/ny/nz] + face vertex_indices)."""
+    with open(path, "rb") as fh:
+        header = []
+        while True:
+            line = fh.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        elements = []  # (name, count, [(type, prop)...])
+        cur = None
+        for l in header:
+            t = l.split()
+            if not t:
+                continue
+            if t[0] == "element":
+                cur = (t[1], int(t[2]), [])
+                elements.append(cur)
+            elif t[0] == "property" and cur is not None:
+                if t[1] == "list":
+                    cur[2].append(("list", t[2], t[3], t[4]))
+                else:
+                    cur[2].append((t[1], t[2]))
+
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+            "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+        }
+        endian = "<" if "little" in fmt else ">"
+        verts = normals = None
+        faces = []
+        for name, count, props in elements:
+            if name == "vertex":
+                dt = np.dtype([(p[1], endian + type_map[p[0]]) for p in props])
+                if fmt == "ascii":
+                    rows = [fh.readline().split() for _ in range(count)]
+                    arr = np.array([[float(x) for x in r] for r in rows])
+                    data = {p[1]: arr[:, i] for i, p in enumerate(props)}
+                else:
+                    raw = np.frombuffer(fh.read(count * dt.itemsize), dtype=dt)
+                    data = {p[1]: raw[p[1]] for p in props}
+                verts = np.stack([data["x"], data["y"], data["z"]], axis=-1).astype(np.float64)
+                if "nx" in data:
+                    normals = np.stack([data["nx"], data["ny"], data["nz"]], axis=-1).astype(np.float64)
+            elif name == "face":
+                lp = props[0]
+                cdt = np.dtype(endian + type_map[lp[1]])
+                idt = np.dtype(endian + type_map[lp[2]])
+                if fmt == "ascii":
+                    for _ in range(count):
+                        t = [int(x) for x in fh.readline().split()]
+                        ids = t[1 : 1 + t[0]]
+                        for k in range(1, len(ids) - 1):
+                            faces.append([ids[0], ids[k], ids[k + 1]])
+                else:
+                    for _ in range(count):
+                        (n,) = np.frombuffer(fh.read(cdt.itemsize), dtype=cdt)
+                        ids = np.frombuffer(fh.read(int(n) * idt.itemsize), dtype=idt)
+                        for k in range(1, len(ids) - 1):
+                            faces.append([int(ids[0]), int(ids[k]), int(ids[k + 1])])
+    return Mesh(verts, np.asarray(faces), normals)
+
+
+SHAPE_BUILDERS = {
+    "rectangle": lambda props: make_rectangle(),
+    "cube": lambda props: make_cube(),
+    "sphere": lambda props: make_sphere(
+        props.get("sphere_res", 32), 2 * props.get("sphere_res", 32)
+    ),
+    "disk": lambda props: make_disk(props.get("disk_res", 64)),
+    "obj": lambda props: load_obj(props["filename"]),
+    "ply": lambda props: load_ply(props["filename"]),
+    "trimesh": lambda props: Mesh(
+        props["vertices"], props["faces"], props.get("normals"), props.get("uvs")
+    ),
+}

@@ -1,0 +1,149 @@
+"""Flat-array scene representation (the compiled scene).
+
+The reference's object graph (Scene owning dlopen'd Shape/BSDF/Emitter plugin
+instances, /root/reference/include/mitsuba/render/scene.h:49-1187) compiles
+here into a single pytree of static-shape arrays: triangles as SoA, materials
+as an enum-dispatched parameter table, emitters as a sampling table with a
+discrete PMF.  Everything an integrator touches per-bounce is a gather from
+these arrays — no virtual dispatch, no pointers, jit/vmap/shard-friendly.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# Material type enum (reference: src/bsdfs/* plugin registry).
+class BSDFType:
+    DIFFUSE = 0          # bsdfs/diffuse.cpp — Lambertian
+    CONDUCTOR = 1        # bsdfs/conductor.cpp — smooth mirror w/ conductor fresnel
+    DIELECTRIC = 2       # bsdfs/dielectric.cpp — smooth glass (reflect+refract)
+    ROUGH_CONDUCTOR = 3  # bsdfs/roughconductor.cpp — GGX microfacet
+    PLASTIC = 4          # bsdfs/plastic.cpp — diffuse + smooth dielectric coat
+    ROUGH_DIELECTRIC = 5 # bsdfs/roughdielectric.cpp — GGX glass
+    NULL = 6             # bsdfs/null.cpp — pass-through (medium boundaries)
+    ROUGH_PLASTIC = 7    # bsdfs/roughplastic.cpp — diffuse + GGX coat
+    ROUGH_DIFFUSE = 8    # bsdfs/roughdiffuse.cpp — Oren-Nayar
+    PHONG = 9            # bsdfs/phong.cpp — modified Phong
+    MASK = 10            # bsdfs/mask.cpp — opacity-masked nested BSDF
+    TWO_SIDED = 11       # handled at build time by flag
+    N_TYPES = 12
+
+
+class EmitterKind:
+    AREA = 0         # emitters/area.cpp
+    POINT = 1        # emitters/point.cpp
+    CONSTANT = 2     # emitters/constant.cpp — uniform environment
+    DIRECTIONAL = 3  # emitters/directional.cpp
+    SPOT = 4         # emitters/spot.cpp
+    ENVMAP = 5       # emitters/envmap.cpp — importance-sampled lat-long
+
+
+class Geometry(NamedTuple):
+    """Triangle soup, SoA.  (T,) leading axis; Moeller-Trumbore precomputed
+    edges.  Shading normals/uvs interpolated barycentrically on hit."""
+
+    p0: jnp.ndarray      # (T, 3)
+    e1: jnp.ndarray      # (T, 3) = p1 - p0
+    e2: jnp.ndarray      # (T, 3) = p2 - p0
+    n0: jnp.ndarray      # (T, 3) shading normals at vertices
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray     # (T, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray  # (T,) int32 material index
+    emitter_id: jnp.ndarray  # (T,) int32 index into emitter table, -1 if none
+
+
+class BVH(NamedTuple):
+    """Flattened binary BVH (host-built, see accel/bvh.py).
+
+    Internal node i: child0[i], child1[i] >= 0.
+    Leaf node i: child0[i] = -(prim_start+1), child1[i] = -prim_count.
+    ``prim_idx`` permutes into the Geometry arrays.
+    """
+
+    node_min: jnp.ndarray   # (N, 3)
+    node_max: jnp.ndarray   # (N, 3)
+    child0: jnp.ndarray     # (N,) int32
+    child1: jnp.ndarray     # (N,) int32
+    prim_idx: jnp.ndarray   # (T,) int32
+    max_depth: int          # static python int — traversal stack bound
+
+
+class Materials(NamedTuple):
+    """Enum-dispatched BSDF parameter table, (M,) leading axis."""
+
+    type: jnp.ndarray        # (M,) int32 BSDFType
+    reflectance: jnp.ndarray # (M, 3) diffuse albedo / tint
+    specular: jnp.ndarray    # (M, 3) specular reflectance scale
+    eta: jnp.ndarray         # (M, 3) IOR (dielectric uses [...,0])
+    k: jnp.ndarray           # (M, 3) conductor absorption
+    alpha: jnp.ndarray       # (M,) microfacet roughness (GGX)
+    texture_id: jnp.ndarray  # (M,) int32 index into texture atlas, -1 = none
+
+
+class Emitters(NamedTuple):
+    """Emitter sampling table (E,) + discrete power-proportional PMF.
+
+    The reference's Scene::sampleEmitterDirect draws from a discrete emitter
+    PMF (scene.h:482-756); here the PMF/CDF are arrays and drawing is a
+    searchsorted.
+    """
+
+    kind: jnp.ndarray        # (E,) int32 EmitterKind
+    tri: jnp.ndarray         # (E,) int32 triangle index (AREA) or -1
+    radiance: jnp.ndarray    # (E, 3) radiance (area/env) or intensity (point)
+    position: jnp.ndarray    # (E, 3) point/spot position or direction (directional)
+    aux: jnp.ndarray         # (E, 3) spot axis / spare params
+    cutoff: jnp.ndarray      # (E, 2) spot cos cutoffs (total, falloff-begin)
+    area: jnp.ndarray        # (E,) triangle area (AREA) else 1
+    pmf: jnp.ndarray         # (E,)
+    cdf: jnp.ndarray         # (E,)
+    env_radiance: jnp.ndarray  # (3,) constant-env radiance (zeros if none)
+    env_pdf: jnp.ndarray       # () solid-angle NEE pdf of env dir (0 if none)
+
+
+class Sensor(NamedTuple):
+    """Perspective / thinlens camera (reference src/sensors/perspective.cpp,
+    thinlens.cpp)."""
+
+    to_world: jnp.ndarray    # (4, 4) camera-to-world
+    tan_half_fov_x: jnp.ndarray  # scalar
+    tan_half_fov_y: jnp.ndarray
+    aperture_radius: jnp.ndarray  # scalar; 0 = pinhole
+    focus_distance: jnp.ndarray
+    near_clip: jnp.ndarray
+
+
+class MediumData(NamedTuple):
+    """Homogeneous medium parameters (reference src/medium/homogeneous.cpp).
+
+    Round 1 supports one global exterior medium (sigma_t = 0 disables)."""
+
+    sigma_a: jnp.ndarray  # (3,)
+    sigma_s: jnp.ndarray  # (3,)
+    phase_g: jnp.ndarray  # scalar HG anisotropy; 0 = isotropic
+    enabled: bool         # static
+
+
+class SceneData(NamedTuple):
+    geo: Geometry
+    bvh: BVH
+    mats: Materials
+    emitters: Emitters
+    sensor: Sensor
+    medium: Optional[MediumData]
+    aabb_min: jnp.ndarray  # (3,) scene bounds (guiding grid domain)
+    aabb_max: jnp.ndarray
+
+
+def pad_to(arr: np.ndarray, n: int, fill=0):
+    """Pad leading axis to n with fill (static-shape friendliness)."""
+    if arr.shape[0] == n:
+        return arr
+    pad = np.full((n - arr.shape[0],) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)

@@ -1,0 +1,96 @@
+"""BVH traversal vs brute-force oracle (reference test_kd.cpp analogue)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_path_guiding_tpu.accel.bvh import build_bvh
+from mitsuba_path_guiding_tpu.accel.traverse import (
+    intersect_brute,
+    intersect_bvh,
+    occluded,
+)
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+from mitsuba_path_guiding_tpu.scene.shapes import make_sphere
+from mitsuba_path_guiding_tpu.core.math import normalize
+
+
+def random_rays(n, seed=0, origin_box=2.0):
+    k = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(k)
+    o = jax.random.uniform(k1, (n, 3), minval=-origin_box, maxval=origin_box)
+    d = normalize(jax.random.normal(k2, (n, 3)))
+    return o, d
+
+
+def test_bvh_matches_brute_cornell():
+    scene = build_scene(cornell_box())
+    o, d = random_rays(2000, seed=1)
+    hb = intersect_brute(scene.geo, o, d)
+    hv = intersect_bvh(scene.geo, scene.bvh, o, d)
+    assert np.array_equal(np.asarray(hb.valid), np.asarray(hv.valid))
+    m = np.asarray(hb.valid)
+    # distances agree (prim ids may differ on exact shared edges)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-4, atol=1e-5
+    )
+    same_prim = np.asarray(hb.prim)[m] == np.asarray(hv.prim)[m]
+    # ties on shared edges resolve by traversal order; distances already match
+    assert same_prim.mean() > 0.99
+
+
+def test_bvh_matches_brute_sphere_mesh():
+    mesh = make_sphere(24, 48)
+    p0, e1, e2, *_ = mesh.face_arrays()
+    geo_like = type("G", (), {})()
+    from mitsuba_path_guiding_tpu.scene.types import Geometry
+
+    T = len(p0)
+    geo = Geometry(
+        p0=jnp.asarray(p0, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
+        e2=jnp.asarray(e2, jnp.float32),
+        n0=jnp.zeros((T, 3)), n1=jnp.zeros((T, 3)), n2=jnp.zeros((T, 3)),
+        uv0=jnp.zeros((T, 2)), uv1=jnp.zeros((T, 2)), uv2=jnp.zeros((T, 2)),
+        mat_id=jnp.zeros((T,), jnp.int32), emitter_id=jnp.full((T,), -1, jnp.int32),
+    )
+    bvh = build_bvh(p0, e1, e2)
+    o, d = random_rays(3000, seed=2, origin_box=3.0)
+    hb = intersect_brute(geo, o, d)
+    hv = intersect_bvh(geo, bvh, o, d)
+    assert np.array_equal(np.asarray(hb.valid), np.asarray(hv.valid))
+    m = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_occlusion():
+    scene = build_scene(cornell_box())
+    # ray from camera region to the center of the box: unoccluded
+    o = jnp.array([[0.0, 1.0, -2.5]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    occ_near = occluded(scene.geo, scene.bvh, o, d, jnp.array([1.0]))
+    occ_far = occluded(scene.geo, scene.bvh, o, d, jnp.array([10.0]))
+    assert not bool(occ_near[0])  # nothing within 1 unit
+    assert bool(occ_far[0])  # back wall within 10 units
+
+
+def test_sphere_hit_distance_analytic():
+    mesh = make_sphere(64, 128)
+    p0, e1, e2, *_ = mesh.face_arrays()
+    from mitsuba_path_guiding_tpu.scene.types import Geometry
+
+    T = len(p0)
+    geo = Geometry(
+        p0=jnp.asarray(p0, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
+        e2=jnp.asarray(e2, jnp.float32),
+        n0=jnp.zeros((T, 3)), n1=jnp.zeros((T, 3)), n2=jnp.zeros((T, 3)),
+        uv0=jnp.zeros((T, 2)), uv1=jnp.zeros((T, 2)), uv2=jnp.zeros((T, 2)),
+        mat_id=jnp.zeros((T,), jnp.int32), emitter_id=jnp.full((T,), -1, jnp.int32),
+    )
+    bvh = build_bvh(p0, e1, e2)
+    o = jnp.array([[0.0, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    h = intersect_bvh(geo, bvh, o, d)
+    assert bool(h.valid[0])
+    assert abs(float(h.t[0]) - 4.0) < 5e-3  # tessellation error only
