@@ -108,9 +108,16 @@ def chi2_test_sphere(
     cell_int = pdf_vals * np.sin(TT) * dA
     exp = cell_int.reshape(n_theta, quad_res, n_phi, quad_res).sum(axis=(1, 3)) * n
 
+    # the pdf's total mass must match the mass of histogrammed samples —
+    # samplers with rejection (e.g. VNDF below-horizon) pass only accepted
+    # samples plus the total draw count, and the pdf integrates to <1
     total_exp = exp.sum()
-    if not (0.9 <= total_exp / n <= 1.1):
-        return False, 0.0, f"pdf does not integrate to ~1: {total_exp / n:.4f}"
+    if not (0.9 <= total_exp / max(len(d), 1) <= 1.1):
+        return (
+            False,
+            0.0,
+            f"pdf mass {total_exp / n:.4f} != histogrammed fraction {len(d) / n:.4f}",
+        )
 
     # pool low-expectation cells (reference chisquare.cpp pooling)
     obs_f = obs.ravel()

@@ -1,0 +1,65 @@
+"""Guided directional sampling: one-sample MIS between BSDF and the guiding
+mixture.
+
+The guided-integrator sampling step the reference fork hosts (guided plugins
+combine BSDF sampling with the OpenPGL field exactly this way): with
+selection probability ``alpha`` draw from the spatial cache's vMF mixture,
+else from the BSDF; the estimator divides by the combined density
+alpha * p_guide + (1 - alpha) * p_bsdf, which keeps the estimator unbiased
+for any cache contents.  Delta BSDF lobes bypass guiding entirely.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.core.math import cos_theta
+from mitsuba_path_guiding_tpu.guiding.grid import (
+    GuidingGrid,
+    cell_index,
+    guide_pdf,
+    guide_sample,
+)
+from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+
+def _is_delta_material(mats, mid):
+    t = mats.type[mid]
+    return (
+        (t == BSDFType.CONDUCTOR) | (t == BSDFType.DIELECTRIC) | (t == BSDFType.NULL)
+    )
+
+
+def make_guide_fn(alpha: float = 0.5):
+    """Returns the ``guide`` callback consumed by integrators.path.trace."""
+
+    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe):
+        cid = cell_index(grid, p)
+        usable = grid.valid[cid] & ~_is_delta_material(mats, mid)
+        a = jnp.where(usable, alpha, 0.0)
+
+        # BSDF branch (also supplies the delta path)
+        bs = bsdf_mod.sample(mats, mid, wi_local, u3)
+        # guiding branch
+        d_guided = guide_sample(grid, cid, u_lobe, u3[..., 0:2])
+        wo_guided = frame.to_local(d_guided)
+
+        take_guide = (u_sel < a) & ~bs.is_delta
+        wo_local = jnp.where(take_guide[..., None], wo_guided, bs.wo)
+        wo_world = frame.to_world(wo_local)
+
+        # combined density and estimator weight (skip for delta lobes)
+        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local)
+        pdf_g = guide_pdf(grid, cid, wo_world)
+        pdf_comb = a * pdf_g + (1.0 - a) * pdf_b
+        w_smooth = f / jnp.maximum(pdf_comb, 1e-8)[..., None]
+        ok = pdf_comb > 1e-9
+
+        use_bsdf_native = bs.is_delta | (a <= 0.0)
+        weight = jnp.where(use_bsdf_native[..., None], bs.weight, jnp.where(ok[..., None], w_smooth, 0.0))
+        pdf = jnp.where(use_bsdf_native, bs.pdf, pdf_comb)
+        return wo_world, pdf, weight, bs.is_delta
+
+    return guide

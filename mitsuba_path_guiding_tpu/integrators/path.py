@@ -52,11 +52,18 @@ class PathAux(NamedTuple):
 
 class PathRecord(NamedTuple):
     """Per-bounce records for guiding-cache training (the sample storage of
-    SURVEY.md §7 step 6: position/direction/radiance with provenance)."""
+    SURVEY.md §7 step 6: position/direction/radiance with provenance).
+
+    ``li`` is the luminance of radiance that arrived at the vertex through
+    the sampled direction (Monte Carlo estimate); ``pdf`` the solid-angle
+    density the direction was drawn with — fitting weights are li/pdf so
+    the fitted mixture approximates incident radiance (Practical Path
+    Guiding / OpenPGL convention)."""
 
     pos: jnp.ndarray       # (D, N, 3) shading points
     dir: jnp.ndarray       # (D, N, 3) sampled outgoing dirs (world)
-    li: jnp.ndarray        # (D, N, 3) radiance that arrived through dir
+    li: jnp.ndarray        # (D, N) luminance arriving through dir
+    pdf: jnp.ndarray       # (D, N) sampling pdf of dir
     valid: jnp.ndarray     # (D, N) bool
 
 
@@ -68,7 +75,14 @@ def _offset_ray(p, ng, d):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "record_paths"),
+    static_argnames=(
+        "max_depth",
+        "rr_depth",
+        "use_nee",
+        "use_bvh",
+        "record_paths",
+        "guide",
+    ),
 )
 def trace(
     scene: SceneData,
@@ -112,9 +126,11 @@ def trace(
         n_bounces=jnp.zeros((n,), jnp.int32),
     )
 
+    # uniform layout per bounce: 0:3 NEE, 3:6 BSDF (2 dir + lobe),
+    # 6 guide-selection, 7 guide-lobe, 8 russian roulette
     def bounce(carry, depth):
         o, d, L, T, alive, prev_pdf, prev_delta, aux = carry
-        u = bounce_uniform(rkeys, depth, 8)
+        u = bounce_uniform(rkeys, depth, 9)
 
         hit = intersect(o, d)
         escaped = alive & ~hit.valid
@@ -190,8 +206,16 @@ def trace(
             next_weight = bs.weight
             next_delta = bs.is_delta
         else:
-            bs, wo_world, next_pdf, next_weight, next_delta = guide(
-                guide_state, mats, mid, p, frame, wi_local, u[..., 3:7], u[..., 7]
+            wo_world, next_pdf, next_weight, next_delta = guide(
+                guide_state,
+                mats,
+                mid,
+                p,
+                frame,
+                wi_local,
+                u[..., 3:6],
+                u[..., 6],
+                u[..., 7],
             )
 
         T_new = T * next_weight
@@ -200,7 +224,7 @@ def trace(
         # --- russian roulette (path.cpp:277-286)
         rr_active = depth >= rr_depth
         q = jnp.clip(jnp.max(T_new, axis=-1), 0.05, 0.95)
-        rr_pass = u[..., 6] < q
+        rr_pass = u[..., 8] < q
         T_new = jnp.where(
             (rr_active & cont)[..., None], T_new / jnp.maximum(q, 1e-6)[..., None], T_new
         )
@@ -217,22 +241,36 @@ def trace(
             jnp.where(cont, next_delta, prev_delta),
             aux,
         )
-        rec = (p, wo_world, act & cont) if record_paths else None
+        if record_paths:
+            from mitsuba_path_guiding_tpu.core.spectrum import luminance
+
+            # Li through the sampled dir = (radiance found after this
+            # bounce) / throughput-after — both recorded here, combined
+            # after the scan.  Delta-sampled dirs excluded (not guidable).
+            rec = (
+                p,
+                wo_world,
+                luminance(L),
+                luminance(jnp.where(cont[..., None], T_new, T)),
+                next_pdf,
+                act & ~next_delta,
+            )
+        else:
+            rec = None
         return new_carry, rec
 
     carry0 = (ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0, aux0)
-    if record_paths:
-        carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
-        rec_pos, rec_dir, rec_valid = recs
-    else:
-        carry, _ = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
+    carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
     _, _, L, _, _, _, _, aux = carry
 
     record = None
     if record_paths:
-        # Li through each recorded vertex is approximated by the final L
-        # scaled by nothing — refined in guiding/collect.py using throughput
-        # ratios; here we store positions/dirs/validity, radiance filled by
-        # the caller from per-bounce contributions.
-        record = PathRecord(pos=rec_pos, dir=rec_dir, li=jnp.zeros_like(rec_pos), valid=rec_valid)
+        from mitsuba_path_guiding_tpu.core.spectrum import luminance
+
+        rec_pos, rec_dir, rec_lumL, rec_lumT, rec_pdf, rec_valid = recs
+        lum_final = luminance(L)[None, :]  # (1, N)
+        li = jnp.maximum(lum_final - rec_lumL, 0.0) / jnp.maximum(rec_lumT, 1e-6)
+        record = PathRecord(
+            pos=rec_pos, dir=rec_dir, li=li, pdf=rec_pdf, valid=rec_valid
+        )
     return L, aux, record

@@ -1,0 +1,161 @@
+"""Progressive (guided) rendering: repeated full-image passes with
+guiding-cache updates between progressions.
+
+TPU-native re-design of the fork's ``ProgressiveMonteCarloIntegrator``
+(/root/reference/include/mitsuba/render/progressiveintegrator.h:11-89,
+src/librender/progressiveintegrator.cpp:63-168):
+
+  - ``samples_per_progression`` spp rendered per pass (renderSamples mode,
+    .cpp:65-115); time-budget mode (renderTime, .cpp:117-168) via
+    ``max_seconds``,
+  - ``preprogression`` / ``postprogression`` hooks (.h:45-50) — here real
+    callables; the default postprogression fits the vMF guiding cache from
+    the pass's path records,
+  - per-pixel persistent sample counters (== the fork's per-pixel cloned
+    samplers, .cpp:38-52) keep sequences deterministic across progressions,
+  - firefly clamping via ``max_component_value`` (.cpp:274-276).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_path_guiding_tpu.core import rng
+from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+from mitsuba_path_guiding_tpu.film.film import Film, develop, new_film, splat
+from mitsuba_path_guiding_tpu.guiding.grid import GuidingGrid, make_grid
+from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+from mitsuba_path_guiding_tpu.integrators.path import trace
+from mitsuba_path_guiding_tpu.integrators.render import BRUTE_FORCE_MAX_TRIS, RenderConfig
+from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+
+@dataclass
+class ProgressiveConfig:
+    render: RenderConfig = field(default_factory=RenderConfig)
+    samples_per_progression: int = 4
+    n_progressions: int = 8           # total spp = spp_per_prog * n_prog
+    max_seconds: float = 0.0          # > 0: time-budget mode
+    guiding: bool = True
+    guide_alpha: float = 0.5
+    grid_res: int = 16
+    n_lobes: int = 8
+    train_progressions: int = 0       # 0 = train on all progressions
+    on_preprogression: Optional[Callable] = None
+    on_postprogression: Optional[Callable] = None
+
+
+class ProgressiveRenderer:
+    """Stateful orchestrator (host-side loop, device-side compute)."""
+
+    def __init__(self, scene: SceneData, cfg: ProgressiveConfig):
+        self.scene = scene
+        self.cfg = cfg
+        r = cfg.render
+        self.film = new_film(r.width, r.height)
+        self.sample_counter = 0  # per-pixel persistent counter (uniform)
+        self.grid: Optional[GuidingGrid] = None
+        if cfg.guiding:
+            self.grid = make_grid(
+                scene.aabb_min, scene.aabb_max, res=cfg.grid_res, n_lobes=cfg.n_lobes
+            )
+        self.guide_fn = make_guide_fn(cfg.guide_alpha) if cfg.guiding else None
+        self.progression = 0
+        self.use_bvh = (
+            r.use_bvh
+            if r.use_bvh is not None
+            else int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
+        )
+
+    def _wave(self, pixel_id, sample_idx, train: bool):
+        r = self.cfg.render
+        key = rng.base_key(r.seed)
+        rkeys = rng.ray_keys(key, pixel_id, sample_idx)
+        u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+        o, d, film_xy = generate_rays(
+            self.scene.sensor, r.width, r.height, pixel_id, u_cam[..., 0:2], u_cam[..., 2:4]
+        )
+        guide = self.guide_fn if (self.grid is not None) else None
+        L, aux, rec = trace(
+            self.scene,
+            o,
+            d,
+            rkeys,
+            max_depth=r.max_depth,
+            rr_depth=r.rr_depth,
+            use_nee=r.use_nee,
+            use_bvh=self.use_bvh,
+            guide=guide,
+            guide_state=self.grid,
+            record_paths=train and self.grid is not None,
+        )
+        if r.max_component_value > 0.0:
+            L = jnp.minimum(L, r.max_component_value)
+        return film_xy, L, aux, rec
+
+    def run_progression(self):
+        """One full-image pass of samples_per_progression spp."""
+        cfg, r = self.cfg, self.cfg.render
+        if cfg.on_preprogression is not None:
+            cfg.on_preprogression(self)
+
+        training = cfg.guiding and (
+            cfg.train_progressions <= 0 or self.progression < cfg.train_progressions
+        )
+        n_pix = r.width * r.height
+        all_pixels = jnp.arange(n_pix, dtype=jnp.int32)
+        rgbw = self.film.rgb_weight
+        records = []
+        for batch_start in range(0, n_pix, r.pixel_batch):
+            pix = all_pixels[batch_start : batch_start + r.pixel_batch]
+            for s in range(cfg.samples_per_progression):
+                sidx = jnp.full_like(pix, self.sample_counter + s)
+                film_xy, L, aux, rec = self._wave(pix, sidx, training)
+                rgbw = splat(rgbw, film_xy, L, r.width, r.height, r.filter_name)
+                if rec is not None:
+                    records.append(rec)
+        self.film = Film(rgb_weight=rgbw, width=r.width, height=r.height)
+        self.sample_counter += cfg.samples_per_progression
+
+        if training and records:
+            # one EM update per progression (reference postprogression runs
+            # once per pass): sum statistics over the pass's waves, then a
+            # single parameter update — also what psum across devices does
+            from mitsuba_path_guiding_tpu.guiding.fit import (
+                accumulate_stats,
+                update_grid,
+            )
+
+            s_w = s_dir = s_count = None
+            for rec in records:
+                w, dvec, cnt = accumulate_stats(self.grid, rec)
+                s_w = w if s_w is None else s_w + w
+                s_dir = dvec if s_dir is None else s_dir + dvec
+                s_count = cnt if s_count is None else s_count + cnt
+            self.grid = update_grid(self.grid, s_w, s_dir, s_count)
+
+        self.progression += 1
+        if cfg.on_postprogression is not None:
+            cfg.on_postprogression(self)
+
+    def render(self) -> jnp.ndarray:
+        """Sample-budget (or time-budget) progressive render."""
+        cfg = self.cfg
+        t0 = time.time()
+        for _ in range(cfg.n_progressions):
+            self.run_progression()
+            if cfg.max_seconds > 0 and time.time() - t0 > cfg.max_seconds:
+                break
+        return develop(self.film)
+
+    def image(self) -> np.ndarray:
+        return np.asarray(develop(self.film))
+
+
+def render_progressive(scene: SceneData, cfg: ProgressiveConfig):
+    return ProgressiveRenderer(scene, cfg).render()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.core.math import (
@@ -235,53 +236,53 @@ def _phong_eval_pdf(p: _P, wi, wo):
 
 def _rough_dielectric_eval_pdf(p: _P, wi, wo):
     """GGX rough glass, Walter et al. 2007 (reference roughdielectric.cpp).
-    Handles both reflection (same hemisphere) and transmission."""
+
+    Everything is computed in 'flipped' space where wi lies in the upper
+    hemisphere (s = sign(cos_i)); the microfacet normal m is kept upper.
+    Relative IOR eta_rel = eta when entering (cos_i > 0), 1/eta inside.
+    Lobe-pick probability is exactly the microfacet Fresnel F(wi.m) — the
+    same quantity the sampler uses, so sample/pdf agree including TIR
+    (F = 1 -> transmission mass 0).
+    """
     eta = p.eta[..., 0]
     ci = cos_theta(wi)
-    co = cos_theta(wo)
-    reflect_side = ci * co > 0.0
-    # relative IOR along the path wi -> wo
-    rel_eta = jnp.where(ci > 0.0, eta, 1.0 / eta)
+    s = jnp.where(ci >= 0.0, 1.0, -1.0)
+    wi_f = jnp.stack([wi[..., 0], wi[..., 1], wi[..., 2] * s], axis=-1)
+    wo_f = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
+    eta_rel = jnp.where(ci >= 0.0, eta, 1.0 / eta)
+    reflect_side = cos_theta(wo_f) > 0.0
 
-    # half vectors
-    m_r = normalize(wi + wo) * jnp.sign(ci)[..., None]
-    m_t = normalize(wi + wo * rel_eta[..., None])
-    m_t = m_t * jnp.sign(cos_theta(m_t))[..., None]  # make m upper hemisphere
+    # half vectors (flipped space, forced upper hemisphere)
+    m_r = normalize(wi_f + wo_f)
+    m_t = normalize(wi_f + eta_rel[..., None] * wo_f)
+    m_t = m_t * jnp.sign(cos_theta(m_t) + 1e-20)[..., None]
     m = jnp.where(reflect_side[..., None], m_r, m_t)
 
-    wim = dot(wi, m)
-    wom = dot(wo, m)
-    F = fresnel_dielectric(wim, eta)
-    # evaluate D/G with m in upper hemisphere and wi/wo flipped consistently
-    flip = jnp.sign(ci)[..., None]
+    wim = dot(wi_f, m)
+    wom = dot(wo_f, m)
+    F = fresnel_dielectric(wim, eta_rel)
     D = ggx_d(m, p.alpha)
-    G = ggx_g2(wi * flip, wo * flip, p.alpha)
+    G = ggx_g2(wi_f, wo_f, p.alpha)
     aci = jnp.maximum(jnp.abs(ci), 1e-6)
+    pdf_m = ggx_vndf_pdf(wi_f, m, p.alpha)
 
-    f_r = (F * D * G / (4.0 * aci))
-    # Walter eq. 21 (x |cos_o| folded in); radiance scale (1/rel_eta)^2
-    denom_t = wim + rel_eta * wom
-    jac_t = rel_eta * rel_eta * jnp.abs(wom) / jnp.maximum(denom_t * denom_t, 1e-10)
-    f_t = (
-        jnp.abs(wim) * jac_t * (1.0 - F) * D * G / aci
-    ) / jnp.maximum(rel_eta * rel_eta, 1e-10) * (rel_eta * rel_eta)
-    # note: the two rel_eta^2 factors cancel -> Walter form with radiance
-    # scaling included equals |wim| jac (1-F) D G / aci / rel_eta^2... keep
-    # explicit below instead:
-    f_t = jnp.abs(wim) * jac_t * (1.0 - F) * D * G / aci / jnp.maximum(rel_eta * rel_eta, 1e-10)
+    # reflection: f*cos = F D G / (4 |ci|); pdf = F * pdf_m / (4 |wo.m|)
+    f_r = F * D * G / (4.0 * aci)
+    pdf_r = F * pdf_m / jnp.maximum(4.0 * jnp.abs(wom), 1e-8)
+    valid_r = reflect_side & (wim > 1e-6) & (wom > 1e-6)
 
-    valid_r = reflect_side & (jnp.abs(wim) > 1e-6)
-    valid_t = (~reflect_side) & (wim * wom < 0.0)
-    f = jnp.where(valid_r, f_r, jnp.where(valid_t, f_t, 0.0))
-
-    spec_prob = jnp.clip(F, 0.05, 0.95)
-    pdf_m = ggx_vndf_pdf(wi * flip, m, p.alpha)
-    pdf_r = pdf_m / jnp.maximum(4.0 * jnp.abs(wom), 1e-8)
-    pdf_t = pdf_m * jac_t / jnp.maximum(jnp.abs(wim), 1e-8) * jnp.abs(wim)
-    pdf_t = pdf_m * jac_t
-    pdf = jnp.where(
-        valid_r, spec_prob * pdf_r, jnp.where(valid_t, (1.0 - spec_prob) * pdf_t, 0.0)
+    # transmission (Walter eq. 21 x cos, radiance transport /eta_rel^2):
+    # f*cos = |wim||wom| (1-F) D G / (|ci| (wim + eta_rel wom)^2)
+    denom_t = wim + eta_rel * wom
+    jac_t = eta_rel * eta_rel * jnp.abs(wom) / jnp.maximum(denom_t * denom_t, 1e-10)
+    f_t = jnp.abs(wim) * jnp.abs(wom) * (1.0 - F) * D * G / (
+        aci * jnp.maximum(denom_t * denom_t, 1e-10)
     )
+    pdf_t = (1.0 - F) * pdf_m * jac_t
+    valid_t = (~reflect_side) & (wim > 1e-6) & (wom < -1e-6)
+
+    f = jnp.where(valid_r, f_r, jnp.where(valid_t, f_t, 0.0))
+    pdf = jnp.where(valid_r, pdf_r, jnp.where(valid_t, pdf_t, 0.0))
     return p.spec * f[..., None], pdf
 
 
@@ -300,6 +301,7 @@ _SMOOTH_EVALS = {
 }
 
 
+@jax.jit
 def eval_pdf(mats: Materials, mid, wi, wo):
     """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats."""
     p = gather_params(mats, mid)
@@ -315,6 +317,7 @@ def eval_pdf(mats: Materials, mid, wi, wo):
     return f, pdf
 
 
+@jax.jit
 def albedo(mats: Materials, mid):
     """fork BSDF::getAlbedo parity (bsdf.h:361): approximate reflectance for
     denoiser/guiding feature buffers."""
@@ -330,6 +333,7 @@ def albedo(mats: Materials, mid):
     return a
 
 
+@jax.jit
 def sample(mats: Materials, mid, wi, u) -> BSDFSample:
     """Sample all families on the wavefront, select by type."""
     p = gather_params(mats, mid)
@@ -414,7 +418,7 @@ def sample(mats: Materials, mid, wi, u) -> BSDFSample:
         p.type == BSDFType.ROUGH_CONDUCTOR,
         wo_rc,
         jnp.where(ok[..., None], w_rc, 0.0),
-        pdf_rc,
+        jnp.where(ok, pdf_rc, 0.0),  # below-horizon reflections are rejected
         jnp.zeros_like(sel),
     )
 
@@ -445,7 +449,7 @@ def sample(mats: Materials, mid, wi, u) -> BSDFSample:
         p.type == BSDFType.ROUGH_PLASTIC,
         wo_rp,
         jnp.where(ok_rp[..., None], w_rp, 0.0),
-        pdf_rp,
+        jnp.where(ok_rp, pdf_rp, 0.0),
         jnp.zeros_like(sel),
     )
 
@@ -476,38 +480,40 @@ def sample(mats: Materials, mid, wi, u) -> BSDFSample:
         jnp.zeros_like(sel),
     )
 
-    # ROUGH_DIELECTRIC: VNDF half-vector + fresnel reflect/refract (signed wi)
+    # ROUGH_DIELECTRIC: VNDF half-vector + fresnel reflect/refract, all in
+    # flipped space (wi upper hemisphere), matching _rough_dielectric_eval_pdf
     flip_rd = jnp.where(cos_theta(wi) >= 0.0, 1.0, -1.0)
     wi_rd = jnp.stack([wi[..., 0], wi[..., 1], wi[..., 2] * flip_rd], axis=-1)
-    m_rd_up = ggx_sample_vndf(wi_rd, p.alpha, u2)
-    m_rd = jnp.stack(
-        [m_rd_up[..., 0], m_rd_up[..., 1], m_rd_up[..., 2] * flip_rd], axis=-1
+    m_rd = ggx_sample_vndf(wi_rd, p.alpha, u2)  # upper hemisphere
+    eta_rel_rd = jnp.where(cos_theta(wi) >= 0.0, eta_s, 1.0 / eta_s)
+    wim_rd = dot(wi_rd, m_rd)  # > 0 by VNDF construction
+    F_rd = fresnel_dielectric(wim_rd, eta_rel_rd)  # = 1 under TIR
+    take_refl_rd = ul < F_rd
+    wo_rd_refl = 2.0 * wim_rd[..., None] * m_rd - wi_rd
+    # refraction about m (Walter eq. 40) in flipped space
+    inv_e = 1.0 / eta_rel_rd
+    c2 = 1.0 - (1.0 - wim_rd * wim_rd) * inv_e * inv_e
+    wo_rd_refr = (inv_e * wim_rd - safe_sqrt(c2))[..., None] * m_rd - inv_e[
+        ..., None
+    ] * wi_rd
+    wo_rd_f = jnp.where(take_refl_rd[..., None], wo_rd_refl, wo_rd_refr)
+    wo_rd_f = normalize(wo_rd_f)
+    # reject hemisphere-inconsistent results (reflection below horizon /
+    # refraction above) — reference roughdielectric.cpp does the same;
+    # without this the spillover lands under the *other* branch's pdf
+    consistent_rd = take_refl_rd == (cos_theta(wo_rd_f) > 0.0)
+    # un-flip
+    wo_rd = jnp.stack(
+        [wo_rd_f[..., 0], wo_rd_f[..., 1], wo_rd_f[..., 2] * flip_rd], axis=-1
     )
-    wim_rd = dot(wi, m_rd)
-    F_rd = fresnel_dielectric(wim_rd, eta_s)
-    sp_rd = jnp.clip(F_rd, 0.05, 0.95)
-    take_refl_rd = ul < sp_rd
-    wo_rd_refl = 2.0 * wim_rd[..., None] * m_rd - wi
-    # refraction about m (Walter eq. 40)
-    rel_eta_rd = jnp.where(wim_rd > 0.0, eta_s, 1.0 / eta_s)
-    c = wim_rd
-    inv_e = 1.0 / rel_eta_rd
-    c2 = 1.0 - (1.0 - c * c) * inv_e * inv_e
-    tir_rd = c2 <= 0.0
-    wo_rd_refr = (
-        (inv_e * jnp.abs(c) - safe_sqrt(c2))[..., None] * m_rd * jnp.sign(c)[..., None]
-        - inv_e[..., None] * wi
-    )
-    wo_rd = jnp.where((take_refl_rd | tir_rd)[..., None], wo_rd_refl, wo_rd_refr)
-    wo_rd = normalize(wo_rd)
     f_rd, pdf_rd = _rough_dielectric_eval_pdf(p, wi, wo_rd)
     w_rd = f_rd / jnp.maximum(pdf_rd, 1e-8)[..., None]
-    ok_rd = pdf_rd > 1e-9
+    ok_rd = consistent_rd & (pdf_rd > 1e-9)
     put(
         p.type == BSDFType.ROUGH_DIELECTRIC,
         wo_rd,
         jnp.where(ok_rd[..., None], w_rd, 0.0),
-        pdf_rd,
+        jnp.where(ok_rd, pdf_rd, 0.0),
         jnp.zeros_like(sel),
     )
 

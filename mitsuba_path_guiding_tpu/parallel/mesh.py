@@ -1,0 +1,168 @@
+"""Multi-device / multi-host rendering: pixel-sharded waves over a Mesh.
+
+The TPU-native replacement for the reference's entire distributed stack
+(SURVEY.md §2.6/§2.7): the master/worker TCP scheduler with dynamic tile
+stealing (/root/reference/src/libcore/sched.cpp, sched_remote.cpp) becomes
+*static sharding* of the pixel/ray population over a ``jax.sharding.Mesh``:
+
+  - P1 image-space parallelism  -> pixels sharded over the mesh axis,
+  - P3 per-core sampler clones  -> counter-based RNG keyed by pixel id
+    (device placement never enters the key — bitwise-identical results
+    on any mesh shape, and lost shards are recomputable, §5.3),
+  - P4 multi-node distribution  -> jax.distributed + the same shard_map,
+  - P5 progression barriers     -> psum of film + guiding statistics,
+  - WorkResult merging           -> film accumulated locally, psum'd once.
+
+For multi-host: call jax.distributed.initialize() before building the mesh;
+everything below is oblivious to process boundaries.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mitsuba_path_guiding_tpu.core import rng
+from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+from mitsuba_path_guiding_tpu.film.film import splat
+from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
+from mitsuba_path_guiding_tpu.integrators.path import trace
+from mitsuba_path_guiding_tpu.integrators.render import (
+    BRUTE_FORCE_MAX_TRIS,
+    RenderConfig,
+)
+from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+AXIS = "dev"
+
+
+def make_device_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (local or distributed) devices."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx):
+    """Per-device wave: trace the local pixel shard (pure, shard-oblivious)."""
+    key = rng.base_key(cfg.seed)
+    rkeys = rng.ray_keys(key, pixel_id, sample_idx)
+    u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+    o, d, film_xy = generate_rays(
+        scene.sensor, cfg.width, cfg.height, pixel_id, u_cam[..., 0:2], u_cam[..., 2:4]
+    )
+    L, aux, rec = trace(
+        scene,
+        o,
+        d,
+        rkeys,
+        max_depth=cfg.max_depth,
+        rr_depth=cfg.rr_depth,
+        use_nee=cfg.use_nee,
+        use_bvh=use_bvh,
+        guide=guide,
+        guide_state=grid,
+        record_paths=guide is not None,
+    )
+    if cfg.max_component_value > 0.0:
+        L = jnp.minimum(L, cfg.max_component_value)
+    return film_xy, L, aux, rec
+
+
+def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=None):
+    """Build the jitted sharded render (+ optional guiding-train) step.
+
+    Returns step(pixel_ids (N,), sample_idx (N,), rgbw (H*W,4), grid) ->
+    (rgbw', grid', n_bounces_total).  N must divide by mesh size.  Film and
+    guiding statistics are psum'd across the axis (the reference's
+    WorkResult merge + postprogression fit, made collective)."""
+    use_bvh = (
+        cfg.use_bvh
+        if cfg.use_bvh is not None
+        else int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
+    )
+
+    def step(pixel_id, sample_idx, rgbw, grid):
+        film_xy, L, aux, rec = _wave_local(
+            scene, cfg, use_bvh, guide, grid, pixel_id, sample_idx
+        )
+        local = splat(
+            jnp.zeros_like(rgbw), film_xy, L, cfg.width, cfg.height, cfg.filter_name
+        )
+        rgbw_out = rgbw + jax.lax.psum(local, AXIS)
+        if guide is not None:
+            s_w, s_dir, s_count = accumulate_stats(grid, rec)
+            stats = (
+                jax.lax.psum(s_w, AXIS),
+                jax.lax.psum(s_dir, AXIS),
+                jax.lax.psum(s_count, AXIS),
+            )
+        else:
+            stats = None
+        n_seg = jax.lax.psum(jnp.sum(aux.n_bounces), AXIS)
+        return rgbw_out, stats, n_seg
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_sharded(
+    scene: SceneData,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+    guide=None,
+    grid=None,
+    fit_every: int = 4,
+    progress=None,
+    sample_offset: int = 0,
+):
+    """Full sharded render; returns ((H,W,3) image, grid, total path segments).
+
+    The film stays replicated (small); pixels/rays are the sharded axis.
+    With guiding, statistics are summed over ``fit_every`` spp waves before
+    each EM update (a 'progression'); pass the returned grid back in to
+    continue training across calls."""
+    from mitsuba_path_guiding_tpu.film.film import Film, develop
+
+    mesh = mesh if mesh is not None else make_device_mesh()
+    n_dev = mesh.devices.size
+    step = make_sharded_step(scene, cfg, mesh, guide=guide)
+
+    n_pix = cfg.width * cfg.height
+    pad = (-n_pix) % n_dev
+    # padding lanes render pixel 0 at extra sample indices — real extra
+    # samples, merged by the film's weight normalization; keep film sizes
+    # multiples of n_dev to avoid even that
+    all_pixels = jnp.concatenate(
+        [jnp.arange(n_pix, dtype=jnp.int32), jnp.zeros((pad,), jnp.int32)]
+    )
+    rgbw = jnp.zeros((n_pix, 4), dtype=jnp.float32)
+    if guide is not None and grid is None:
+        from mitsuba_path_guiding_tpu.guiding.grid import make_grid
+
+        grid = make_grid(scene.aabb_min, scene.aabb_max)
+    total_seg = 0
+    acc = None
+    for s in range(cfg.spp):
+        sidx = jnp.full_like(all_pixels, sample_offset + s)
+        rgbw, stats, n_seg = step(all_pixels, sidx, rgbw, grid)
+        total_seg += int(n_seg)
+        if stats is not None:
+            acc = stats if acc is None else jax.tree.map(jnp.add, acc, stats)
+            if (s + 1) % max(fit_every, 1) == 0 or s + 1 == cfg.spp:
+                grid = update_grid(grid, *acc)
+                acc = None
+        if progress is not None:
+            progress(s, cfg.spp)
+    film = Film(rgb_weight=rgbw, width=cfg.width, height=cfg.height)
+    return develop(film), grid, total_seg

@@ -2,16 +2,22 @@
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
 platform and 8 virtual devices (SURVEY.md §4: multi-host tests runnable on
-one host).  Must run before jax initializes.
+one host).  NOTE: the environment pre-sets JAX_PLATFORMS=axon (real TPU) and
+the env var alone does not reliably override the plugin — use
+jax.config.update, which does.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,137 @@
+"""BSDF chi-square sample/pdf agreement + sample-weight consistency for every
+material family (reference test_chisquare.cpp over all BSDFs, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_path_guiding_tpu.core import chi2
+from mitsuba_path_guiding_tpu.models import bsdf as B
+from mitsuba_path_guiding_tpu.scene.types import BSDFType, Materials
+
+N = 150_000
+
+
+def make_mats(mtype, refl=(0.8, 0.6, 0.4), spec=(1.0, 1.0, 1.0), eta=1.5, k=0.0, alpha=0.3):
+    one = lambda v: jnp.asarray(np.array([v if np.ndim(v) else [v] * 3]), jnp.float32)
+    return Materials(
+        type=jnp.array([mtype], jnp.int32),
+        reflectance=one(list(refl)),
+        specular=one(list(spec)),
+        eta=one([eta] * 3 if np.ndim(eta) == 0 else eta),
+        k=one([k] * 3 if np.ndim(k) == 0 else k),
+        alpha=jnp.array([alpha], jnp.float32),
+        texture_id=jnp.array([-1], jnp.int32),
+    )
+
+
+def run_chi2(mats, wi_theta_deg, seed=0, significance=0.0025):
+    wi = jnp.array(
+        [np.sin(np.deg2rad(wi_theta_deg)), 0.0, np.cos(np.deg2rad(wi_theta_deg))],
+        dtype=jnp.float32,
+    )
+    wi_b = jnp.broadcast_to(wi, (N, 3))
+    mid = jnp.zeros((N,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (N, 3))
+    bs = B.sample(mats, mid, wi_b, u)
+    wo = np.asarray(bs.wo)
+    delta = np.asarray(bs.is_delta)
+    # rejected samples (zero weight + zero pdf, e.g. VNDF below-horizon)
+    # carry no mass: the pdf integral accounts for them via sample_count
+    rejected = np.asarray(bs.pdf) <= 0.0
+    smooth_wo = wo[(~delta) & (~rejected)]
+
+    def pdf_fn(dirs):
+        m = dirs.shape[0]
+        wi_m = jnp.broadcast_to(wi, (m, 3))
+        mid_m = jnp.zeros((m,), jnp.int32)
+        _, pdf = B.eval_pdf(mats, mid_m, wi_m, jnp.asarray(dirs))
+        return np.asarray(pdf)
+
+    passed, p, msg = chi2.chi2_test_sphere(
+        smooth_wo, pdf_fn, sample_count=N, significance=significance
+    )
+    return passed, msg, bs
+
+
+@pytest.mark.parametrize(
+    "name,mats,theta",
+    [
+        ("diffuse_30", make_mats(BSDFType.DIFFUSE), 30),
+        ("diffuse_75", make_mats(BSDFType.DIFFUSE), 75),
+        ("orennayar", make_mats(BSDFType.ROUGH_DIFFUSE, alpha=0.4), 45),
+        ("ggx_smoothish", make_mats(BSDFType.ROUGH_CONDUCTOR, alpha=0.1, eta=[0.2, 0.9, 1.4], k=[3.9, 2.4, 2.1]), 30),
+        ("ggx_rough", make_mats(BSDFType.ROUGH_CONDUCTOR, alpha=0.5, eta=[0.2, 0.9, 1.4], k=[3.9, 2.4, 2.1]), 60),
+        ("plastic", make_mats(BSDFType.PLASTIC), 40),
+        ("roughplastic", make_mats(BSDFType.ROUGH_PLASTIC, alpha=0.3), 40),
+        ("phong", make_mats(BSDFType.PHONG, alpha=0.25), 35),
+        ("roughdielectric_out", make_mats(BSDFType.ROUGH_DIELECTRIC, alpha=0.35), 30),
+        ("roughdielectric_grazing", make_mats(BSDFType.ROUGH_DIELECTRIC, alpha=0.35), 70),
+    ],
+)
+def test_bsdf_chi2(name, mats, theta):
+    passed, msg, _ = run_chi2(mats, theta, seed=abs(hash(name)) % (2**31))
+    assert passed, f"{name}: {msg}"
+
+
+def test_roughdielectric_inside():
+    # wi from below the surface (inside the dense medium)
+    mats = make_mats(BSDFType.ROUGH_DIELECTRIC, alpha=0.4)
+    passed, msg, _ = run_chi2(mats, 150, seed=99)
+    assert passed, f"roughdielectric_inside: {msg}"
+
+
+@pytest.mark.parametrize(
+    "name,mats",
+    [
+        ("diffuse", make_mats(BSDFType.DIFFUSE)),
+        ("ggx", make_mats(BSDFType.ROUGH_CONDUCTOR, alpha=0.3, eta=[0.2, 0.9, 1.4], k=[3.9, 2.4, 2.1])),
+        ("roughplastic", make_mats(BSDFType.ROUGH_PLASTIC, alpha=0.3)),
+        ("phong", make_mats(BSDFType.PHONG, alpha=0.3)),
+    ],
+)
+def test_sample_weight_equals_eval_over_pdf(name, mats):
+    """Cached-vs-recomputed consistency (reference libbidir verification.cpp
+    1e-4 tolerances, relaxed for f32 + VPU transcendental error)."""
+    n = 4096
+    wi = jnp.broadcast_to(
+        jnp.asarray([np.sin(0.6), 0.0, np.cos(0.6)], jnp.float32), (n, 3)
+    )
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(5), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    f, pdf = B.eval_pdf(mats, mid, wi, bs.wo)
+    mask = (
+        (~np.asarray(bs.is_delta))
+        & (np.asarray(bs.pdf) > 1e-4)
+        & (np.asarray(bs.weight).max(axis=-1) > 0)
+        & (np.asarray(pdf) > 1e-4)
+    )
+    w_ref = np.asarray(f)[mask] / np.asarray(pdf)[mask][:, None]
+    w_smp = np.asarray(bs.weight)[mask]
+    np.testing.assert_allclose(w_smp, w_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_white_furnace_energy_conservation():
+    """sum of weights <= 1 for white materials (no energy gain)."""
+    for mats in [
+        make_mats(BSDFType.DIFFUSE, refl=(1, 1, 1)),
+        make_mats(BSDFType.ROUGH_CONDUCTOR, spec=(1, 1, 1), eta=[0, 0, 0], k=[1, 1, 1], alpha=0.4),
+        make_mats(BSDFType.DIELECTRIC),
+        make_mats(BSDFType.ROUGH_DIELECTRIC, alpha=0.3),
+    ]:
+        n = 50_000
+        wi = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.945], jnp.float32), (n, 3))
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        mid = jnp.zeros((n,), jnp.int32)
+        u = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+        bs = B.sample(mats, mid, wi, u)
+        mean_w = float(np.asarray(bs.weight).max(axis=-1).mean())
+        assert mean_w < 1.05, mean_w
+
+
+def test_albedo_defined_for_all_types():
+    for t in range(BSDFType.N_TYPES):
+        mats = make_mats(min(t, BSDFType.MASK))
+        a = np.asarray(B.albedo(mats, jnp.zeros((4,), jnp.int32)))
+        assert np.isfinite(a).all()

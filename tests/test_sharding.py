@@ -1,0 +1,60 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+N-device == 1-device reproducibility (counter-based RNG design, SURVEY.md
+§5.3/§7) and sharded guiding training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.parallel.mesh import make_device_mesh, render_sharded
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene(cornell_box())
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_sharded_matches_single_device(scene):
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=4, seed=0)
+    mesh = make_device_mesh()
+    img8, _, nseg = render_sharded(scene, cfg, mesh)
+    img1 = np.asarray(render(scene, cfg))
+    # identical samples by construction; only splat-order float reassociation
+    np.testing.assert_allclose(np.asarray(img8), img1, atol=1e-5, rtol=1e-5)
+    assert nseg > 0
+
+
+def test_sharded_subset_mesh_matches(scene):
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3, seed=1)
+    img2, _, _ = render_sharded(scene, cfg, make_device_mesh(jax.devices()[:2]))
+    img4, _, _ = render_sharded(scene, cfg, make_device_mesh(jax.devices()[:4]))
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img4), atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_guided_training(scene):
+    cfg = RenderConfig(width=24, height=24, spp=16, max_depth=4, seed=0)
+    mesh = make_device_mesh()
+    guide = make_guide_fn(0.5)
+    img, grid, _ = render_sharded(scene, cfg, mesh, guide=guide, fit_every=8)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(np.asarray(grid.valid).sum()) > 0
+    # unbiasedness vs unguided
+    ref = np.asarray(render(scene, RenderConfig(width=24, height=24, spp=16, max_depth=4, seed=4)))
+    assert abs(float(np.asarray(img).mean()) - ref.mean()) / ref.mean() < 0.08
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4096, 3)
+    g.dryrun_multichip(8)
