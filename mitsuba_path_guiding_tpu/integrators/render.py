@@ -41,6 +41,8 @@ class RenderConfig(NamedTuple):
     max_component_value: float = 0.0  # firefly clamp; 0 disables
     samples_per_pass: int = 4         # spp per wavefront wave
     pixel_batch: int = 1 << 17        # max pixels per wave (memory bound)
+    integrator: str = "path"          # "path" | "volpath" (auto-upgrades
+                                      # to volpath when the scene has a medium)
 
 
 def render_wave(
@@ -69,18 +71,37 @@ def render_wave(
         u_cam[..., 0:2],
         u_lens=u_cam[..., 2:4],
     )
-    L, aux, _ = trace(
-        scene,
-        o,
-        d,
-        rkeys,
-        max_depth=cfg.max_depth,
-        rr_depth=cfg.rr_depth,
-        use_nee=cfg.use_nee,
-        use_bvh=use_bvh,
-        guide=guide,
-        guide_state=guide_state,
+    use_volpath = cfg.integrator == "volpath" or (
+        cfg.integrator == "path" and scene.medium.enabled
     )
+    if use_volpath:
+        from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
+
+        L, aux = trace_vol(
+            scene,
+            o,
+            d,
+            rkeys,
+            max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth,
+            use_nee=cfg.use_nee,
+            use_bvh=use_bvh,
+            guide=guide,
+            guide_state=guide_state,
+        )
+    else:
+        L, aux, _ = trace(
+            scene,
+            o,
+            d,
+            rkeys,
+            max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth,
+            use_nee=cfg.use_nee,
+            use_bvh=use_bvh,
+            guide=guide,
+            guide_state=guide_state,
+        )
     if cfg.max_component_value > 0.0:
         # fork firefly clamp (progressiveintegrator.cpp:274-276)
         L = jnp.minimum(L, cfg.max_component_value)

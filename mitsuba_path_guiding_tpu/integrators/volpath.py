@@ -1,0 +1,258 @@
+"""Volumetric wavefront path tracer: homogeneous media + phase functions.
+
+TPU-native counterpart of the reference's volumetric path tracers
+(/root/reference/src/integrators/path/volpath.cpp:104-429 and the fork's
+progressive_volpath.cpp with its ``useNee`` toggle :82 and avg-path-length
+stats :26,371), restricted in round 1 to one global homogeneous medium
+(src/medium/homogeneous.cpp): closed-form transmittance, per-channel
+distance sampling with balance-heuristic channel MIS, NEE from both medium
+and surface vertices with attenuated visibility
+(Scene::evalTransmittance / sampleAttenuatedEmitterDirect analogues,
+scene.h:290,598), and isotropic/HG phase sampling.
+
+Same wavefront structure as path.py: lax.scan over a fixed bounce budget,
+alive masks, one uniform block per bounce.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.accel.traverse import intersect_brute, intersect_bvh, occluded
+from mitsuba_path_guiding_tpu.core.math import (
+    Frame,
+    dot,
+    normalize,
+    power_heuristic,
+)
+from mitsuba_path_guiding_tpu.core.rng import bounce_uniform
+from mitsuba_path_guiding_tpu.integrators.path import INFD, PathAux, _offset_ray
+from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+from mitsuba_path_guiding_tpu.models import emitter as em_mod
+from mitsuba_path_guiding_tpu.models.phase import phase_eval, phase_sample
+from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+
+def transmittance(sigma_t: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """(N,) distances -> (N,3) closed-form homogeneous transmittance."""
+    d = jnp.minimum(dist, 1e7)  # exp(-sigma*inf) underflow guard
+    return jnp.exp(-sigma_t[None, :] * d[..., None])
+
+
+def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
+    """Balance-heuristic channel-averaged pdfs for sampled distance t:
+    (pdf_medium(t), P_surface_beyond(t)) — homogeneous.cpp's per-channel
+    sampling strategies combined with equal channel weights."""
+    st = sigma_t[None, :]  # (1, 3)
+    ex = jnp.exp(-st * t[..., None])  # (N, 3)
+    pdf_t = jnp.mean(st * ex, axis=-1)
+    p_pass = jnp.mean(ex, axis=-1)
+    return pdf_t, p_pass
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide"),
+)
+def trace_vol(
+    scene: SceneData,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    rkeys,
+    max_depth: int = 8,
+    rr_depth: int = 8,
+    use_nee: bool = True,
+    use_bvh: bool = False,
+    guide=None,
+    guide_state=None,
+):
+    """Returns (L (N,3), PathAux).  max_depth counts collisions (surface or
+    medium)."""
+    n = ray_o.shape[0]
+    geo, bvh, mats, em, med = scene.geo, scene.bvh, scene.mats, scene.emitters, scene.medium
+    sigma_t = med.sigma_a + med.sigma_s
+    sigma_s = med.sigma_s
+    g_hg = med.phase_g
+
+    def intersect(o, d):
+        return intersect_bvh(geo, bvh, o, d) if use_bvh else intersect_brute(geo, o, d)
+
+    def vis_transmittance(o, d, dist):
+        """Attenuated visibility for shadow rays: 0 if surface-occluded,
+        else medium transmittance over the distance."""
+        occ = occluded(geo, bvh, o, d, dist, use_bvh=use_bvh)
+        tr = transmittance(sigma_t, dist)
+        return jnp.where(occ[..., None], 0.0, tr)
+
+    L0 = jnp.zeros((n, 3))
+    T0 = jnp.ones((n, 3))
+    alive0 = jnp.ones((n,), dtype=bool)
+    prev_pdf0 = jnp.full((n,), INFD)
+    prev_delta0 = jnp.ones((n,), dtype=bool)
+    aux0 = PathAux(
+        albedo=jnp.zeros((n, 3)),
+        normal=jnp.zeros((n, 3)),
+        depth_t=jnp.zeros((n,)),
+        n_bounces=jnp.zeros((n,), jnp.int32),
+    )
+
+    def bounce(carry, depth):
+        o, d, L, T, alive, prev_pdf, prev_delta, aux = carry
+        u = bounce_uniform(rkeys, depth, 12)
+
+        hit = intersect(o, d)
+        t_surf = jnp.where(hit.valid, hit.t, INFD)
+
+        # --- homogeneous distance sampling with channel balance heuristic
+        # pick channel uniformly, invert its exponential CDF
+        ch = jnp.clip((u[..., 9] * 3.0).astype(jnp.int32), 0, 2)
+        st_ch = jnp.maximum(sigma_t[ch], 1e-12)
+        t_med = -jnp.log(jnp.maximum(1.0 - u[..., 10], 1e-12)) / st_ch
+        medium_on = jnp.max(sigma_t) > 0.0
+        t_med = jnp.where(medium_on, t_med, INFD)
+        is_medium = alive & (t_med < t_surf)
+        is_surface = alive & hit.valid & ~is_medium
+        escaped = alive & ~hit.valid & ~is_medium
+
+        # throughput updates for the sampled event (balance heuristic over
+        # the three per-channel exponential strategies, volpath.cpp:104):
+        # medium events weight by pdf(t_med); surface events weight by the
+        # probability that the sampled distance passed t_surf
+        pdf_t, _ = _distance_pdfs(sigma_t, t_med)
+        tr_med = transmittance(sigma_t, t_med)
+        w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
+        tr_surf = transmittance(sigma_t, t_surf)
+        _, p_pass = _distance_pdfs(sigma_t, t_surf)
+        w_surface = tr_surf / jnp.maximum(p_pass, 1e-30)[..., None]
+        T = jnp.where(
+            is_medium[..., None],
+            T * w_medium,
+            jnp.where((is_surface | escaped)[..., None], T * w_surface, T),
+        )
+        # escaped: w_surface with t=INF -> 0 unless sigma_t == 0
+
+        # --- environment on escape
+        env_L = em_mod.eval_env(em, d)
+        if use_nee:
+            w_env = jnp.where(
+                prev_delta,
+                1.0,
+                power_heuristic(prev_pdf, jnp.broadcast_to(em_mod.pdf_env(em), prev_pdf.shape)),
+            )
+        else:
+            w_env = jnp.ones_like(prev_pdf)
+        L = jnp.where(escaped[..., None], L + T * env_L * w_env[..., None], L)
+
+        # --- surface shading point
+        prim = jnp.maximum(hit.prim, 0)
+        p_surf = o + hit.t[..., None] * d
+        ng = normalize(jnp.cross(geo.e1[prim], geo.e2[prim]))
+        b0 = 1.0 - hit.u - hit.v
+        ns = normalize(
+            b0[..., None] * geo.n0[prim]
+            + hit.u[..., None] * geo.n1[prim]
+            + hit.v[..., None] * geo.n2[prim]
+        )
+        ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
+        mid = geo.mat_id[prim]
+        eid = geo.emitter_id[prim]
+
+        # emissive surface hit (MIS vs NEE; NEE pdf does not include medium
+        # attenuation — both strategies share the same Tr factor)
+        Le = em_mod.eval_hit(em, geo, eid, d, prim)
+        if use_nee:
+            pdf_nee_hit = em_mod.pdf_direct_hit(em, geo, eid, o, p_surf, d)
+            w_hit = jnp.where(prev_delta, 1.0, power_heuristic(prev_pdf, pdf_nee_hit))
+        else:
+            w_hit = jnp.ones_like(prev_pdf)
+        L = jnp.where(is_surface[..., None], L + T * Le * w_hit[..., None], L)
+
+        p_med = o + t_med[..., None] * d
+        p_event = jnp.where(is_medium[..., None], p_med, p_surf)
+
+        frame = Frame.from_normal(ns)
+        wi_local = frame.to_local(-d)
+
+        first = (is_surface | is_medium) & (aux.depth_t == 0.0)
+        aux = PathAux(
+            albedo=jnp.where(
+                first[..., None],
+                jnp.where(
+                    is_medium[..., None],
+                    sigma_s / jnp.maximum(jnp.max(sigma_t), 1e-6),
+                    bsdf_mod.albedo(mats, mid),
+                ),
+                aux.albedo,
+            ),
+            normal=jnp.where(first[..., None], jnp.where(is_medium[..., None], -d, ns), aux.normal),
+            depth_t=jnp.where(first, jnp.where(is_medium, t_med, hit.t), aux.depth_t),
+            n_bounces=aux.n_bounces + (is_surface | is_medium).astype(jnp.int32),
+        )
+
+        # --- NEE from the event point (attenuated: volpath.cpp:125-314)
+        if use_nee:
+            ds = em_mod.sample_direct(em, geo, p_event, u[..., 0:3])
+            # phase / bsdf value toward the light
+            ph = phase_eval(d, ds.direction, g_hg)
+            wo_local_nee = frame.to_local(ds.direction)
+            f_surf, pdf_b_surf = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee)
+            f_nee = jnp.where(
+                is_medium[..., None], ph[..., None] * jnp.ones((1, 3)), f_surf
+            )
+            pdf_fwd = jnp.where(is_medium, ph, pdf_b_surf)  # phase: pdf == eval
+            o_sh = jnp.where(
+                is_medium[..., None], p_event, _offset_ray(p_surf, ng, ds.direction)
+            )
+            t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
+            tr_vis = vis_transmittance(o_sh, ds.direction, t_sh)
+            w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_fwd))
+            contrib = (
+                T * f_nee * tr_vis * ds.radiance * (w_mis / jnp.maximum(ds.pdf, 1e-12))[..., None]
+            )
+            good = (is_medium | is_surface) & (ds.pdf > 0.0)
+            L = jnp.where(good[..., None], L + contrib, L)
+
+        # --- continuation sampling: phase (medium) or BSDF (surface)
+        wo_phase, pdf_phase = phase_sample(d, g_hg, u[..., 3:5])
+        bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6])
+        wo_surf_world = frame.to_world(bs.wo)
+
+        d_next = jnp.where(is_medium[..., None], wo_phase, wo_surf_world)
+        next_pdf = jnp.where(is_medium, pdf_phase, bs.pdf)
+        next_delta = jnp.where(is_medium, False, bs.is_delta)
+        T_new = jnp.where(is_medium[..., None], T, T * bs.weight)  # phase weight = 1
+
+        cont = (is_medium | is_surface) & (jnp.max(jnp.abs(T_new), axis=-1) > 0.0) & (
+            next_pdf > 0.0
+        )
+
+        rr_active = depth >= rr_depth
+        q = jnp.clip(jnp.max(T_new, axis=-1), 0.05, 0.95)
+        rr_pass = u[..., 8] < q
+        T_new = jnp.where(
+            (rr_active & cont)[..., None], T_new / jnp.maximum(q, 1e-6)[..., None], T_new
+        )
+        cont = cont & jnp.where(rr_active, rr_pass, True)
+
+        o_next = jnp.where(
+            is_medium[..., None], p_event, _offset_ray(p_surf, ng, wo_surf_world)
+        )
+        new_carry = (
+            jnp.where(cont[..., None], o_next, o),
+            jnp.where(cont[..., None], d_next, d),
+            L,
+            jnp.where(cont[..., None], T_new, T),
+            cont,
+            jnp.where(cont, next_pdf, prev_pdf),
+            jnp.where(cont, next_delta, prev_delta),
+            aux,
+        )
+        return new_carry, None
+
+    carry0 = (ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0, aux0)
+    carry, _ = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
+    _, _, L, _, _, _, _, aux = carry
+    return L, aux

@@ -1,0 +1,121 @@
+"""Volumetric path tracer tests: phase chi-square, absorption-only analytic
+transmittance, zero-density equivalence with the surface integrator, and
+scattering energy sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_path_guiding_tpu.core import chi2
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.models.phase import phase_eval, phase_sample
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import cornell_box, volumetric_box
+from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate, scale, translate
+
+N = 150_000
+
+
+@pytest.mark.parametrize("g", [0.0, 0.4, -0.6, 0.9])
+def test_phase_chi2(g):
+    wi = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (N, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(int(g * 10) + 5), (N, 2))
+    wo, pdf = phase_sample(wi, jnp.full((N,), g), u)
+
+    def pdf_fn(dirs):
+        m = dirs.shape[0]
+        wi_m = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (m, 3))
+        return np.asarray(phase_eval(wi_m, jnp.asarray(dirs), jnp.full((m,), g)))
+
+    passed, p, msg = chi2.chi2_test_sphere(np.asarray(wo), pdf_fn)
+    assert passed, f"g={g}: {msg}"
+
+
+def test_phase_normalization():
+    # pdf integrates to 1 over the sphere for strong anisotropy
+    nt, nh = 512, 1024
+    t = (np.arange(nt) + 0.5) / nt * np.pi
+    h = (np.arange(nh) + 0.5) / nh * 2 * np.pi
+    TT, HH = np.meshgrid(t, h, indexing="ij")
+    d = np.stack([np.sin(TT) * np.cos(HH), np.sin(TT) * np.sin(HH), np.cos(TT)], -1)
+    dA = (np.pi / nt) * (2 * np.pi / nh) * np.sin(TT)
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (d.size // 3, 3))
+    for g in [0.0, 0.9, -0.9]:
+        pv = np.asarray(
+            phase_eval(wi, jnp.asarray(d.reshape(-1, 3), jnp.float32), jnp.full((d.size // 3,), g))
+        ).reshape(TT.shape)
+        assert abs((pv * dA).sum() - 1.0) < 2e-3, g
+
+
+def _emissive_wall_scene(sigma_a, sigma_s, g=0.0):
+    """Camera 2 units from an emissive wall; medium in between."""
+    return {
+        "sensor": {
+            "type": "perspective",
+            "fov": 30.0,
+            "to_world": look_at([0, 0, -2], [0, 0, 0]),
+        },
+        "shapes": [
+            {
+                "type": "rectangle",
+                "to_world": translate(0, 0, 0) @ rotate([1, 0, 0], 180) @ scale(4),
+                "bsdf": {"type": "diffuse", "reflectance": [0, 0, 0]},
+                "emitter": {"radiance": [2.0, 2.0, 2.0]},
+            }
+        ],
+        "emitters": [],
+        "medium": {"sigma_a": [sigma_a] * 3, "sigma_s": [sigma_s] * 3, "g": g},
+    }
+
+
+def test_absorption_only_beer_lambert():
+    """Pure absorption: center pixel = Le * exp(-sigma_a * distance)."""
+    sigma_a = 0.7
+    sc = build_scene(_emissive_wall_scene(sigma_a, 0.0))
+    img = np.asarray(
+        render(sc, RenderConfig(width=8, height=8, spp=2048, max_depth=3, seed=0))
+    )
+    expect = 2.0 * np.exp(-sigma_a * 2.0)
+    got = img[2:6, 2:6].mean()
+    # distance-sampling pass/absorb is Bernoulli per sample -> needs spp
+    assert abs(got - expect) / expect < 0.02, (got, expect)
+
+
+def test_zero_density_matches_surface_integrator():
+    sc_v = build_scene(volumetric_box(sigma_s=0.0, sigma_a=0.0))
+    sc_s = build_scene(cornell_box())
+    cfg = RenderConfig(width=24, height=24, spp=48, max_depth=4, seed=0)
+    img_v = np.asarray(render(sc_v, cfg._replace(integrator="volpath")))
+    img_s = np.asarray(render(sc_s, cfg._replace(seed=3)))
+    assert np.isfinite(img_v).all()
+    assert abs(img_v.mean() - img_s.mean()) / img_s.mean() < 0.05
+
+
+def test_scattering_medium_renders():
+    sc = build_scene(volumetric_box(sigma_s=0.5, sigma_a=0.05, g=0.3))
+    img = np.asarray(
+        render(sc, RenderConfig(width=24, height=24, spp=16, max_depth=6, seed=1))
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+    # scattering medium brightens shadowed regions vs vacuum (light bleeds)
+    sc0 = build_scene(cornell_box())
+    img0 = np.asarray(
+        render(sc0, RenderConfig(width=24, height=24, spp=16, max_depth=6, seed=1))
+    )
+    assert img.mean() != img0.mean()
+
+
+def test_nee_toggle_agreement_volumetric():
+    """fork useNee parity check in the volumetric integrator."""
+    sc = build_scene(volumetric_box(sigma_s=0.4, sigma_a=0.05, g=0.0, light_scale=1.0))
+    a = np.asarray(
+        render(sc, RenderConfig(width=16, height=16, spp=64, max_depth=6, seed=0))
+    )
+    b = np.asarray(
+        render(
+            sc,
+            RenderConfig(width=16, height=16, spp=512, max_depth=6, seed=7, use_nee=False),
+        )
+    )
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
