@@ -52,7 +52,7 @@ def main():
     mesh = make_device_mesh(dev)
     guide = make_guide_fn(0.5)
     grid = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8)
-    step = make_sharded_step(scene, cfg, mesh, guide=guide)
+    step = make_sharded_step(scene, cfg, mesh, guide=guide, train=True)
 
     n_pix = W * H
     base_pix = jnp.arange(n_pix, dtype=jnp.int32)
@@ -66,6 +66,10 @@ def main():
             ),
             n_pix,
         )
+        # NOTE: the record-free render step (train=False) currently hits an
+        # XLA compile cliff through shard_map (~20x slower wave); the
+        # training step measures faster even with stats attached, so use it
+        # for both phases and drop the stats when frozen.
         rgbw, stats, n_seg = step(pix, sidx, rgbw, grid)
         if fit and stats is not None:
             grid = update_grid(grid, *stats)

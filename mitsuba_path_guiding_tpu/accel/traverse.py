@@ -53,32 +53,68 @@ def moeller_trumbore(o, d, p0, e1, e2, tmin, tmax):
     return t, u, v, hit
 
 
+def _mt_components(geo: Geometry, o, d):
+    """Scalarized Moeller-Trumbore over all triangles.
+
+    Layout note (TPU): all intermediates are (T, N) with the big ray axis
+    last — a trailing axis of 3 would be padded to 128 lanes by the TPU
+    tiler (~42x wasted HBM traffic), which made the naive (N, T, 3)
+    formulation ~20x slower.  Returns (t, u, v, hit_mask) each (T, N).
+    """
+    ox, oy, oz = o[:, 0][None, :], o[:, 1][None, :], o[:, 2][None, :]
+    dx, dy, dz = d[:, 0][None, :], d[:, 1][None, :], d[:, 2][None, :]
+    p0x, p0y, p0z = (geo.p0[:, k][:, None] for k in range(3))
+    e1x, e1y, e1z = (geo.e1[:, k][:, None] for k in range(3))
+    e2x, e2y, e2z = (geo.e2[:, k][:, None] for k in range(3))
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (inv_det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS_T)
+    return t, u, v, hit
+
+
 def intersect_brute(geo: Geometry, o, d, tmax=None) -> Hit:
     """O(N*T) dense intersection — oracle + small-scene fast path."""
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), INF)
-    t, u, v, hit = moeller_trumbore(
-        o[:, None, :],
-        d[:, None, :],
-        geo.p0[None, :, :],
-        geo.e1[None, :, :],
-        geo.e2[None, :, :],
-        EPS_T,
-        tmax[:, None],
-    )
+    t, u, v, hit = _mt_components(geo, o, d)
+    hit = hit & (t < tmax[None, :])
     t = jnp.where(hit, t, INF)
-    best = jnp.argmin(t, axis=1)
-    ar = jnp.arange(n)
-    bt = t[ar, best]
+    # reduce-only winner selection: argmin+per-column gather lowers to a
+    # slow generic gather on TPU; min + one-hot select stays pure VPU
+    bt = jnp.min(t, axis=0)
     valid = bt < INF
+    tcount = t.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    is_best = t == bt[None, :]
+    prim = jnp.min(jnp.where(is_best, iota, tcount), axis=0)
+    first = is_best & (iota == prim[None, :])
+    bu = jnp.sum(jnp.where(first, u, 0.0), axis=0)
+    bv = jnp.sum(jnp.where(first, v, 0.0), axis=0)
     return Hit(
         t=bt,
-        prim=jnp.where(valid, best.astype(jnp.int32), -1),
-        u=u[ar, best],
-        v=v[ar, best],
+        prim=jnp.where(valid, prim, -1).astype(jnp.int32),
+        u=bu,
+        v=bv,
         valid=valid,
     )
+
+
+def occluded_brute(geo: Geometry, o, d, tmax) -> jnp.ndarray:
+    """Any-hit visibility without argmin/gather (shadow rays)."""
+    t, _, _, hit = _mt_components(geo, o, d)
+    return jnp.any(hit & (t < tmax[None, :]), axis=0)
 
 
 def _ray_aabb(o, inv_d, bmin, bmax, tmax):
@@ -179,6 +215,5 @@ def occluded(geo: Geometry, bvh: BVH, o, d, tmax, use_bvh: bool = True) -> jnp.n
     """Shadow-ray visibility: True if any hit before tmax."""
     if use_bvh:
         h = intersect_bvh(geo, bvh, o, d, tmax, any_hit=True)
-    else:
-        h = intersect_brute(geo, o, d, tmax)
-    return h.valid
+        return h.valid
+    return occluded_brute(geo, o, d, tmax)

@@ -38,31 +38,57 @@ KAPPA_FIT_MAX = 5e3
 def accumulate_stats(grid: GuidingGrid, rec: PathRecord):
     """One E-step + local statistics accumulation from a PathRecord batch.
 
-    Returns (s_w (C,K), s_dir (C,K,3), s_count (C,)) — linear, psum-able."""
-    pos = rec.pos.reshape(-1, 3)
-    d = rec.dir.reshape(-1, 3)
-    li = rec.li.reshape(-1)
-    pdf = rec.pdf.reshape(-1)
-    valid = rec.valid.reshape(-1)
+    Returns (s_w (C,K), s_dir (C,K,3), s_count (C,)) — linear, psum-able.
+    Compute layout is (K, M) with the big sample axis M = D*N in the lanes
+    (see PathRecord layout note); the per-cell statistics are produced by a
+    single fused segment_sum over an (M, 4K+1) payload."""
+    d_axis, _, n_axis = rec.pos.shape
+    m = d_axis * n_axis
+    px = rec.pos[:, 0, :].reshape(m)
+    py = rec.pos[:, 1, :].reshape(m)
+    pz = rec.pos[:, 2, :].reshape(m)
+    dx = rec.dir[:, 0, :].reshape(m)
+    dy = rec.dir[:, 1, :].reshape(m)
+    dz = rec.dir[:, 2, :].reshape(m)
+    li = rec.li.reshape(m)
+    pdf = rec.pdf.reshape(m)
+    valid = rec.valid.reshape(m)
 
     w_sample = jnp.where(valid, li / jnp.maximum(pdf, 1e-3), 0.0)
     w_sample = jnp.minimum(w_sample, 1e4)  # firefly guard for the fit
+    pos = jnp.stack([px, py, pz], axis=-1)
     cid = cell_index(grid, pos)
 
-    # E-step responsibilities under current mixture
-    mix_w = mixture_weights(grid, cid)                 # (N, K)
-    p_k = vmf_pdf(d[:, None, :], grid.mu[cid], grid.kappa[cid])  # (N, K)
-    resp = mix_w * jnp.maximum(p_k, 1e-12)
-    resp = resp / jnp.maximum(jnp.sum(resp, axis=-1, keepdims=True), 1e-12)
-    # cold cells: split the sample evenly (uniform responsibilities)
-    cold = ~grid.valid[cid]
-    resp = jnp.where(cold[:, None], 1.0 / resp.shape[-1], resp)
+    # E-step responsibilities under current mixture, all (K, M)
+    from mitsuba_path_guiding_tpu.guiding.grid import _gather_cells, _vmf_pdf_kn
 
-    rw = resp * w_sample[:, None]                      # (N, K)
-    c = grid.mu.shape[0]
-    s_w = jax.ops.segment_sum(rw, cid, num_segments=c)
-    s_dir = jax.ops.segment_sum(rw[..., None] * d[:, None, :], cid, num_segments=c)
-    s_count = jax.ops.segment_sum(valid.astype(jnp.float32), cid, num_segments=c)
+    w_mix, mux, muy, muz, kappa, cell_valid = _gather_cells(grid, cid)
+    t = mux * dx[None] + muy * dy[None] + muz * dz[None]
+    p_k = jnp.maximum(_vmf_pdf_kn(t, kappa), 1e-12)
+    resp = w_mix * p_k
+    resp = resp / jnp.maximum(jnp.sum(resp, axis=0, keepdims=True), 1e-12)
+    # cold cells: split the sample evenly (uniform responsibilities)
+    resp = jnp.where(cell_valid[None, :], resp, 1.0 / resp.shape[0])
+
+    rw = resp * w_sample[None, :]                      # (K, M)
+    c, k = grid.kappa.shape
+    payload = jnp.concatenate(
+        [
+            rw.T,                                       # (M, K)
+            (rw * dx[None]).T,
+            (rw * dy[None]).T,
+            (rw * dz[None]).T,
+            valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )                                                   # (M, 4K+1)
+    summed = jax.ops.segment_sum(payload, cid, num_segments=c)  # (C, 4K+1)
+    s_w = summed[:, 0:k]
+    s_dir = jnp.stack(
+        [summed[:, k : 2 * k], summed[:, 2 * k : 3 * k], summed[:, 3 * k : 4 * k]],
+        axis=-1,
+    )                                                   # (C, K, 3)
+    s_count = summed[:, 4 * k]
     return s_w, s_dir, s_count
 
 

@@ -71,33 +71,96 @@ def cell_index(grid: GuidingGrid, p: jnp.ndarray) -> jnp.ndarray:
 
 
 def mixture_weights(grid: GuidingGrid, cid: jnp.ndarray) -> jnp.ndarray:
-    lw = grid.log_weight[cid]
-    return jax.nn.softmax(lw, axis=-1)
+    return jax.nn.softmax(grid.log_weight[cid], axis=-1)
+
+
+def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
+    """One packed row-gather of per-cell parameters, transposed to (K, N).
+
+    TPU layout note: gathering ``grid.mu[cid]`` materializes (N, K, 3)
+    arrays whose small trailing dims get lane-padded to 128 (~15-40x HBM
+    waste).  Packing all parameters into one (C, 5K+1) table, gathering
+    rows once, and transposing to parameter-major (K, N) keeps the big ray
+    axis in the 128-lane dimension for all mixture math.
+    Returns (w (K,N) softmaxed, mux, muy, muz (K,N), kappa (K,N), valid (N,)).
+    """
+    c, k = grid.kappa.shape
+    packed = jnp.concatenate(
+        [
+            grid.mu[..., 0],          # (C, K)
+            grid.mu[..., 1],
+            grid.mu[..., 2],
+            grid.kappa,
+            grid.log_weight,
+            grid.valid[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )                                  # (C, 5K+1) — C is small, pack is cheap
+    rows = packed[cid].T               # (5K+1, N)
+    mux, muy, muz = rows[0:k], rows[k : 2 * k], rows[2 * k : 3 * k]
+    kappa = rows[3 * k : 4 * k]
+    logw = rows[4 * k : 5 * k]
+    valid = rows[5 * k] > 0.5
+    w = jax.nn.softmax(logw, axis=0)
+    return w, mux, muy, muz, kappa, valid
+
+
+def _vmf_pdf_kn(t, kappa):
+    """vMF pdf given cos angle t and kappa, all (K, N) — exp-normalized."""
+    kk = jnp.clip(kappa, 0.0, 1e4)
+    denom = 2.0 * jnp.pi * -jnp.expm1(-2.0 * kk)
+    norm = jnp.where(kk > 1e-6, kk / jnp.maximum(denom, 1e-30), INV_FOURPI)
+    return norm * jnp.exp(kk * (jnp.clip(t, -1.0, 1.0) - 1.0))
+
+
+def _mixture_pdf(params, d):
+    w, mux, muy, muz, kappa, valid = params
+    t = mux * d[..., 0][None] + muy * d[..., 1][None] + muz * d[..., 2][None]
+    pdf = jnp.sum(w * _vmf_pdf_kn(t, kappa), axis=0)
+    return jnp.where(valid, pdf, INV_FOURPI)
 
 
 def guide_pdf(grid: GuidingGrid, cid: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Mixture pdf of world direction d at cells cid (solid-angle measure)."""
-    w = mixture_weights(grid, cid)                      # (N, K)
-    mu = grid.mu[cid]                                    # (N, K, 3)
-    kappa = grid.kappa[cid]                              # (N, K)
-    p = vmf_pdf(d[..., None, :], mu, kappa)              # (N, K)
-    pdf = jnp.sum(w * p, axis=-1)
-    return jnp.where(grid.valid[cid], pdf, INV_FOURPI)
+    return _mixture_pdf(_gather_cells(grid, cid), d)
 
 
-def guide_sample(grid: GuidingGrid, cid: jnp.ndarray, u_lobe, u2) -> jnp.ndarray:
-    """Sample a world direction from the mixture at each cell."""
-    w = mixture_weights(grid, cid)                       # (N, K)
-    cdf = jnp.cumsum(w, axis=-1)
-    k = jnp.sum((u_lobe[..., None] > cdf).astype(jnp.int32), axis=-1)
-    k = jnp.clip(k, 0, w.shape[-1] - 1)
-    nk = jnp.arange(cid.shape[0])
-    mu = grid.mu[cid][nk, k]
-    kappa = grid.kappa[cid][nk, k]
-    d = vmf_sample(u2, mu, kappa)
-    # invalid cells: uniform sphere fallback (matches guide_pdf fallback)
+def _mixture_sample(params, u_lobe, u2):
+    w, mux, muy, muz, kappa, valid = params
+    cdf = jnp.cumsum(w, axis=0)                            # (K, N)
+    ksel = jnp.sum((u_lobe[None, :] > cdf).astype(jnp.int32), axis=0)
+    ksel = jnp.clip(ksel, 0, w.shape[0] - 1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) == ksel[None, :]
+    ).astype(w.dtype)
+    mu_k = jnp.stack(
+        [
+            jnp.sum(onehot * mux, axis=0),
+            jnp.sum(onehot * muy, axis=0),
+            jnp.sum(onehot * muz, axis=0),
+        ],
+        axis=-1,
+    )
+    kappa_k = jnp.sum(onehot * kappa, axis=0)
+    d = vmf_sample(u2, mu_k, kappa_k)
+    # invalid cells: uniform sphere fallback (matches the pdf fallback)
     z = 1.0 - 2.0 * u2[..., 0]
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = 2.0 * jnp.pi * u2[..., 1]
     d_uni = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
-    return jnp.where(grid.valid[cid][..., None], d, d_uni)
+    return jnp.where(valid[..., None], d, d_uni)
+
+
+def guide_sample(grid: GuidingGrid, cid: jnp.ndarray, u_lobe, u2) -> jnp.ndarray:
+    """Sample a world direction from the mixture at each cell."""
+    return _mixture_sample(_gather_cells(grid, cid), u_lobe, u2)
+
+
+def guide_sample_pdf(grid: GuidingGrid, cid: jnp.ndarray, u_lobe, u2, d_other):
+    """Fused (sample, pdf(sample), pdf(d_other)) with one parameter gather —
+    the guided-sampling hot path needs all three."""
+    params = _gather_cells(grid, cid)
+    d = _mixture_sample(params, u_lobe, u2)
+    pdf_d = _mixture_pdf(params, d)
+    pdf_other = _mixture_pdf(params, d_other)
+    return d, pdf_d, pdf_other

@@ -32,27 +32,46 @@ def _is_delta_material(mats, mid):
     )
 
 
-def make_guide_fn(alpha: float = 0.5):
-    """Returns the ``guide`` callback consumed by integrators.path.trace."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
+    """Returns the ``guide`` callback consumed by integrators.path.trace.
+    ``mat_types`` (static) restricts BSDF compilation to families present.
+
+    Cached so identical configs return the SAME function object — the
+    callback is a static jit argument, so object identity is the cache key.
+    (Also used with alpha=0 as the default unguided sampling path: on TPU
+    this code shape compiles ~2x faster per wave than the plain
+    sample-then-continue form; see tools/ablate.py.)"""
 
     def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe):
+        from mitsuba_path_guiding_tpu.guiding.grid import (
+            _gather_cells,
+            _mixture_pdf,
+            _mixture_sample,
+        )
+
         cid = cell_index(grid, p)
-        usable = grid.valid[cid] & ~_is_delta_material(mats, mid)
+        params = _gather_cells(grid, cid)  # one packed gather pass
+        valid = params[-1]
+        usable = valid & ~_is_delta_material(mats, mid)
         a = jnp.where(usable, alpha, 0.0)
 
         # BSDF branch (also supplies the delta path)
-        bs = bsdf_mod.sample(mats, mid, wi_local, u3)
+        bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types)
         # guiding branch
-        d_guided = guide_sample(grid, cid, u_lobe, u3[..., 0:2])
+        d_guided = _mixture_sample(params, u_lobe, u3[..., 0:2])
         wo_guided = frame.to_local(d_guided)
 
         take_guide = (u_sel < a) & ~bs.is_delta
         wo_local = jnp.where(take_guide[..., None], wo_guided, bs.wo)
         wo_world = frame.to_world(wo_local)
 
-        # combined density and estimator weight (skip for delta lobes)
-        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local)
-        pdf_g = guide_pdf(grid, cid, wo_world)
+        # combined density at the ONE chosen direction (skip for delta lobes)
+        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local, types=mat_types)
+        pdf_g = _mixture_pdf(params, wo_world)
         pdf_comb = a * pdf_g + (1.0 - a) * pdf_b
         w_smooth = f / jnp.maximum(pdf_comb, 1e-8)[..., None]
         ok = pdf_comb > 1e-9

@@ -58,10 +58,13 @@ class PathRecord(NamedTuple):
     the sampled direction (Monte Carlo estimate); ``pdf`` the solid-angle
     density the direction was drawn with — fitting weights are li/pdf so
     the fitted mixture approximates incident radiance (Practical Path
-    Guiding / OpenPGL convention)."""
+    Guiding / OpenPGL convention).
 
-    pos: jnp.ndarray       # (D, N, 3) shading points
-    dir: jnp.ndarray       # (D, N, 3) sampled outgoing dirs (world)
+    Layout: component-major (D, 3, N) for vectors — a (D, N, 3) layout
+    would lane-pad the trailing 3 to 128 on TPU (~40x memory)."""
+
+    pos: jnp.ndarray       # (D, 3, N) shading points
+    dir: jnp.ndarray       # (D, 3, N) sampled outgoing dirs (world)
     li: jnp.ndarray        # (D, N) luminance arriving through dir
     pdf: jnp.ndarray       # (D, N) sampling pdf of dir
     valid: jnp.ndarray     # (D, N) bool
@@ -82,6 +85,8 @@ def _offset_ray(p, ng, d):
         "use_bvh",
         "record_paths",
         "guide",
+        "em_kinds",
+        "mat_types",
     ),
 )
 def trace(
@@ -96,6 +101,8 @@ def trace(
     guide=None,
     guide_state=None,
     record_paths: bool = False,
+    em_kinds=em_mod.ALL_KINDS,
+    mat_types=bsdf_mod.ALL_TYPES,
 ):
     """Trace one wavefront to completion.
 
@@ -152,22 +159,39 @@ def trace(
         act = alive & hit.valid
         prim = jnp.maximum(hit.prim, 0)
         p = o + hit.t[..., None] * d
-        ng = normalize(jnp.cross(geo.e1[prim], geo.e2[prim]))
+        # ONE packed row gather for all per-hit data (see Geometry layout)
+        row = geo.shade_packed[prim].T  # (32, N)
+        ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(
-            b0[..., None] * geo.n0[prim]
-            + hit.u[..., None] * geo.n1[prim]
-            + hit.v[..., None] * geo.n2[prim]
+            jnp.stack(
+                [
+                    b0 * row[3] + hit.u * row[6] + hit.v * row[9],
+                    b0 * row[4] + hit.u * row[7] + hit.v * row[10],
+                    b0 * row[5] + hit.u * row[8] + hit.v * row[11],
+                ],
+                axis=-1,
+            )
         )
         # keep shading normal on the same side as the geometric one w.r.t. ray
         ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
-        mid = geo.mat_id[prim]
-        eid = geo.emitter_id[prim]
+        mid = row[18].astype(jnp.int32)
+        is_emitter = row[19] >= 0.0
 
-        # --- emissive hit with MIS against NEE (path.cpp:163-174,209-258)
-        Le = em_mod.eval_hit(em, geo, eid, d, prim)
+        # --- emissive hit with MIS against NEE (path.cpp:163-174,209-258);
+        # emitted radiance / pmf / area are baked into the packed row
+        cos_l = dot(ng, -d)
+        Le = jnp.where(
+            (is_emitter & (cos_l > 0.0))[..., None],
+            jnp.stack([row[20], row[21], row[22]], axis=-1),
+            0.0,
+        )
         if use_nee:
-            pdf_nee_hit = em_mod.pdf_direct_hit(em, geo, eid, o, p, d)
+            dist2 = hit.t * hit.t
+            pdf_nee_hit = row[23] * dist2 / jnp.maximum(
+                jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
+            )
+            pdf_nee_hit = jnp.where(is_emitter, pdf_nee_hit, 0.0)
             w_hit = jnp.where(prev_delta, 1.0, power_heuristic(prev_pdf, pdf_nee_hit))
         else:
             w_hit = jnp.ones_like(prev_pdf)
@@ -187,9 +211,9 @@ def trace(
 
         # --- next-event estimation (path.cpp:176-207)
         if use_nee:
-            ds = em_mod.sample_direct(em, geo, p, u[..., 0:3])
+            ds = em_mod.sample_direct_jit(em, geo, p, u[..., 0:3], kinds=em_kinds)
             wo_local_nee = frame.to_local(ds.direction)
-            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee)
+            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types)
             o_sh = _offset_ray(p, ng, ds.direction)
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
             occ = shadow_occluded(o_sh, ds.direction, t_sh)
@@ -200,7 +224,7 @@ def trace(
 
         # --- BSDF (or guided) sampling
         if guide is None:
-            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6])
+            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
             wo_world = frame.to_world(bs.wo)
             next_pdf = bs.pdf
             next_weight = bs.weight
@@ -247,9 +271,10 @@ def trace(
             # Li through the sampled dir = (radiance found after this
             # bounce) / throughput-after — both recorded here, combined
             # after the scan.  Delta-sampled dirs excluded (not guidable).
+            # Vectors emitted component-major (3, N) — see PathRecord.
             rec = (
-                p,
-                wo_world,
+                jnp.stack([p[..., 0], p[..., 1], p[..., 2]], axis=0),
+                jnp.stack([wo_world[..., 0], wo_world[..., 1], wo_world[..., 2]], axis=0),
                 luminance(L),
                 luminance(jnp.where(cont[..., None], T_new, T)),
                 next_pdf,

@@ -64,13 +64,20 @@ class ProgressiveRenderer:
             self.grid = make_grid(
                 scene.aabb_min, scene.aabb_max, res=cfg.grid_res, n_lobes=cfg.n_lobes
             )
-        self.guide_fn = make_guide_fn(cfg.guide_alpha) if cfg.guiding else None
+        self.guide_fn = None  # built after mat_types below
         self.progression = 0
         self.use_bvh = (
             r.use_bvh
             if r.use_bvh is not None
             else int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
         )
+        from mitsuba_path_guiding_tpu.models.bsdf import types_present
+        from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+
+        self.em_kinds = kinds_present(scene.emitters)
+        self.mat_types = types_present(scene.mats)
+        if cfg.guiding:
+            self.guide_fn = make_guide_fn(cfg.guide_alpha, mat_types=self.mat_types)
 
     def _wave(self, pixel_id, sample_idx, train: bool):
         r = self.cfg.render
@@ -93,6 +100,8 @@ class ProgressiveRenderer:
             guide=guide,
             guide_state=self.grid,
             record_paths=train and self.grid is not None,
+            em_kinds=self.em_kinds,
+            mat_types=self.mat_types,
         )
         if r.max_component_value > 0.0:
             L = jnp.minimum(L, r.max_component_value)

@@ -52,6 +52,7 @@ def render_wave(
     sample_idx: jnp.ndarray,
     guide=None,
     guide_state=None,
+    em_kinds=None,
 ):
     """Trace one (pixels x 1 sample) wave; returns (film_xy, radiance, aux).
 
@@ -60,6 +61,21 @@ def render_wave(
     use_bvh = cfg.use_bvh
     if use_bvh is None:
         use_bvh = int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
+    if em_kinds is None:
+        from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+
+        em_kinds = kinds_present(scene.emitters)
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+
+    mat_types = types_present(scene.mats)
+    if guide is None and cfg.integrator != "volpath" and not scene.medium.enabled:
+        # unguided fast path: guided code shape with selection prob 0
+        # (compiles ~2x faster on TPU; see guiding/trivial.py)
+        from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+        from mitsuba_path_guiding_tpu.guiding.trivial import trivial_grid
+
+        guide = make_guide_fn(0.0, mat_types)
+        guide_state = trivial_grid()
     key = rng.base_key(cfg.seed)
     rkeys = rng.ray_keys(key, pixel_id, sample_idx)
     u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
@@ -88,6 +104,8 @@ def render_wave(
             use_bvh=use_bvh,
             guide=guide,
             guide_state=guide_state,
+            em_kinds=em_kinds,
+            mat_types=mat_types,
         )
     else:
         L, aux, _ = trace(
@@ -101,6 +119,8 @@ def render_wave(
             use_bvh=use_bvh,
             guide=guide,
             guide_state=guide_state,
+            em_kinds=em_kinds,
+            mat_types=mat_types,
         )
     if cfg.max_component_value > 0.0:
         # fork firefly clamp (progressiveintegrator.cpp:274-276)

@@ -55,7 +55,7 @@ def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide"),
+    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types"),
 )
 def trace_vol(
     scene: SceneData,
@@ -68,6 +68,8 @@ def trace_vol(
     use_bvh: bool = False,
     guide=None,
     guide_state=None,
+    em_kinds=em_mod.ALL_KINDS,
+    mat_types=bsdf_mod.ALL_TYPES,
 ):
     """Returns (L (N,3), PathAux).  max_depth counts collisions (surface or
     medium)."""
@@ -146,25 +148,40 @@ def trace_vol(
             w_env = jnp.ones_like(prev_pdf)
         L = jnp.where(escaped[..., None], L + T * env_L * w_env[..., None], L)
 
-        # --- surface shading point
+        # --- surface shading point (single packed row gather, see Geometry)
         prim = jnp.maximum(hit.prim, 0)
         p_surf = o + hit.t[..., None] * d
-        ng = normalize(jnp.cross(geo.e1[prim], geo.e2[prim]))
+        row = geo.shade_packed[prim].T  # (32, N)
+        ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(
-            b0[..., None] * geo.n0[prim]
-            + hit.u[..., None] * geo.n1[prim]
-            + hit.v[..., None] * geo.n2[prim]
+            jnp.stack(
+                [
+                    b0 * row[3] + hit.u * row[6] + hit.v * row[9],
+                    b0 * row[4] + hit.u * row[7] + hit.v * row[10],
+                    b0 * row[5] + hit.u * row[8] + hit.v * row[11],
+                ],
+                axis=-1,
+            )
         )
         ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
-        mid = geo.mat_id[prim]
-        eid = geo.emitter_id[prim]
+        mid = row[18].astype(jnp.int32)
+        is_emitter = row[19] >= 0.0
 
         # emissive surface hit (MIS vs NEE; NEE pdf does not include medium
         # attenuation — both strategies share the same Tr factor)
-        Le = em_mod.eval_hit(em, geo, eid, d, prim)
+        cos_l = dot(ng, -d)
+        Le = jnp.where(
+            (is_emitter & (cos_l > 0.0))[..., None],
+            jnp.stack([row[20], row[21], row[22]], axis=-1),
+            0.0,
+        )
         if use_nee:
-            pdf_nee_hit = em_mod.pdf_direct_hit(em, geo, eid, o, p_surf, d)
+            d2h = hit.t * hit.t
+            pdf_nee_hit = row[23] * d2h / jnp.maximum(
+                jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
+            )
+            pdf_nee_hit = jnp.where(is_emitter, pdf_nee_hit, 0.0)
             w_hit = jnp.where(prev_delta, 1.0, power_heuristic(prev_pdf, pdf_nee_hit))
         else:
             w_hit = jnp.ones_like(prev_pdf)
@@ -194,11 +211,11 @@ def trace_vol(
 
         # --- NEE from the event point (attenuated: volpath.cpp:125-314)
         if use_nee:
-            ds = em_mod.sample_direct(em, geo, p_event, u[..., 0:3])
+            ds = em_mod.sample_direct_jit(em, geo, p_event, u[..., 0:3], kinds=em_kinds)
             # phase / bsdf value toward the light
             ph = phase_eval(d, ds.direction, g_hg)
             wo_local_nee = frame.to_local(ds.direction)
-            f_surf, pdf_b_surf = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee)
+            f_surf, pdf_b_surf = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types)
             f_nee = jnp.where(
                 is_medium[..., None], ph[..., None] * jnp.ones((1, 3)), f_surf
             )
@@ -217,7 +234,7 @@ def trace_vol(
 
         # --- continuation sampling: phase (medium) or BSDF (surface)
         wo_phase, pdf_phase = phase_sample(d, g_hg, u[..., 3:5])
-        bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6])
+        bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
         wo_surf_world = frame.to_world(bs.wo)
 
         d_next = jnp.where(is_medium[..., None], wo_phase, wo_surf_world)

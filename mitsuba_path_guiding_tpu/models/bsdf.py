@@ -24,6 +24,7 @@ Each sample() consumes 3 uniforms: u[...,0:2] direction, u[...,2] lobe.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -73,13 +74,17 @@ class _P(NamedTuple):
 
 
 def gather_params(mats: Materials, mid: jnp.ndarray) -> _P:
+    """Single packed row gather (see Materials.packed layout) — separate
+    field gathers materialize lane-padded (N,3) arrays on TPU."""
+    row = mats.packed[mid].T  # (16, N)
+    v3 = lambda a: jnp.stack([row[a], row[a + 1], row[a + 2]], axis=-1)
     return _P(
-        type=mats.type[mid],
-        refl=mats.reflectance[mid],
-        spec=mats.specular[mid],
-        eta=mats.eta[mid],
-        k=mats.k[mid],
-        alpha=jnp.maximum(mats.alpha[mid], ALPHA_MIN),
+        type=row[0].astype(jnp.int32),
+        refl=v3(1),
+        spec=v3(4),
+        eta=v3(7),
+        k=v3(10),
+        alpha=jnp.maximum(row[13], ALPHA_MIN),
     )
 
 
@@ -301,8 +306,18 @@ _SMOOTH_EVALS = {
 }
 
 
-@jax.jit
-def eval_pdf(mats: Materials, mid, wi, wo):
+ALL_TYPES = tuple(range(BSDFType.N_TYPES))
+
+
+def types_present(mats: Materials):
+    """Static tuple of BSDF types used by a (host-concrete) scene — pass to
+    sample/eval_pdf so jit compiles only those families."""
+    import numpy as np
+
+    return tuple(sorted(set(np.asarray(mats.type).tolist())))
+
+
+def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES):
     """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats."""
     p = gather_params(mats, mid)
     wi2, s = _flip_two_sided(p, wi)
@@ -310,6 +325,8 @@ def eval_pdf(mats: Materials, mid, wi, wo):
     f = jnp.zeros(wi.shape)
     pdf = jnp.zeros(wi.shape[:-1])
     for t, fn in _SMOOTH_EVALS.items():
+        if t not in types:
+            continue
         ft, pt = fn(p, wi2, wo2)
         sel = p.type == t
         f = jnp.where(sel[..., None], ft, f)
@@ -317,8 +334,7 @@ def eval_pdf(mats: Materials, mid, wi, wo):
     return f, pdf
 
 
-@jax.jit
-def albedo(mats: Materials, mid):
+def albedo_raw(mats: Materials, mid):
     """fork BSDF::getAlbedo parity (bsdf.h:361): approximate reflectance for
     denoiser/guiding feature buffers."""
     p = gather_params(mats, mid)
@@ -333,9 +349,12 @@ def albedo(mats: Materials, mid):
     return a
 
 
-@jax.jit
-def sample(mats: Materials, mid, wi, u) -> BSDFSample:
-    """Sample all families on the wavefront, select by type."""
+def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES) -> BSDFSample:
+    """Sample the families on the wavefront, select by type.  ``types`` is
+    a static tuple of BSDFType values present — absent families compile
+    away entirely (the scene builder knows the material set)."""
+    T = BSDFType
+    has = lambda *ts: any(t in types for t in ts)
     p = gather_params(mats, mid)
     wi2, s = _flip_two_sided(p, wi)
     u2 = u[..., 0:2]
@@ -353,132 +372,147 @@ def sample(mats: Materials, mid, wi, u) -> BSDFSample:
         pdf = jnp.where(sel, pdf_c, pdf)
         is_delta = jnp.where(sel, delta_c, is_delta)
 
-    # --- diffuse / oren-nayar / plastic diffuse-lobe share cosine sampling
-    wo_cos = square_to_cosine_hemisphere(u2)
-    pdf_cos = square_to_cosine_hemisphere_pdf(wo_cos)
-
-    # DIFFUSE
-    sel = p.type == BSDFType.DIFFUSE
-    put(sel, wo_cos, p.refl, pdf_cos, jnp.zeros_like(sel))
-
-    # ROUGH_DIFFUSE: cosine sampling, weight = f/pdf_cos
-    f_on, _ = _orennayar_eval_pdf(p, wi2, wo_cos)
-    w_on = f_on / jnp.maximum(pdf_cos, 1e-8)[..., None]
-    put(p.type == BSDFType.ROUGH_DIFFUSE, wo_cos, w_on, pdf_cos, jnp.zeros_like(sel))
-
-    # CONDUCTOR (delta)
-    wo_mirror = reflect_local(wi2)
-    F_c = fresnel_conductor(cos_theta(wi2), p.eta, p.k)
-    put(
-        p.type == BSDFType.CONDUCTOR,
-        wo_mirror,
-        p.spec * F_c,
-        jnp.ones_like(pdf),
-        jnp.ones_like(sel),
-    )
-
-    # DIELECTRIC (delta reflect/refract) — uses signed wi (one-sided physics)
+    sel = jnp.zeros(wi.shape[:-1], dtype=bool)
     eta_s = p.eta[..., 0]
-    F_d = fresnel_dielectric(cos_theta(wi), eta_s)
-    refl_choice = ul < F_d
-    from mitsuba_path_guiding_tpu.core.math import refract_local
 
-    wo_refr, tir = refract_local(wi, eta_s)
-    rel_eta = jnp.where(cos_theta(wi) > 0.0, eta_s, 1.0 / eta_s)
-    wo_d = jnp.where(refl_choice[..., None], reflect_local(wi), wo_refr)
-    w_d = jnp.where(
-        refl_choice[..., None],
-        p.spec,
-        p.spec / jnp.maximum(rel_eta * rel_eta, 1e-8)[..., None],
-    )
-    pdf_d = jnp.where(refl_choice, F_d, 1.0 - F_d)
-    put(p.type == BSDFType.DIELECTRIC, wo_d, w_d, pdf_d, jnp.ones_like(sel))
+    # --- shared pieces, built only for the families that need them
+    if has(T.DIFFUSE, T.ROUGH_DIFFUSE, T.PLASTIC, T.ROUGH_PLASTIC, T.PHONG):
+        wo_cos = square_to_cosine_hemisphere(u2)
+        pdf_cos = square_to_cosine_hemisphere_pdf(wo_cos)
+    if has(T.CONDUCTOR, T.PLASTIC):
+        wo_mirror = reflect_local(wi2)
 
-    # NULL (delta pass-through)
-    put(
-        p.type == BSDFType.NULL,
-        -wi,
-        jnp.ones_like(weight),
-        jnp.ones_like(pdf),
-        jnp.ones_like(sel),
-    )
+    if has(T.DIFFUSE):
+        put(p.type == T.DIFFUSE, wo_cos, p.refl, pdf_cos, jnp.zeros_like(sel))
 
-    # ROUGH_CONDUCTOR (GGX VNDF)
-    m = ggx_sample_vndf(wi2, p.alpha, u2)
-    wo_rc = 2.0 * dot(wi2, m)[..., None] * m - wi2
-    ok = cos_theta(wo_rc) > 1e-6
-    F_rc = fresnel_conductor(dot(wi2, m), p.eta, p.k)
-    g2 = ggx_g2(wi2, wo_rc, p.alpha)
-    g1 = jnp.maximum(ggx_g1(wi2, p.alpha), 1e-8)
-    w_rc = p.spec * F_rc * (g2 / g1)[..., None]
-    pdf_rc = ggx_vndf_pdf(wi2, m, p.alpha) / jnp.maximum(
-        4.0 * jnp.abs(dot(m, wo_rc)), 1e-8
-    )
-    put(
-        p.type == BSDFType.ROUGH_CONDUCTOR,
-        wo_rc,
-        jnp.where(ok[..., None], w_rc, 0.0),
-        jnp.where(ok, pdf_rc, 0.0),  # below-horizon reflections are rejected
-        jnp.zeros_like(sel),
-    )
+    if has(T.ROUGH_DIFFUSE):
+        f_on, _ = _orennayar_eval_pdf(p, wi2, wo_cos)
+        w_on = f_on / jnp.maximum(pdf_cos, 1e-8)[..., None]
+        put(p.type == T.ROUGH_DIFFUSE, wo_cos, w_on, pdf_cos, jnp.zeros_like(sel))
 
-    # PLASTIC: delta coat or internally-scattered diffuse
-    spec_prob, fi_p = _plastic_lobe_probs(p, wi2)
-    take_spec = ul < spec_prob
-    fo_p = fresnel_dielectric(cos_theta(wo_cos), eta_s)
-    fdr = _fdr_int(eta_s)
-    inv_eta2 = 1.0 / jnp.maximum(eta_s * eta_s, 1e-8)
-    w_pl_diff = (
-        p.refl
-        / jnp.maximum(1.0 - p.refl * fdr[..., None], 1e-3)
-        * ((1.0 - fi_p) * (1.0 - fo_p) * inv_eta2 / (1.0 - spec_prob))[..., None]
-    )
-    w_pl_spec = p.spec * (fi_p / spec_prob)[..., None]
-    wo_pl = jnp.where(take_spec[..., None], wo_mirror, wo_cos)
-    w_pl = jnp.where(take_spec[..., None], w_pl_spec, w_pl_diff)
-    pdf_pl = jnp.where(take_spec, spec_prob, (1.0 - spec_prob) * pdf_cos)
-    put(p.type == BSDFType.PLASTIC, wo_pl, w_pl, pdf_pl, take_spec)
+    if has(T.CONDUCTOR):
+        F_c = fresnel_conductor(cos_theta(wi2), p.eta, p.k)
+        put(
+            p.type == T.CONDUCTOR,
+            wo_mirror,
+            p.spec * F_c,
+            jnp.ones_like(pdf),
+            jnp.ones_like(sel),
+        )
 
-    # ROUGH_PLASTIC: GGX coat or diffuse; MIS-combined pdfs
-    F_m = fresnel_dielectric(dot(wi2, m), eta_s)
-    wo_rp = jnp.where(take_spec[..., None], wo_rc, wo_cos)
-    f_rp, pdf_rp = _rough_plastic_eval_pdf(p, wi2, wo_rp)
-    w_rp = f_rp / jnp.maximum(pdf_rp, 1e-8)[..., None]
-    ok_rp = cos_theta(wo_rp) > 1e-6
-    put(
-        p.type == BSDFType.ROUGH_PLASTIC,
-        wo_rp,
-        jnp.where(ok_rp[..., None], w_rp, 0.0),
-        jnp.where(ok_rp, pdf_rp, 0.0),
-        jnp.zeros_like(sel),
-    )
+    if has(T.DIELECTRIC):
+        # delta reflect/refract — uses signed wi (one-sided physics)
+        F_d = fresnel_dielectric(cos_theta(wi), eta_s)
+        refl_choice = ul < F_d
+        from mitsuba_path_guiding_tpu.core.math import refract_local
 
-    # PHONG: lobe select between cosine and specular-lobe sampling
-    n_ph = _phong_exponent(p)
-    sp_ph = _phong_lobe_probs(p)
-    take_spec_ph = ul < sp_ph
-    # sample around reflection direction
-    cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-9), 1.0 / (n_ph + 1.0))
-    sin_a = safe_sqrt(1.0 - cos_a * cos_a)
-    phi = 2.0 * jnp.pi * u2[..., 1]
-    local_lobe = jnp.stack(
-        [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1
-    )
-    from mitsuba_path_guiding_tpu.core.math import Frame
+        wo_refr, tir = refract_local(wi, eta_s)
+        rel_eta = jnp.where(cos_theta(wi) > 0.0, eta_s, 1.0 / eta_s)
+        wo_d = jnp.where(refl_choice[..., None], reflect_local(wi), wo_refr)
+        w_d = jnp.where(
+            refl_choice[..., None],
+            p.spec,
+            p.spec / jnp.maximum(rel_eta * rel_eta, 1e-8)[..., None],
+        )
+        pdf_d = jnp.where(refl_choice, F_d, 1.0 - F_d)
+        put(p.type == T.DIELECTRIC, wo_d, w_d, pdf_d, jnp.ones_like(sel))
 
-    r_dir = reflect_local(wi2)
-    wo_ph_spec = Frame.from_normal(r_dir).to_world(local_lobe)
-    wo_ph = jnp.where(take_spec_ph[..., None], wo_ph_spec, wo_cos)
-    f_ph, pdf_ph = _phong_eval_pdf(p, wi2, wo_ph)
-    w_ph = f_ph / jnp.maximum(pdf_ph, 1e-8)[..., None]
-    ok_ph = cos_theta(wo_ph) > 0.0
-    put(
-        p.type == BSDFType.PHONG,
-        wo_ph,
-        jnp.where(ok_ph[..., None], w_ph, 0.0),
-        pdf_ph,
-        jnp.zeros_like(sel),
-    )
+    if has(T.NULL):
+        put(
+            p.type == T.NULL,
+            -wi,
+            jnp.ones_like(weight),
+            jnp.ones_like(pdf),
+            jnp.ones_like(sel),
+        )
+
+    if has(T.ROUGH_CONDUCTOR, T.ROUGH_PLASTIC):
+        # GGX VNDF shared by the microfacet-coated families
+        m = ggx_sample_vndf(wi2, p.alpha, u2)
+        wo_rc = 2.0 * dot(wi2, m)[..., None] * m - wi2
+
+    if has(T.ROUGH_CONDUCTOR):
+        ok = cos_theta(wo_rc) > 1e-6
+        F_rc = fresnel_conductor(dot(wi2, m), p.eta, p.k)
+        g2 = ggx_g2(wi2, wo_rc, p.alpha)
+        g1 = jnp.maximum(ggx_g1(wi2, p.alpha), 1e-8)
+        w_rc = p.spec * F_rc * (g2 / g1)[..., None]
+        pdf_rc = ggx_vndf_pdf(wi2, m, p.alpha) / jnp.maximum(
+            4.0 * jnp.abs(dot(m, wo_rc)), 1e-8
+        )
+        put(
+            p.type == T.ROUGH_CONDUCTOR,
+            wo_rc,
+            jnp.where(ok[..., None], w_rc, 0.0),
+            jnp.where(ok, pdf_rc, 0.0),  # below-horizon reflections rejected
+            jnp.zeros_like(sel),
+        )
+
+    if has(T.PLASTIC, T.ROUGH_PLASTIC):
+        spec_prob, fi_p = _plastic_lobe_probs(p, wi2)
+        take_spec = ul < spec_prob
+
+    if has(T.PLASTIC):
+        # delta coat or internally-scattered diffuse
+        fo_p = fresnel_dielectric(cos_theta(wo_cos), eta_s)
+        fdr = _fdr_int(eta_s)
+        inv_eta2 = 1.0 / jnp.maximum(eta_s * eta_s, 1e-8)
+        w_pl_diff = (
+            p.refl
+            / jnp.maximum(1.0 - p.refl * fdr[..., None], 1e-3)
+            * ((1.0 - fi_p) * (1.0 - fo_p) * inv_eta2 / (1.0 - spec_prob))[..., None]
+        )
+        w_pl_spec = p.spec * (fi_p / spec_prob)[..., None]
+        wo_pl = jnp.where(take_spec[..., None], wo_mirror, wo_cos)
+        w_pl = jnp.where(take_spec[..., None], w_pl_spec, w_pl_diff)
+        pdf_pl = jnp.where(take_spec, spec_prob, (1.0 - spec_prob) * pdf_cos)
+        put(p.type == T.PLASTIC, wo_pl, w_pl, pdf_pl, take_spec)
+
+    if has(T.ROUGH_PLASTIC):
+        # GGX coat or diffuse; MIS-combined pdfs
+        wo_rp = jnp.where(take_spec[..., None], wo_rc, wo_cos)
+        f_rp, pdf_rp = _rough_plastic_eval_pdf(p, wi2, wo_rp)
+        w_rp = f_rp / jnp.maximum(pdf_rp, 1e-8)[..., None]
+        ok_rp = cos_theta(wo_rp) > 1e-6
+        put(
+            p.type == T.ROUGH_PLASTIC,
+            wo_rp,
+            jnp.where(ok_rp[..., None], w_rp, 0.0),
+            jnp.where(ok_rp, pdf_rp, 0.0),
+            jnp.zeros_like(sel),
+        )
+
+    if has(T.PHONG):
+        # lobe select between cosine and specular-lobe sampling
+        n_ph = _phong_exponent(p)
+        sp_ph = _phong_lobe_probs(p)
+        take_spec_ph = ul < sp_ph
+        cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-9), 1.0 / (n_ph + 1.0))
+        sin_a = safe_sqrt(1.0 - cos_a * cos_a)
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        local_lobe = jnp.stack(
+            [sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], axis=-1
+        )
+        from mitsuba_path_guiding_tpu.core.math import Frame
+
+        r_dir = reflect_local(wi2)
+        wo_ph_spec = Frame.from_normal(r_dir).to_world(local_lobe)
+        wo_ph = jnp.where(take_spec_ph[..., None], wo_ph_spec, wo_cos)
+        f_ph, pdf_ph = _phong_eval_pdf(p, wi2, wo_ph)
+        w_ph = f_ph / jnp.maximum(pdf_ph, 1e-8)[..., None]
+        ok_ph = cos_theta(wo_ph) > 0.0
+        put(
+            p.type == T.PHONG,
+            wo_ph,
+            jnp.where(ok_ph[..., None], w_ph, 0.0),
+            pdf_ph,
+            jnp.zeros_like(sel),
+        )
+
+    if not has(T.ROUGH_DIELECTRIC):
+        # un-flip wo back to the true frame for two-sided families
+        wo = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
+        return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
 
     # ROUGH_DIELECTRIC: VNDF half-vector + fresnel reflect/refract, all in
     # flipped space (wi upper hemisphere), matching _rough_dielectric_eval_pdf
@@ -521,3 +555,11 @@ def sample(mats: Materials, mid, wi, u) -> BSDFSample:
     wo = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
     # transmissive types already produced true-frame wo; s==1 for them
     return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
+
+
+# jitted public entry points (tests / direct use); integrators call the
+# *_raw versions inside their own jit — a nested-jit call boundary can
+# block XLA fusion across the BSDF stage
+eval_pdf = partial(jax.jit, static_argnames=("types",))(eval_pdf_raw)
+albedo = jax.jit(albedo_raw)
+sample = partial(jax.jit, static_argnames=("types",))(sample_raw)

@@ -36,81 +36,114 @@ class DirectSample(NamedTuple):
     emitter_id: jnp.ndarray # (N,) int32
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+ALL_KINDS = (
+    EmitterKind.AREA,
+    EmitterKind.POINT,
+    EmitterKind.CONSTANT,
+    EmitterKind.DIRECTIONAL,
+    EmitterKind.SPOT,
+)
+
+
+def kinds_present(em: Emitters):
+    """Static tuple of emitter kinds in a (host-concrete) scene — pass to
+    sample_direct/trace so jit specializes away absent branches."""
+    import numpy as np
+
+    return tuple(sorted(set(np.asarray(em.kind).tolist())))
+
+
 def sample_direct(
-    em: Emitters, geo: Geometry, p: jnp.ndarray, u: jnp.ndarray
+    em: Emitters, geo: Geometry, p: jnp.ndarray, u: jnp.ndarray, kinds=ALL_KINDS
 ) -> DirectSample:
     """Draw one emitter sample per lane.  ``u``: (N,3) uniforms
-    (u[...,0] picks the emitter, u[...,1:3] the position)."""
+    (u[...,0] picks the emitter, u[...,1:3] the position).  ``kinds`` is a
+    static tuple of EmitterKind values present in the scene: only those
+    branches are compiled (the common area+env scene skips 3/5 of this)."""
     n = p.shape[0]
     eid = jnp.clip(
         jnp.searchsorted(em.cdf, u[..., 0], side="right"), 0, em.kind.shape[0] - 1
     ).astype(jnp.int32)
-    kind = em.kind[eid]
-    pmf = em.pmf[eid]
-    rad = em.radiance[eid]
+    # single packed row gather (Emitters.packed layout) — separate field
+    # gathers materialize lane-padded (N,3) arrays on TPU
+    row = em.packed[eid].T  # (32, N)
+    kind = row[0].astype(jnp.int32)
+    pmf = row[1]
+    rad = jnp.stack([row[2], row[3], row[4]], axis=-1)
     u2 = u[..., 1:3]
-
-    # ---- AREA: uniform point on the triangle
-    tri = jnp.maximum(em.tri[eid], 0)
-    b = square_to_uniform_triangle(u2)
-    q = geo.p0[tri] + b[..., 0:1] * geo.e1[tri] + b[..., 1:2] * geo.e2[tri]
-    ng = jnp.cross(geo.e1[tri], geo.e2[tri])
-    ng = normalize(ng)
-    to_q = q - p
-    dist2 = jnp.maximum(dot(to_q, to_q), 1e-12)
-    dist = jnp.sqrt(dist2)
-    dir_a = to_q / dist[..., None]
-    cos_l = dot(ng, -dir_a)
-    area = jnp.maximum(em.area[eid], 1e-12)
-    # area pdf -> solid angle (reference shape.cpp pdfDirect conversion)
-    pdf_a = pmf * dist2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
-    rad_a = jnp.where((cos_l > 0.0)[..., None], rad, 0.0)
-
-    # ---- POINT: delta; fold 1/dist^2 into radiance
-    to_l = em.position[eid] - p
-    d2p = jnp.maximum(dot(to_l, to_l), 1e-12)
-    distp = jnp.sqrt(d2p)
-    dir_p = to_l / distp[..., None]
-    rad_p = rad / d2p[..., None]
-
-    # ---- CONSTANT env: uniform sphere direction
-    dir_e = square_to_uniform_sphere(u2)
-    pdf_e = pmf * INV_FOURPI
-
-    # ---- DIRECTIONAL: delta direction = -emitter dir
-    dir_d = -em.position[eid]
-
-    # ---- SPOT: like point with falloff
-    axis = em.aux[eid]
-    cos_total = em.cutoff[eid, ..., 0]
-    cos_beam = em.cutoff[eid, ..., 1]
-    cd = dot(axis, -dir_p)
-    falloff = jnp.clip(
-        (cd - cos_total) / jnp.maximum(cos_beam - cos_total, 1e-6), 0.0, 1.0
-    )
-    rad_s = rad / d2p[..., None] * jnp.where(cd > cos_total, falloff, 0.0)[..., None]
-
-    is_area = kind == EmitterKind.AREA
-    is_point = kind == EmitterKind.POINT
-    is_env = kind == EmitterKind.CONSTANT
-    is_dir = kind == EmitterKind.DIRECTIONAL
-    is_spot = kind == EmitterKind.SPOT
-
-    direction = jnp.where(
-        is_area[..., None], dir_a,
-        jnp.where(is_env[..., None], dir_e,
-        jnp.where(is_dir[..., None], dir_d, dir_p)),
-    )
     INFD = jnp.float32(3.0e37)
-    distance = jnp.where(is_area, dist, jnp.where(is_env | is_dir, INFD, distp))
-    radiance = jnp.where(
-        is_area[..., None], rad_a,
-        jnp.where(is_env[..., None], rad,
-        jnp.where(is_spot[..., None], rad_s,
-        jnp.where(is_dir[..., None], rad, rad_p))),
-    )
-    pdf = jnp.where(is_area, pdf_a, jnp.where(is_env, pdf_e, pmf))
-    is_delta = is_point | is_dir | is_spot
+
+    direction = jnp.zeros((n, 3))
+    distance = jnp.full((n,), INFD)
+    radiance = jnp.zeros((n, 3))
+    pdf = pmf
+    is_delta = jnp.zeros((n,), dtype=bool)
+
+    def put(sel, d_, dist_, rad_, pdf_, delta_):
+        nonlocal direction, distance, radiance, pdf, is_delta
+        direction = jnp.where(sel[..., None], d_, direction)
+        distance = jnp.where(sel, dist_, distance)
+        radiance = jnp.where(sel[..., None], rad_, radiance)
+        pdf = jnp.where(sel, pdf_, pdf)
+        is_delta = jnp.where(sel, delta_, is_delta)
+
+    false = jnp.zeros((n,), dtype=bool)
+    true = jnp.ones((n,), dtype=bool)
+
+    if EmitterKind.AREA in kinds:
+        # uniform point on the emissive triangle (geometry baked into the
+        # packed row: p0 14:17, e1 17:20, e2 20:23, unit normal 23:26)
+        b = square_to_uniform_triangle(u2)
+        q = jnp.stack(
+            [
+                row[14] + b[..., 0] * row[17] + b[..., 1] * row[20],
+                row[15] + b[..., 0] * row[18] + b[..., 1] * row[21],
+                row[16] + b[..., 0] * row[19] + b[..., 1] * row[22],
+            ],
+            axis=-1,
+        )
+        ng = jnp.stack([row[23], row[24], row[25]], axis=-1)
+        to_q = q - p
+        dist2 = jnp.maximum(dot(to_q, to_q), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_a = to_q / dist[..., None]
+        cos_l = dot(ng, -dir_a)
+        area = jnp.maximum(row[13], 1e-12)
+        pdf_a = pmf * dist2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+        rad_a = jnp.where((cos_l > 0.0)[..., None], rad, 0.0)
+        put(kind == EmitterKind.AREA, dir_a, dist, rad_a, pdf_a, false)
+
+    if EmitterKind.POINT in kinds or EmitterKind.SPOT in kinds:
+        pos = jnp.stack([row[5], row[6], row[7]], axis=-1)
+        to_l = pos - p
+        d2p = jnp.maximum(dot(to_l, to_l), 1e-12)
+        distp = jnp.sqrt(d2p)
+        dir_p = to_l / distp[..., None]
+        if EmitterKind.POINT in kinds:
+            put(kind == EmitterKind.POINT, dir_p, distp, rad / d2p[..., None], pmf, true)
+        if EmitterKind.SPOT in kinds:
+            axis = jnp.stack([row[8], row[9], row[10]], axis=-1)
+            cos_total = row[11]
+            cos_beam = row[12]
+            cd = dot(axis, -dir_p)
+            falloff = jnp.clip(
+                (cd - cos_total) / jnp.maximum(cos_beam - cos_total, 1e-6), 0.0, 1.0
+            )
+            rad_s = rad / d2p[..., None] * jnp.where(cd > cos_total, falloff, 0.0)[..., None]
+            put(kind == EmitterKind.SPOT, dir_p, distp, rad_s, pmf, true)
+
+    if EmitterKind.CONSTANT in kinds:
+        dir_e = square_to_uniform_sphere(u2)
+        put(kind == EmitterKind.CONSTANT, dir_e, jnp.full((n,), INFD), rad, pmf * INV_FOURPI, false)
+
+    if EmitterKind.DIRECTIONAL in kinds:
+        dir_dl = -jnp.stack([row[5], row[6], row[7]], axis=-1)
+        put(kind == EmitterKind.DIRECTIONAL, dir_dl, jnp.full((n,), INFD), rad, pmf, true)
+
     return DirectSample(
         direction=direction,
         distance=distance,
@@ -154,3 +187,9 @@ def pdf_env(em: Emitters):
 def eval_env(em: Emitters, wo_world):
     """Environment radiance for escaped rays."""
     return jnp.broadcast_to(em.env_radiance, wo_world.shape)
+
+
+# jitted variant for use inside already-jitted integrators: the explicit
+# call boundary steers XLA toward a better fusion/layout decision here
+# (empirically ~2x on the NEE stage)
+sample_direct_jit = _partial(_jax.jit, static_argnames=("kinds",))(sample_direct)

@@ -47,7 +47,10 @@ def make_device_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx):
+from mitsuba_path_guiding_tpu.models.emitter import ALL_KINDS
+
+
+def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None):
     """Per-device wave: trace the local pixel shard (pure, shard-oblivious)."""
     key = rng.base_key(cfg.seed)
     rkeys = rng.ray_keys(key, pixel_id, sample_idx)
@@ -66,35 +69,47 @@ def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample
         use_bvh=use_bvh,
         guide=guide,
         guide_state=grid,
-        record_paths=guide is not None,
+        record_paths=(guide is not None) if record is None else record,
+        em_kinds=em_kinds,
+        mat_types=mat_types,
     )
     if cfg.max_component_value > 0.0:
         L = jnp.minimum(L, cfg.max_component_value)
     return film_xy, L, aux, rec
 
 
-def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=None):
+def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=None, train: bool = True):
     """Build the jitted sharded render (+ optional guiding-train) step.
 
     Returns step(pixel_ids (N,), sample_idx (N,), rgbw (H*W,4), grid) ->
-    (rgbw', grid', n_bounces_total).  N must divide by mesh size.  Film and
-    guiding statistics are psum'd across the axis (the reference's
-    WorkResult merge + postprogression fit, made collective)."""
+    (rgbw', stats|None, n_bounces_total).  N must divide by mesh size.  Film
+    and guiding statistics are psum'd across the axis (the reference's
+    WorkResult merge + postprogression fit, made collective).  With
+    ``train=False`` the guide still samples from the cache but no records
+    or statistics are produced (the cheap post-training render step)."""
     use_bvh = (
         cfg.use_bvh
         if cfg.use_bvh is not None
         else int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
     )
+    from mitsuba_path_guiding_tpu.models.bsdf import ALL_TYPES, types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+
+    em_kinds = kinds_present(scene.emitters)
+    mat_types = types_present(scene.mats)
+
+    record = train and guide is not None
 
     def step(pixel_id, sample_idx, rgbw, grid):
         film_xy, L, aux, rec = _wave_local(
-            scene, cfg, use_bvh, guide, grid, pixel_id, sample_idx
+            scene, cfg, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds,
+            mat_types, record,
         )
         local = splat(
             jnp.zeros_like(rgbw), film_xy, L, cfg.width, cfg.height, cfg.filter_name
         )
         rgbw_out = rgbw + jax.lax.psum(local, AXIS)
-        if guide is not None:
+        if record:
             s_w, s_dir, s_count = accumulate_stats(grid, rec)
             stats = (
                 jax.lax.psum(s_w, AXIS),

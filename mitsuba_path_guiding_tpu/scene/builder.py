@@ -207,22 +207,58 @@ def build_scene(desc: dict) -> SceneData:
     if not em["kind"]:
         raise ValueError("scene has no emitters")
 
-    f32 = lambda a: jnp.asarray(np.concatenate(a, axis=0).astype(np.float32))
+    catf = lambda a: np.concatenate(a, axis=0).astype(np.float32)
+    h = {k: catf(v) for k, v in tris.items()}
+    tri_mat_np = np.asarray(tri_mat, dtype=np.int32)
+    tri_em_np = np.asarray(tri_emitter, dtype=np.int32)
+    T = len(tri_mat_np)
+
+    # packed shading rows (see Geometry.shade_packed layout)
+    gn = np.cross(h["e1"], h["e2"])
+    tri_area = 0.5 * np.linalg.norm(gn, axis=-1)
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    em_np = {k: np.asarray(v) for k, v in em.items()}
+    has_em = tri_em_np >= 0
+    eidx = np.maximum(tri_em_np, 0)
+    tri_emission = np.where(
+        has_em[:, None], np.stack(em_np["radiance"])[eidx] if len(em_np["radiance"]) else np.zeros((T, 3)), 0.0
+    )
+    shade = np.zeros((T, 32), dtype=np.float32)
+    shade[:, 0:3] = gn
+    shade[:, 3:6] = h["n0"]
+    shade[:, 6:9] = h["n1"]
+    shade[:, 9:12] = h["n2"]
+    shade[:, 12:14] = h["uv0"]
+    shade[:, 14:16] = h["uv1"]
+    shade[:, 16:18] = h["uv2"]
+    shade[:, 18] = tri_mat_np.astype(np.float32)
+    shade[:, 19] = tri_em_np.astype(np.float32)
+    shade[:, 20:23] = tri_emission
+    shade[:, 25] = tri_area
+
     geo = Geometry(
-        p0=f32(tris["p0"]), e1=f32(tris["e1"]), e2=f32(tris["e2"]),
-        n0=f32(tris["n0"]), n1=f32(tris["n1"]), n2=f32(tris["n2"]),
-        uv0=f32(tris["uv0"]), uv1=f32(tris["uv1"]), uv2=f32(tris["uv2"]),
-        mat_id=jnp.asarray(np.asarray(tri_mat, dtype=np.int32)),
-        emitter_id=jnp.asarray(np.asarray(tri_emitter, dtype=np.int32)),
+        p0=jnp.asarray(h["p0"]), e1=jnp.asarray(h["e1"]), e2=jnp.asarray(h["e2"]),
+        n0=jnp.asarray(h["n0"]), n1=jnp.asarray(h["n1"]), n2=jnp.asarray(h["n2"]),
+        uv0=jnp.asarray(h["uv0"]), uv1=jnp.asarray(h["uv1"]), uv2=jnp.asarray(h["uv2"]),
+        mat_id=jnp.asarray(tri_mat_np),
+        emitter_id=jnp.asarray(tri_em_np),
+        shade_packed=jnp.asarray(shade),
     )
 
-    p0h = np.concatenate(tris["p0"], axis=0)
-    e1h = np.concatenate(tris["e1"], axis=0)
-    e2h = np.concatenate(tris["e2"], axis=0)
+    p0h, e1h, e2h = h["p0"], h["e1"], h["e2"]
     bvh = build_bvh(p0h, e1h, e2h)
     if bvh.max_depth + 2 > STACK_SIZE:
         raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
 
+    M = len(mat_rows)
+    mpk = np.zeros((M, 16), dtype=np.float32)
+    mpk[:, 0] = [m["type"] for m in mat_rows]
+    mpk[:, 1:4] = np.stack([m["reflectance"] for m in mat_rows])
+    mpk[:, 4:7] = np.stack([m["specular"] for m in mat_rows])
+    mpk[:, 7:10] = np.stack([m["eta"] for m in mat_rows])
+    mpk[:, 10:13] = np.stack([m["k"] for m in mat_rows])
+    mpk[:, 13] = [m["alpha"] for m in mat_rows]
+    mpk[:, 14] = [m["texture_id"] for m in mat_rows]
     mats = Materials(
         type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
         reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),
@@ -231,11 +267,33 @@ def build_scene(desc: dict) -> SceneData:
         k=jnp.asarray(np.stack([m["k"] for m in mat_rows]).astype(np.float32)),
         alpha=jnp.asarray(np.asarray([m["alpha"] for m in mat_rows], dtype=np.float32)),
         texture_id=jnp.asarray(np.asarray([m["texture_id"] for m in mat_rows], dtype=np.int32)),
+        packed=jnp.asarray(mpk),
     )
 
     power = np.asarray(em["power"], dtype=np.float64)
     pmf = power / power.sum()
     cdf = np.cumsum(pmf)
+    # per-triangle emitter pmf for MIS on emissive hits (shade row 23)
+    shade[:, 23] = np.where(has_em, pmf[eidx].astype(np.float32), 0.0)
+    geo = geo._replace(shade_packed=jnp.asarray(shade))
+
+    # packed NEE table (Emitters.packed layout)
+    E = len(em["kind"])
+    epk = np.zeros((E, 32), dtype=np.float32)
+    epk[:, 0] = np.asarray(em["kind"], dtype=np.float32)
+    epk[:, 1] = pmf.astype(np.float32)
+    epk[:, 2:5] = np.stack(em["radiance"]).astype(np.float32)
+    epk[:, 5:8] = np.stack(em["position"]).astype(np.float32)
+    epk[:, 8:11] = np.stack(em["aux"]).astype(np.float32)
+    epk[:, 11:13] = np.stack(em["cutoff"]).astype(np.float32)
+    epk[:, 13] = np.asarray(em["area"], dtype=np.float32)
+    etri = np.asarray(em["tri"], dtype=np.int64)
+    has_tri = etri >= 0
+    ei = np.maximum(etri, 0)
+    epk[:, 14:17] = np.where(has_tri[:, None], h["p0"][ei], 0.0)
+    epk[:, 17:20] = np.where(has_tri[:, None], h["e1"][ei], 0.0)
+    epk[:, 20:23] = np.where(has_tri[:, None], h["e2"][ei], 0.0)
+    epk[:, 23:26] = np.where(has_tri[:, None], gn[ei], 0.0)
     if env_id >= 0:
         env_radiance = np.asarray(em["radiance"][env_id], dtype=np.float32)
         env_pdf = np.float32(pmf[env_id] / (4.0 * np.pi))
@@ -254,6 +312,7 @@ def build_scene(desc: dict) -> SceneData:
         cdf=jnp.asarray(cdf.astype(np.float32)),
         env_radiance=jnp.asarray(env_radiance),
         env_pdf=jnp.asarray(env_pdf),
+        packed=jnp.asarray(epk),
     )
 
     sspec = desc.get("sensor", {})

@@ -43,7 +43,17 @@ class EmitterKind:
 
 class Geometry(NamedTuple):
     """Triangle soup, SoA.  (T,) leading axis; Moeller-Trumbore precomputed
-    edges.  Shading normals/uvs interpolated barycentrically on hit."""
+    edges.  Shading normals/uvs interpolated barycentrically on hit.
+
+    ``shade_packed`` duplicates the per-hit fields as one (T, 32) row table
+    so the shading stage does a SINGLE row gather per hit: on TPU each
+    separate ``field[prim]`` gather materializes an (N, 3) result whose
+    3-lane minor axis is padded to 128 (~40x HBM waste).  Row layout:
+      0:3 gn (unit geometric normal), 3:6 n0, 6:9 n1, 9:12 n2,
+      12:14 uv0, 14:16 uv1, 16:18 uv2, 18 mat_id, 19 emitter_id (-1 none),
+      20:23 emitted radiance, 23 emitter pmf, 24 inv (area*pmf... ) spare,
+      25 triangle area, 26:32 zero padding.
+    """
 
     p0: jnp.ndarray      # (T, 3)
     e1: jnp.ndarray      # (T, 3) = p1 - p0
@@ -56,6 +66,7 @@ class Geometry(NamedTuple):
     uv2: jnp.ndarray
     mat_id: jnp.ndarray  # (T,) int32 material index
     emitter_id: jnp.ndarray  # (T,) int32 index into emitter table, -1 if none
+    shade_packed: jnp.ndarray  # (T, 32) float32, layout above
 
 
 class BVH(NamedTuple):
@@ -75,7 +86,11 @@ class BVH(NamedTuple):
 
 
 class Materials(NamedTuple):
-    """Enum-dispatched BSDF parameter table, (M,) leading axis."""
+    """Enum-dispatched BSDF parameter table, (M,) leading axis.
+
+    ``packed`` (M, 16) mirrors the fields for single-row-gather shading:
+    0 type, 1:4 reflectance, 4:7 specular, 7:10 eta, 10:13 k, 13 alpha,
+    14 texture_id, 15 pad."""
 
     type: jnp.ndarray        # (M,) int32 BSDFType
     reflectance: jnp.ndarray # (M, 3) diffuse albedo / tint
@@ -84,6 +99,7 @@ class Materials(NamedTuple):
     k: jnp.ndarray           # (M, 3) conductor absorption
     alpha: jnp.ndarray       # (M,) microfacet roughness (GGX)
     texture_id: jnp.ndarray  # (M,) int32 index into texture atlas, -1 = none
+    packed: jnp.ndarray      # (M, 16) float32, layout above
 
 
 class Emitters(NamedTuple):
@@ -105,6 +121,10 @@ class Emitters(NamedTuple):
     cdf: jnp.ndarray         # (E,)
     env_radiance: jnp.ndarray  # (3,) constant-env radiance (zeros if none)
     env_pdf: jnp.ndarray       # () solid-angle NEE pdf of env dir (0 if none)
+    packed: jnp.ndarray        # (E, 32) single-gather NEE table:
+    # 0 kind, 1 pmf, 2:5 radiance, 5:8 position/direction, 8:11 spot axis,
+    # 11:13 cutoffs, 13 area, 14:17 tri p0, 17:20 tri e1, 20:23 tri e2,
+    # 23:26 unit tri normal, 26:32 padding
 
 
 class Sensor(NamedTuple):

@@ -1,0 +1,303 @@
+"""Mitsuba-XML scene loader: a compatible subset of the reference format.
+
+Counterpart of /root/reference/src/librender/scenehandler.cpp (Xerces SAX ->
+tag stack -> Properties -> PluginManager): parses Mitsuba 0.x scene XML
+(stdlib ElementTree — no schema validation pass) into the dict scene
+description consumed by scene/builder.py.  Supports the tags the builder
+understands: shapes (obj/ply/rectangle/cube/sphere/disk/serialized*),
+bsdf types with ref/id reuse, area/constant/point/spot/directional
+emitters, perspective/thinlens sensors with film size, homogeneous media,
+``<transform>`` stacks (translate/rotate/scale/matrix/lookat), `$key`
+defaults substitution (reference CLI -D, scenehandler attribute
+resolution), and integrator/sampler settings mapped onto RenderConfig.
+
+Unsupported plugin types degrade gracefully: unknown BSDFs become diffuse,
+unknown shapes/emitters raise with a clear message.
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from mitsuba_path_guiding_tpu.scene.transforms import (
+    look_at,
+    rotate,
+    scale as scale_m,
+    translate,
+)
+
+_SUPPORTED_BSDFS = {
+    "diffuse", "roughdiffuse", "conductor", "roughconductor", "dielectric",
+    "thindielectric", "roughdielectric", "plastic", "roughplastic", "phong",
+    "null", "twosided", "mask", "bumpmap", "normalmap", "coating", "ward",
+    "mixturebsdf", "blendbsdf",
+}
+_WRAPPER_BSDFS = {"twosided", "mask", "bumpmap", "normalmap", "coating"}
+_SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk"}
+
+
+def _subst(text: str, defaults: dict) -> str:
+    """$var substitution (reference -D defines)."""
+    if text is None:
+        return text
+    return re.sub(r"\$(\w+)", lambda m: str(defaults.get(m.group(1), m.group(0))), text)
+
+
+def _parse_value(el, defaults):
+    t = el.tag
+    v = _subst(el.get("value"), defaults)
+    if t == "float":
+        return float(v)
+    if t == "integer":
+        return int(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    if t == "string":
+        return v
+    if t in ("spectrum", "rgb", "srgb"):
+        if v is None:
+            return [1.0, 1.0, 1.0]
+        parts = [float(x) for x in re.split(r"[ ,]+", v.strip()) if x]
+        if len(parts) == 1:
+            return [parts[0]] * 3
+        return parts[:3]
+    if t in ("point", "vector"):
+        return [
+            float(_subst(el.get(a), defaults) or 0.0) for a in ("x", "y", "z")
+        ]
+    return v
+
+
+def _parse_transform(el, defaults):
+    m = np.eye(4)
+    for child in el:
+        tag = child.tag
+        g = lambda a, d=0.0: float(_subst(child.get(a), defaults) or d)
+        if tag == "translate":
+            m = translate(g("x"), g("y"), g("z")) @ m
+        elif tag == "scale":
+            if child.get("value") is not None:
+                sv = float(_subst(child.get("value"), defaults))
+                m = scale_m(sv) @ m
+            else:
+                m = scale_m(g("x", 1.0), g("y", 1.0), g("z", 1.0)) @ m
+        elif tag == "rotate":
+            axis = [g("x"), g("y"), g("z")]
+            m = rotate(axis, g("angle")) @ m
+        elif tag == "matrix":
+            vals = [float(x) for x in _subst(child.get("value"), defaults).split()]
+            m = np.asarray(vals, dtype=np.float64).reshape(4, 4) @ m
+        elif tag in ("lookat", "lookAt"):
+            origin = [float(x) for x in re.split(r"[ ,]+", _subst(child.get("origin"), defaults).strip())]
+            target = [float(x) for x in re.split(r"[ ,]+", _subst(child.get("target"), defaults).strip())]
+            up_attr = child.get("up")
+            up = (
+                [float(x) for x in re.split(r"[ ,]+", _subst(up_attr, defaults).strip())]
+                if up_attr
+                else [0.0, 1.0, 0.0]
+            )
+            m = look_at(origin, target, up) @ m
+    return m
+
+
+def _props(el, defaults):
+    """Collect named child properties into a dict."""
+    out = {}
+    for child in el:
+        name = child.get("name")
+        if child.tag in ("float", "integer", "boolean", "string", "spectrum", "rgb", "srgb", "point", "vector"):
+            if name:
+                out[name] = _parse_value(child, defaults)
+        elif child.tag == "transform":
+            out[child.get("name", "to_world").replace("toWorld", "to_world")] = _parse_transform(child, defaults)
+    if "toWorld" in out:
+        out["to_world"] = out.pop("toWorld")
+    return out
+
+
+def _parse_bsdf(el, defaults, bsdf_registry):
+    t = el.get("type", "diffuse")
+    if t in _WRAPPER_BSDFS:
+        # unwrap adapters: materials here are two-sided by default and the
+        # nested BSDF carries the scattering model (reference twosided.cpp)
+        inner = el.find("bsdf")
+        if inner is not None:
+            b = _parse_bsdf(inner, defaults, bsdf_registry)
+        else:
+            ref = el.find("ref")
+            b = bsdf_registry.get(ref.get("id"), {"type": "diffuse"}) if ref is not None else {"type": "diffuse"}
+        if el.get("id"):
+            bsdf_registry[el.get("id")] = b
+        return b
+    if t not in _SUPPORTED_BSDFS:
+        b = {"type": "diffuse"}
+    else:
+        b = {"type": t}
+    p = _props(el, defaults)
+    # name mapping XML -> builder keys
+    ren = {
+        "reflectance": "reflectance",
+        "diffuseReflectance": "reflectance",
+        "diffuse_reflectance": "reflectance",
+        "specularReflectance": "specular_reflectance",
+        "specular_reflectance": "specular_reflectance",
+        "intIOR": "int_ior",
+        "int_ior": "int_ior",
+        "extIOR": "ext_ior",
+        "ext_ior": "ext_ior",
+        "alpha": "alpha",
+        "material": "material",
+        "eta": "eta",
+        "k": "k",
+        "exponent": "exponent",
+    }
+    for k, v in p.items():
+        if k in ren:
+            b[ren[k]] = v
+    if "exponent" in b:  # phong exponent -> alpha
+        expn = float(b.pop("exponent"))
+        b["alpha"] = float(np.sqrt(2.0 / (expn + 2.0)))
+    if el.get("id"):
+        bsdf_registry[el.get("id")] = b
+    return b
+
+
+def load_scene_xml(path_or_string: str, defaults: dict | None = None):
+    """Parse scene XML -> (scene_desc dict, render_settings dict).
+
+    ``defaults``: $key substitutions (reference mitsuba -Dkey=value).
+    render_settings carries integrator/film/sampler info: width, height,
+    spp, max_depth, rr_depth, integrator type.
+    """
+    defaults = dict(defaults or {})
+    if os.path.exists(path_or_string):
+        tree = ET.parse(path_or_string)
+        root = tree.getroot()
+        base_dir = os.path.dirname(os.path.abspath(path_or_string))
+    else:
+        root = ET.fromstring(path_or_string)
+        base_dir = os.getcwd()
+
+    # <default name="x" value="y"/> entries fill unset $vars
+    for d in root.findall("default"):
+        defaults.setdefault(d.get("name"), d.get("value"))
+
+    desc = {"shapes": [], "emitters": []}
+    settings = {
+        "width": 256, "height": 256, "spp": 16, "max_depth": 5,
+        "rr_depth": 5, "integrator": "path",
+    }
+    bsdf_registry: dict = {}
+
+    for b in root.findall("bsdf"):
+        _parse_bsdf(b, defaults, bsdf_registry)
+
+    integ = root.find("integrator")
+    if integ is not None:
+        itype = integ.get("type", "path")
+        settings["integrator"] = itype
+        p = _props(integ, defaults)
+        if "maxDepth" in p or "max_depth" in p:
+            md = int(p.get("maxDepth", p.get("max_depth")))
+            settings["max_depth"] = md if md > 0 else 16
+        if "rrDepth" in p or "rr_depth" in p:
+            settings["rr_depth"] = int(p.get("rrDepth", p.get("rr_depth")))
+
+    sensor = root.find("sensor")
+    if sensor is not None:
+        sp = _props(sensor, defaults)
+        stype = sensor.get("type", "perspective")
+        sdesc = {"type": stype, "fov": float(sp.get("fov", 45.0))}
+        if "to_world" in sp:
+            sdesc["to_world"] = sp["to_world"]
+        if stype == "thinlens":
+            sdesc["aperture_radius"] = float(sp.get("apertureRadius", sp.get("aperture_radius", 0.0)))
+            sdesc["focus_distance"] = float(sp.get("focusDistance", sp.get("focus_distance", 1.0)))
+        desc["sensor"] = sdesc
+        film = sensor.find("film")
+        if film is not None:
+            fp = _props(film, defaults)
+            settings["width"] = int(fp.get("width", 256))
+            settings["height"] = int(fp.get("height", 256))
+        sampler = sensor.find("sampler")
+        if sampler is not None:
+            pp = _props(sampler, defaults)
+            settings["spp"] = int(pp.get("sampleCount", pp.get("sample_count", 16)))
+            settings["sampler"] = sampler.get("type", "independent")
+
+    for sh in root.findall("shape"):
+        stype = sh.get("type")
+        if stype not in _SHAPES:
+            raise ValueError(f"unsupported shape type in XML: {stype}")
+        p = _props(sh, defaults)
+        sdesc = {"type": stype}
+        if "to_world" in p:
+            sdesc["to_world"] = p["to_world"]
+        if "filename" in p:
+            fn = p["filename"]
+            sdesc["filename"] = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
+        if stype == "sphere":
+            if "center" in p:
+                sdesc["center"] = p["center"]
+            if "radius" in p:
+                sdesc["radius"] = float(p["radius"])
+        b_el = sh.find("bsdf")
+        if b_el is not None:
+            sdesc["bsdf"] = _parse_bsdf(b_el, defaults, bsdf_registry)
+        else:
+            r = sh.find("ref")
+            if r is not None and r.get("id") in bsdf_registry:
+                sdesc["bsdf"] = bsdf_registry[r.get("id")]
+        e_el = sh.find("emitter")
+        if e_el is not None and e_el.get("type") == "area":
+            ep = _props(e_el, defaults)
+            sdesc["emitter"] = {"radiance": ep.get("radiance", [1.0, 1.0, 1.0])}
+        desc["shapes"].append(sdesc)
+
+    for e_el in root.findall("emitter"):
+        etype = e_el.get("type")
+        ep = _props(e_el, defaults)
+        if etype == "constant":
+            desc["emitters"].append({"type": "constant", "radiance": ep.get("radiance", [1, 1, 1])})
+        elif etype == "point":
+            ed = {"type": "point", "intensity": ep.get("intensity", [1, 1, 1])}
+            if "position" in ep:
+                ed["position"] = ep["position"]
+            elif "to_world" in ep:
+                ed["to_world"] = ep["to_world"]
+            desc["emitters"].append(ed)
+        elif etype == "directional":
+            desc["emitters"].append(
+                {"type": "directional", "irradiance": ep.get("irradiance", [1, 1, 1]),
+                 "direction": ep.get("direction", [0, 0, 1])}
+            )
+        elif etype == "spot":
+            ed = {"type": "spot", "intensity": ep.get("intensity", [1, 1, 1])}
+            if "to_world" in ep:
+                ed["to_world"] = ep["to_world"]
+            if "cutoffAngle" in ep or "cutoff_angle" in ep:
+                ed["cutoff_angle"] = float(ep.get("cutoffAngle", ep.get("cutoff_angle")))
+            desc["emitters"].append(ed)
+        elif etype in ("envmap", "sky", "sun", "sunsky"):
+            # graceful fallback until textured env emitters land: constant
+            desc["emitters"].append({"type": "constant", "radiance": ep.get("radiance", [1.0, 1.0, 1.0])})
+        else:
+            raise ValueError(f"unsupported emitter type in XML: {etype}")
+
+    medium = root.find("medium")
+    if medium is not None and medium.get("type") == "homogeneous":
+        mp = _props(medium, defaults)
+        phase = medium.find("phase")
+        g = 0.0
+        if phase is not None and phase.get("type") == "hg":
+            g = float(_props(phase, defaults).get("g", 0.0))
+        desc["medium"] = {
+            "sigma_a": mp.get("sigmaA", mp.get("sigma_a", [0.0] * 3)),
+            "sigma_s": mp.get("sigmaS", mp.get("sigma_s", [0.0] * 3)),
+            "g": g,
+        }
+
+    return desc, settings

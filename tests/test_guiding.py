@@ -80,8 +80,8 @@ def test_em_fit_recovers_vmf():
     u = jax.random.uniform(k, (n, 2))
     dirs = vmf_sample(u, jnp.broadcast_to(mu_true, (n, 3)), jnp.full((n,), 25.0))
     rec = PathRecord(
-        pos=jnp.full((1, n, 3), 0.5),
-        dir=dirs[None],
+        pos=jnp.full((1, 3, n), 0.5),
+        dir=jnp.transpose(dirs[None], (0, 2, 1)),
         li=jnp.ones((1, n)),
         pdf=jnp.ones((1, n)),
         valid=jnp.ones((1, n), dtype=bool),
@@ -105,16 +105,18 @@ def test_fit_statistics_linear_in_batches():
     g = _populated_grid()
     rs = np.random.RandomState(1)
     n = 4096
-    pos = jnp.asarray(rs.rand(1, n, 3), jnp.float32)
-    dirs = normalize(jnp.asarray(rs.randn(1, n, 3), jnp.float32))
+    pos = jnp.asarray(rs.rand(1, 3, n), jnp.float32)
+    dirs = jnp.transpose(
+        normalize(jnp.asarray(rs.randn(1, n, 3), jnp.float32)), (0, 2, 1)
+    )
     li = jnp.asarray(rs.rand(1, n), jnp.float32)
     pdf = jnp.full((1, n), 0.25)
     valid = jnp.ones((1, n), dtype=bool)
     rec = PathRecord(pos, dirs, li, pdf, valid)
     sw, sd, sc = accumulate_stats(g, rec)
     half = n // 2
-    rec_a = PathRecord(pos[:, :half], dirs[:, :half], li[:, :half], pdf[:, :half], valid[:, :half])
-    rec_b = PathRecord(pos[:, half:], dirs[:, half:], li[:, half:], pdf[:, half:], valid[:, half:])
+    rec_a = PathRecord(pos[:, :, :half], dirs[:, :, :half], li[:, :half], pdf[:, :half], valid[:, :half])
+    rec_b = PathRecord(pos[:, :, half:], dirs[:, :, half:], li[:, half:], pdf[:, half:], valid[:, half:])
     swa, sda, sca = accumulate_stats(g, rec_a)
     swb, sdb, scb = accumulate_stats(g, rec_b)
     np.testing.assert_allclose(np.asarray(sw), np.asarray(swa + swb), rtol=2e-5, atol=1e-5)

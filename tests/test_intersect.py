@@ -52,6 +52,7 @@ def test_bvh_matches_brute_sphere_mesh():
         n0=jnp.zeros((T, 3)), n1=jnp.zeros((T, 3)), n2=jnp.zeros((T, 3)),
         uv0=jnp.zeros((T, 2)), uv1=jnp.zeros((T, 2)), uv2=jnp.zeros((T, 2)),
         mat_id=jnp.zeros((T,), jnp.int32), emitter_id=jnp.full((T,), -1, jnp.int32),
+        shade_packed=jnp.zeros((T, 32)),
     )
     bvh = build_bvh(p0, e1, e2)
     o, d = random_rays(3000, seed=2, origin_box=3.0)
@@ -87,6 +88,7 @@ def test_sphere_hit_distance_analytic():
         n0=jnp.zeros((T, 3)), n1=jnp.zeros((T, 3)), n2=jnp.zeros((T, 3)),
         uv0=jnp.zeros((T, 2)), uv1=jnp.zeros((T, 2)), uv2=jnp.zeros((T, 2)),
         mat_id=jnp.zeros((T,), jnp.int32), emitter_id=jnp.full((T,), -1, jnp.int32),
+        shade_packed=jnp.zeros((T, 32)),
     )
     bvh = build_bvh(p0, e1, e2)
     o = jnp.array([[0.0, 0.0, -5.0]])
