@@ -46,7 +46,7 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
     this code shape compiles ~2x faster per wave than the plain
     sample-then-continue form; see tools/ablate.py.)"""
 
-    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe):
+    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe, tex=None):
         from mitsuba_path_guiding_tpu.guiding.grid import (
             _gather_cells,
             _mixture_pdf,
@@ -60,7 +60,7 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
         a = jnp.where(usable, alpha, 0.0)
 
         # BSDF branch (also supplies the delta path)
-        bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types)
+        bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types, tex=tex)
         # guiding branch
         d_guided = _mixture_sample(params, u_lobe, u3[..., 0:2])
         wo_guided = frame.to_local(d_guided)
@@ -70,7 +70,7 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
         wo_world = frame.to_world(wo_local)
 
         # combined density at the ONE chosen direction (skip for delta lobes)
-        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local, types=mat_types)
+        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local, types=mat_types, tex=tex)
         pdf_g = _mixture_pdf(params, wo_world)
         pdf_comb = a * pdf_g + (1.0 - a) * pdf_b
         w_smooth = f / jnp.maximum(pdf_comb, 1e-8)[..., None]

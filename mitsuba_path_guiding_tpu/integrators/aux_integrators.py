@@ -1,0 +1,158 @@
+"""Auxiliary integrators: direct illumination, ambient occlusion, field/AOV
+extraction, and adaptive sampling.
+
+Counterparts of the reference's utility integrators:
+  - direct  -> src/integrators/direct/direct.cpp (MIS direct lighting)
+  - ao      -> src/integrators/direct/ao.cpp (cosine-weighted occlusion)
+  - field   -> src/integrators/misc/field.cpp:58-105 (position/normal/
+               albedo/distance/uv/shapeIndex AOVs feeding the denoiser)
+  - adaptive-> src/integrators/misc/adaptive.cpp:72-90 (per-pixel
+               statistical stopping; here a variance-driven sample budget
+               reallocation pass)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.accel.traverse import intersect_brute, occluded_brute
+from mitsuba_path_guiding_tpu.core import rng
+from mitsuba_path_guiding_tpu.core.math import Frame, dot, normalize
+from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+from mitsuba_path_guiding_tpu.core.warp import square_to_cosine_hemisphere
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render_wave
+from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+
+def render_direct(scene: SceneData, cfg: RenderConfig):
+    """Direct illumination (emitter hits + one NEE vertex): the reference's
+    ``direct`` plugin == a depth-1 path trace with MIS."""
+    from mitsuba_path_guiding_tpu.integrators.render import render
+
+    return render(scene, cfg._replace(max_depth=1))
+
+
+def render_ao(scene: SceneData, cfg: RenderConfig, ray_length: float = 0.0):
+    """Cosine-weighted ambient occlusion (reference ao.cpp: shadingSamples
+    over the hemisphere, optional maximum ray length)."""
+    if ray_length <= 0.0:
+        ext = scene.aabb_max - scene.aabb_min
+        ray_length = float(jnp.linalg.norm(ext)) * 0.5
+
+    n_pix = cfg.width * cfg.height
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    key = rng.base_key(cfg.seed)
+    acc = jnp.zeros((n_pix,))
+    for s in range(cfg.spp):
+        rkeys = rng.ray_keys(key, pix, jnp.full_like(pix, s))
+        u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
+        o, d, _ = generate_rays(scene.sensor, cfg.width, cfg.height, pix, u_cam)
+        hit = intersect_brute(scene.geo, o, d)
+        t_hit = jnp.where(hit.valid, hit.t, 1.0)
+        p = o + t_hit[..., None] * d
+        prim = jnp.maximum(hit.prim, 0)
+        row = scene.geo.shade_packed[prim].T
+        ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
+        ng = jnp.where(dot(ng, -d)[..., None] < 0.0, -ng, ng)
+        u = rng.bounce_uniform(rkeys, 0, 2)
+        wo_local = square_to_cosine_hemisphere(u)
+        wo = Frame.from_normal(ng).to_world(wo_local)
+        occ = occluded_brute(
+            scene.geo, p + ng * 1e-4, wo, jnp.full((n_pix,), ray_length)
+        )
+        vis = jnp.where(hit.valid, 1.0 - occ.astype(jnp.float32), 0.0)
+        acc = acc + vis
+    img = (acc / cfg.spp).reshape(cfg.height, cfg.width)
+    return jnp.repeat(img[..., None], 3, axis=-1)
+
+
+def render_field(scene: SceneData, cfg: RenderConfig, field: str = "position"):
+    """AOV extraction (reference field.cpp fields): position, distance,
+    geo_normal, sh_normal, uv, albedo, prim_index."""
+    n_pix = cfg.width * cfg.height
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    key = rng.base_key(cfg.seed)
+    rkeys = rng.ray_keys(key, pix, jnp.zeros_like(pix))
+    u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2) * 0.0 + 0.5  # pixel centers
+    o, d, _ = generate_rays(scene.sensor, cfg.width, cfg.height, pix, u_cam)
+    hit = intersect_brute(scene.geo, o, d)
+    t_hit = jnp.where(hit.valid, hit.t, 0.0)
+    p = o + t_hit[..., None] * d
+    prim = jnp.maximum(hit.prim, 0)
+    row = scene.geo.shade_packed[prim].T
+    valid3 = hit.valid[..., None]
+
+    if field == "position":
+        out = jnp.where(valid3, p, 0.0)
+    elif field == "distance":
+        out = jnp.repeat(t_hit[..., None], 3, axis=-1)
+    elif field == "geo_normal":
+        out = jnp.where(valid3, jnp.stack([row[0], row[1], row[2]], -1), 0.0)
+    elif field == "sh_normal":
+        b0 = 1.0 - hit.u - hit.v
+        ns = normalize(
+            jnp.stack(
+                [
+                    b0 * row[3] + hit.u * row[6] + hit.v * row[9],
+                    b0 * row[4] + hit.u * row[7] + hit.v * row[10],
+                    b0 * row[5] + hit.u * row[8] + hit.v * row[11],
+                ],
+                axis=-1,
+            )
+        )
+        out = jnp.where(valid3, ns, 0.0)
+    elif field == "uv":
+        b0 = 1.0 - hit.u - hit.v
+        uu = b0 * row[12] + hit.u * row[14] + hit.v * row[16]
+        vv = b0 * row[13] + hit.u * row[15] + hit.v * row[17]
+        out = jnp.stack([uu, vv, jnp.zeros_like(uu)], axis=-1)
+    elif field == "albedo":
+        from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+
+        mid = row[18].astype(jnp.int32)
+        out = jnp.where(valid3, bsdf_mod.albedo(scene.mats, mid), 0.0)
+    elif field == "prim_index":
+        out = jnp.repeat(hit.prim.astype(jnp.float32)[..., None], 3, axis=-1)
+    else:
+        raise ValueError(f"unknown field: {field}")
+    return out.reshape(cfg.height, cfg.width, 3)
+
+
+def render_adaptive(
+    scene: SceneData,
+    cfg: RenderConfig,
+    base_spp: int = 8,
+    extra_spp: int = 24,
+    max_error: float = 0.05,
+    guide=None,
+    guide_state=None,
+):
+    """Two-phase adaptive sampling (reference adaptive.cpp reimagined for
+    wavefronts): a pilot pass estimates per-pixel relative error; pixels
+    above ``max_error`` receive the extra budget (whole-wave re-render of
+    the worst pixels — static shapes, dynamic effect)."""
+    n_pix = cfg.width * cfg.height
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    s1 = jnp.zeros((n_pix, 3))
+    s2 = jnp.zeros((n_pix,))
+    for s in range(base_spp):
+        sidx = jnp.full_like(pix, s)
+        _, L, _ = render_wave(scene, cfg, pix, sidx, guide, guide_state)
+        s1 = s1 + L
+        s2 = s2 + jnp.sum(L, -1) ** 2
+    mean = jnp.sum(s1, -1) / (3 * base_spp)
+    var = jnp.maximum(s2 / base_spp - (jnp.sum(s1, -1) / base_spp) ** 2, 0.0)
+    rel_err = jnp.sqrt(var / base_spp) / jnp.maximum(jnp.sum(s1, -1) / base_spp, 1e-3)
+
+    # rank pixels by error; re-render the worst third with the extra budget
+    n_hard = max(n_pix // 3, 1)
+    hard = jnp.argsort(-rel_err)[:n_hard].astype(jnp.int32)
+    extra_count = jnp.zeros((n_pix,)).at[hard].set(float(extra_spp))
+    for s in range(extra_spp):
+        sidx = jnp.full((n_hard,), base_spp + s, dtype=jnp.int32)
+        _, L, _ = render_wave(scene, cfg, hard, sidx, guide, guide_state)
+        s1 = s1.at[hard].add(L)
+    total = base_spp + extra_count
+    img = s1 / total[..., None]
+    return img.reshape(cfg.height, cfg.width, 3), rel_err.reshape(cfg.height, cfg.width)

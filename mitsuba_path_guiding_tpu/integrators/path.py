@@ -87,6 +87,7 @@ def _offset_ray(p, ng, d):
         "guide",
         "em_kinds",
         "mat_types",
+        "textured",
     ),
 )
 def trace(
@@ -103,6 +104,7 @@ def trace(
     record_paths: bool = False,
     em_kinds=em_mod.ALL_KINDS,
     mat_types=bsdf_mod.ALL_TYPES,
+    textured: bool = False,
 ):
     """Trace one wavefront to completion.
 
@@ -144,9 +146,9 @@ def trace(
 
         # --- environment on escape, MIS vs NEE (path.cpp:141,226-244);
         # with NEE off the BSDF strategy is the only one -> weight 1
-        env_L = em_mod.eval_env(em, d)
+        env_L = em_mod.eval_env(em, d, kinds=em_kinds)
         if use_nee:
-            pdf_nee_env = em_mod.pdf_env(em)
+            pdf_nee_env = em_mod.pdf_env(em, d, kinds=em_kinds)
             w_env = jnp.where(
                 prev_delta,
                 1.0,
@@ -158,7 +160,10 @@ def trace(
 
         act = alive & hit.valid
         prim = jnp.maximum(hit.prim, 0)
-        p = o + hit.t[..., None] * d
+        # sanitized hit distance: t = INF on miss lanes would produce
+        # p = inf and NaN-poison reverse-mode AD through the masked maths
+        t_hit = jnp.where(hit.valid, hit.t, 1.0)
+        p = o + t_hit[..., None] * d
         # ONE packed row gather for all per-hit data (see Geometry layout)
         row = geo.shade_packed[prim].T  # (32, N)
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
@@ -177,6 +182,24 @@ def trace(
         ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
         mid = row[18].astype(jnp.int32)
         is_emitter = row[19] >= 0.0
+        if textured:
+            # bilinear reflectance override from the atlas (textures/bitmap.cpp)
+            from mitsuba_path_guiding_tpu.models.texture import sample_atlas
+
+            uv_hit = jnp.stack(
+                [
+                    b0 * row[12] + hit.u * row[14] + hit.v * row[16],
+                    b0 * row[13] + hit.u * row[15] + hit.v * row[17],
+                ],
+                axis=-1,
+            )
+            tid = scene.mats.texture_id[mid]
+            tex = (
+                sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit),
+                tid >= 0,
+            )
+        else:
+            tex = None
 
         # --- emissive hit with MIS against NEE (path.cpp:163-174,209-258);
         # emitted radiance / pmf / area are baked into the packed row
@@ -187,7 +210,7 @@ def trace(
             0.0,
         )
         if use_nee:
-            dist2 = hit.t * hit.t
+            dist2 = t_hit * t_hit
             pdf_nee_hit = row[23] * dist2 / jnp.maximum(
                 jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
             )
@@ -213,7 +236,7 @@ def trace(
         if use_nee:
             ds = em_mod.sample_direct_jit(em, geo, p, u[..., 0:3], kinds=em_kinds)
             wo_local_nee = frame.to_local(ds.direction)
-            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types)
+            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex)
             o_sh = _offset_ray(p, ng, ds.direction)
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
             occ = shadow_occluded(o_sh, ds.direction, t_sh)
@@ -224,7 +247,7 @@ def trace(
 
         # --- BSDF (or guided) sampling
         if guide is None:
-            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
+            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types, tex=tex)
             wo_world = frame.to_world(bs.wo)
             next_pdf = bs.pdf
             next_weight = bs.weight
@@ -240,6 +263,7 @@ def trace(
                 u[..., 3:6],
                 u[..., 6],
                 u[..., 7],
+                tex,
             )
 
         T_new = T * next_weight

@@ -78,14 +78,20 @@ class ProgressiveRenderer:
         self.mat_types = types_present(scene.mats)
         if cfg.guiding:
             self.guide_fn = make_guide_fn(cfg.guide_alpha, mat_types=self.mat_types)
+        from mitsuba_path_guiding_tpu.utils.stats import StatsRegistry
+
+        self.stats = StatsRegistry()
 
     def _wave(self, pixel_id, sample_idx, train: bool):
         r = self.cfg.render
         key = rng.base_key(r.seed)
         rkeys = rng.ray_keys(key, pixel_id, sample_idx)
         u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+        from mitsuba_path_guiding_tpu.integrators.render import camera_jitter
+
+        u_pos = camera_jitter(r, pixel_id * 0 + sample_idx, u_cam)
         o, d, film_xy = generate_rays(
-            self.scene.sensor, r.width, r.height, pixel_id, u_cam[..., 0:2], u_cam[..., 2:4]
+            self.scene.sensor, r.width, r.height, pixel_id, u_pos, u_cam[..., 2:4]
         )
         guide = self.guide_fn if (self.grid is not None) else None
         L, aux, rec = trace(
@@ -120,14 +126,23 @@ class ProgressiveRenderer:
         all_pixels = jnp.arange(n_pix, dtype=jnp.int32)
         rgbw = self.film.rgb_weight
         records = []
+        seg_total = 0
+        lane_total = 0
         for batch_start in range(0, n_pix, r.pixel_batch):
             pix = all_pixels[batch_start : batch_start + r.pixel_batch]
             for s in range(cfg.samples_per_progression):
                 sidx = jnp.full_like(pix, self.sample_counter + s)
                 film_xy, L, aux, rec = self._wave(pix, sidx, training)
                 rgbw = splat(rgbw, film_xy, L, r.width, r.height, r.filter_name)
+                seg_total += int(jnp.sum(aux.n_bounces))
+                lane_total += int(pix.shape[0])
                 if rec is not None:
                     records.append(rec)
+        # reference StatsCounter parity: avgPathLength
+        # (progressive_volpath.cpp:26,371) + ray/sample totals
+        self.stats.add("samples", lane_total)
+        self.stats.add("rays traced", seg_total * (2 if r.use_nee else 1))
+        self.stats.average("avg path length", seg_total, max(lane_total, 1))
         self.film = Film(rgb_weight=rgbw, width=r.width, height=r.height)
         self.sample_counter += cfg.samples_per_progression
 

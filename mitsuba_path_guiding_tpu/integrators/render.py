@@ -28,6 +28,21 @@ from mitsuba_path_guiding_tpu.scene.types import SceneData
 BRUTE_FORCE_MAX_TRIS = 16384
 
 
+def camera_jitter(cfg, sample_idx, u_cam):
+    """Sub-pixel jitter by sampler type (reference sampler plugin family):
+    independent (pure random), stratified grid, or Halton(2,3) with
+    per-pixel Cranley-Patterson rotation — all counter-based."""
+    if cfg.sampler == "halton":
+        from mitsuba_path_guiding_tpu.core.qmc import halton_2d
+
+        return halton_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
+    if cfg.sampler == "stratified":
+        from mitsuba_path_guiding_tpu.core.qmc import stratified_2d
+
+        return stratified_2d(sample_idx, max(cfg.spp, 16), u_cam[..., 0:2])
+    return u_cam[..., 0:2]
+
+
 class RenderConfig(NamedTuple):
     width: int = 256
     height: int = 256
@@ -43,6 +58,9 @@ class RenderConfig(NamedTuple):
     pixel_batch: int = 1 << 17        # max pixels per wave (memory bound)
     integrator: str = "path"          # "path" | "volpath" (auto-upgrades
                                       # to volpath when the scene has a medium)
+    sampler: str = "independent"      # "independent" | "stratified" | "halton"
+                                      # (camera-jitter dims; reference
+                                      # src/samplers/ family)
 
 
 def render_wave(
@@ -79,12 +97,13 @@ def render_wave(
     key = rng.base_key(cfg.seed)
     rkeys = rng.ray_keys(key, pixel_id, sample_idx)
     u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+    u_pos = camera_jitter(cfg, sample_idx, u_cam)
     o, d, film_xy = generate_rays(
         scene.sensor,
         cfg.width,
         cfg.height,
         pixel_id,
-        u_cam[..., 0:2],
+        u_pos,
         u_lens=u_cam[..., 2:4],
     )
     use_volpath = cfg.integrator == "volpath" or (
@@ -121,6 +140,7 @@ def render_wave(
             guide_state=guide_state,
             em_kinds=em_kinds,
             mat_types=mat_types,
+            textured=int(scene.textures.shape[0] * scene.textures.shape[1]) > 1,
         )
     if cfg.max_component_value > 0.0:
         # fork firefly clamp (progressiveintegrator.cpp:274-276)

@@ -137,12 +137,15 @@ def trace_vol(
         # escaped: w_surface with t=INF -> 0 unless sigma_t == 0
 
         # --- environment on escape
-        env_L = em_mod.eval_env(em, d)
+        env_L = em_mod.eval_env(em, d, kinds=em_kinds)
         if use_nee:
             w_env = jnp.where(
                 prev_delta,
                 1.0,
-                power_heuristic(prev_pdf, jnp.broadcast_to(em_mod.pdf_env(em), prev_pdf.shape)),
+                power_heuristic(
+                    prev_pdf,
+                    jnp.broadcast_to(em_mod.pdf_env(em, d, kinds=em_kinds), prev_pdf.shape),
+                ),
             )
         else:
             w_env = jnp.ones_like(prev_pdf)
@@ -150,7 +153,9 @@ def trace_vol(
 
         # --- surface shading point (single packed row gather, see Geometry)
         prim = jnp.maximum(hit.prim, 0)
-        p_surf = o + hit.t[..., None] * d
+        # sanitized hit distance (miss lanes: INF would NaN-poison AD)
+        t_hit = jnp.where(hit.valid, hit.t, 1.0)
+        p_surf = o + t_hit[..., None] * d
         row = geo.shade_packed[prim].T  # (32, N)
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
@@ -177,7 +182,7 @@ def trace_vol(
             0.0,
         )
         if use_nee:
-            d2h = hit.t * hit.t
+            d2h = t_hit * t_hit
             pdf_nee_hit = row[23] * d2h / jnp.maximum(
                 jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
             )

@@ -73,14 +73,20 @@ class _P(NamedTuple):
     alpha: jnp.ndarray
 
 
-def gather_params(mats: Materials, mid: jnp.ndarray) -> _P:
+def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
     """Single packed row gather (see Materials.packed layout) — separate
-    field gathers materialize lane-padded (N,3) arrays on TPU."""
+    field gathers materialize lane-padded (N,3) arrays on TPU.
+    ``tex``: optional (rgb (N,3), mask (N,)) reflectance override from the
+    texture atlas (reference Texture::eval at the shading point)."""
     row = mats.packed[mid].T  # (16, N)
     v3 = lambda a: jnp.stack([row[a], row[a + 1], row[a + 2]], axis=-1)
+    refl = v3(1)
+    if tex is not None:
+        t_rgb, t_mask = tex
+        refl = jnp.where(t_mask[..., None], t_rgb, refl)
     return _P(
         type=row[0].astype(jnp.int32),
-        refl=v3(1),
+        refl=refl,
         spec=v3(4),
         eta=v3(7),
         k=v3(10),
@@ -317,9 +323,9 @@ def types_present(mats: Materials):
     return tuple(sorted(set(np.asarray(mats.type).tolist())))
 
 
-def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES):
+def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
     """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats."""
-    p = gather_params(mats, mid)
+    p = gather_params(mats, mid, tex)
     wi2, s = _flip_two_sided(p, wi)
     wo2 = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
     f = jnp.zeros(wi.shape)
@@ -349,13 +355,13 @@ def albedo_raw(mats: Materials, mid):
     return a
 
 
-def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES) -> BSDFSample:
+def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSample:
     """Sample the families on the wavefront, select by type.  ``types`` is
     a static tuple of BSDFType values present — absent families compile
     away entirely (the scene builder knows the material set)."""
     T = BSDFType
     has = lambda *ts: any(t in types for t in ts)
-    p = gather_params(mats, mid)
+    p = gather_params(mats, mid, tex)
     wi2, s = _flip_two_sided(p, wi)
     u2 = u[..., 0:2]
     ul = u[..., 2]

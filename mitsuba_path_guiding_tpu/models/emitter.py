@@ -144,6 +144,19 @@ def sample_direct(
         dir_dl = -jnp.stack([row[5], row[6], row[7]], axis=-1)
         put(kind == EmitterKind.DIRECTIONAL, dir_dl, jnp.full((n,), INFD), rad, pmf, true)
 
+    if EmitterKind.ENVMAP in kinds:
+        from mitsuba_path_guiding_tpu.models.envmap import env_sample
+
+        d_env, pdf_tex, rad_env = env_sample(em, u2)
+        put(
+            kind == EmitterKind.ENVMAP,
+            d_env,
+            jnp.full((n,), INFD),
+            rad_env,
+            pmf * pdf_tex,
+            false,
+        )
+
     return DirectSample(
         direction=direction,
         distance=distance,
@@ -178,14 +191,24 @@ def pdf_direct_hit(em: Emitters, geo: Geometry, eid, p, q, wo_world):
     return jnp.where(eid >= 0, pdf, 0.0)
 
 
-def pdf_env(em: Emitters):
-    """Solid-angle NEE pdf of sampling the environment in a given direction
-    (constant env: uniform; 0 when the scene has no env emitter)."""
+def pdf_env(em: Emitters, d=None, kinds=None):
+    """Solid-angle NEE pdf of sampling the environment toward ``d``.
+
+    Constant env: uniform scalar (env_pdf = pick_pmf / 4pi).  Textured env
+    (ENVMAP in ``kinds``): pick_pmf (stored in env_pdf) x per-texel pdf."""
+    if kinds is not None and EmitterKind.ENVMAP in kinds:
+        from mitsuba_path_guiding_tpu.models.envmap import env_pdf_dir
+
+        return em.env_pdf * env_pdf_dir(em, d)
     return em.env_pdf
 
 
-def eval_env(em: Emitters, wo_world):
+def eval_env(em: Emitters, wo_world, kinds=None):
     """Environment radiance for escaped rays."""
+    if kinds is not None and EmitterKind.ENVMAP in kinds:
+        from mitsuba_path_guiding_tpu.models.envmap import env_eval
+
+        return env_eval(em, wo_world)
     return jnp.broadcast_to(em.env_radiance, wo_world.shape)
 
 

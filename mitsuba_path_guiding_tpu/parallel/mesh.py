@@ -55,8 +55,11 @@ def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample
     key = rng.base_key(cfg.seed)
     rkeys = rng.ray_keys(key, pixel_id, sample_idx)
     u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+    from mitsuba_path_guiding_tpu.integrators.render import camera_jitter
+
+    u_pos = camera_jitter(cfg, sample_idx, u_cam)
     o, d, film_xy = generate_rays(
-        scene.sensor, cfg.width, cfg.height, pixel_id, u_cam[..., 0:2], u_cam[..., 2:4]
+        scene.sensor, cfg.width, cfg.height, pixel_id, u_pos, u_cam[..., 2:4]
     )
     L, aux, rec = trace(
         scene,

@@ -131,6 +131,7 @@ def main(argv=None):
     renderer.cfg.on_postprogression = progress
     img = renderer.render()
     log(f"render time: {time.time() - t0:.1f}s")
+    log(renderer.stats.report())
 
     if args.checkpoint:
         from mitsuba_path_guiding_tpu.utils.checkpoint import save_renderer_state

@@ -73,8 +73,11 @@ def _rgb(x, default):
     return np.full(3, float(x)) if x.ndim == 0 else x
 
 
-def _compile_bsdf(spec: dict):
-    """One material table row from a bsdf dict."""
+def _compile_bsdf(spec: dict, textures: list | None = None):
+    """One material table row from a bsdf dict.  A "texture" sub-dict
+    ({"type": "bitmap", "filename"|"image"} or "checkerboard"/
+    "gridtexture") rasterizes into the scene's atlas and overrides the
+    reflectance at shading time (reference src/textures/)."""
     t = spec.get("type", "diffuse")
     if t not in _BSDF_TYPES:
         raise ValueError(f"unknown bsdf type: {t}")
@@ -87,6 +90,22 @@ def _compile_bsdf(spec: dict):
         "alpha": float(spec.get("alpha", 0.1)),
         "texture_id": -1,
     }
+    tex = spec.get("texture")
+    if tex is not None and textures is not None:
+        from mitsuba_path_guiding_tpu.models.texture import rasterize_procedural
+
+        tt = tex.get("type", "bitmap")
+        if tt == "bitmap":
+            if "image" in tex:
+                img = np.asarray(tex["image"], dtype=np.float32)
+            else:
+                from mitsuba_path_guiding_tpu.util import _read
+
+                img = _read(tex["filename"])
+        else:
+            img = rasterize_procedural(tex)
+        textures.append(img)
+        row["texture_id"] = len(textures) - 1
     if t in ("conductor", "roughconductor"):
         mat = spec.get("material", None)
         if mat is not None or "eta" not in spec:
@@ -118,9 +137,10 @@ def build_scene(desc: dict) -> SceneData:
     # ---- materials (dedup by content) and triangle soup
     mat_rows: list[dict] = []
     mat_cache: dict[str, int] = {}
+    texture_images: list = []
 
     def mat_index(bspec):
-        row = _compile_bsdf(bspec or {"type": "diffuse"})
+        row = _compile_bsdf(bspec or {"type": "diffuse"}, texture_images)
         key = repr(sorted((k, repr(v)) for k, v in row.items()))
         if key not in mat_cache:
             mat_cache[key] = len(mat_rows)
@@ -166,14 +186,34 @@ def build_scene(desc: dict) -> SceneData:
             tri_emitter.extend([-1] * nf)
 
     env_id = -1
+    env_tables = None
+    env_kind = None
     for espec in desc.get("emitters", []):
         t = espec["type"]
-        if t == "constant":
+        if t == "envmap":
+            from mitsuba_path_guiding_tpu.models.envmap import build_env_tables
+
+            if "image" in espec:
+                img = np.asarray(espec["image"], dtype=np.float32)
+            else:
+                from mitsuba_path_guiding_tpu.util import _read
+
+                img = _read(espec["filename"])
+            sc_f = float(espec.get("scale", 1.0))
+            env_tables = build_env_tables(img, sc_f)
+            mean_lum = float((img @ np.asarray(LUM_WEIGHTS)).mean()) * sc_f
+            env_id = add_emitter(
+                EmitterKind.ENVMAP, [mean_lum] * 3,
+                power=mean_lum * 4 * np.pi,
+            )
+            env_kind = EmitterKind.ENVMAP
+        elif t == "constant":
             rad = _rgb(espec.get("radiance"), [1.0, 1.0, 1.0])
             env_id = add_emitter(
                 EmitterKind.CONSTANT, rad,
                 power=float(np.dot(rad, np.asarray(LUM_WEIGHTS))) * 4 * np.pi,
             )
+            env_kind = EmitterKind.CONSTANT
         elif t == "point":
             inten = _rgb(espec.get("intensity"), [1.0, 1.0, 1.0])
             pos = np.asarray(espec.get("position", _to_world(espec)[:3, 3]), dtype=np.float64)
@@ -294,12 +334,22 @@ def build_scene(desc: dict) -> SceneData:
     epk[:, 17:20] = np.where(has_tri[:, None], h["e1"][ei], 0.0)
     epk[:, 20:23] = np.where(has_tri[:, None], h["e2"][ei], 0.0)
     epk[:, 23:26] = np.where(has_tri[:, None], gn[ei], 0.0)
-    if env_id >= 0:
+    from mitsuba_path_guiding_tpu.models.envmap import constant_env_tables
+
+    if env_id >= 0 and env_kind == EmitterKind.ENVMAP:
+        env_radiance = np.asarray(em["radiance"][env_id], dtype=np.float32)
+        # for ENVMAP env_pdf stores the emitter-pick pmf; the directional
+        # factor comes from env_pdf_tex (models/envmap.py)
+        env_pdf = np.float32(pmf[env_id])
+        tables = env_tables
+    elif env_id >= 0:
         env_radiance = np.asarray(em["radiance"][env_id], dtype=np.float32)
         env_pdf = np.float32(pmf[env_id] / (4.0 * np.pi))
+        tables = constant_env_tables(env_radiance)
     else:
         env_radiance = np.zeros(3, dtype=np.float32)
         env_pdf = np.float32(0.0)
+        tables = constant_env_tables(env_radiance)
     emitters = Emitters(
         kind=jnp.asarray(np.asarray(em["kind"], dtype=np.int32)),
         tri=jnp.asarray(np.asarray(em["tri"], dtype=np.int32)),
@@ -313,6 +363,7 @@ def build_scene(desc: dict) -> SceneData:
         env_radiance=jnp.asarray(env_radiance),
         env_pdf=jnp.asarray(env_pdf),
         packed=jnp.asarray(epk),
+        **tables,
     )
 
     sspec = desc.get("sensor", {})
@@ -348,8 +399,13 @@ def build_scene(desc: dict) -> SceneData:
     lo = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
     hi = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
     pad = 1e-3 * (hi - lo).max() + 1e-6
+    from mitsuba_path_guiding_tpu.models.texture import build_atlas
+
+    atlas, sizes = build_atlas(texture_images)
     return SceneData(
         geo=geo, bvh=bvh, mats=mats, emitters=emitters, sensor=sensor, medium=medium,
         aabb_min=jnp.asarray((lo - pad).astype(np.float32)),
         aabb_max=jnp.asarray((hi + pad).astype(np.float32)),
+        textures=atlas,
+        texture_sizes=sizes,
     )

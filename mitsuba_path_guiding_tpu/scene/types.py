@@ -120,7 +120,13 @@ class Emitters(NamedTuple):
     pmf: jnp.ndarray         # (E,)
     cdf: jnp.ndarray         # (E,)
     env_radiance: jnp.ndarray  # (3,) constant-env radiance (zeros if none)
-    env_pdf: jnp.ndarray       # () solid-angle NEE pdf of env dir (0 if none)
+    env_pdf: jnp.ndarray       # () uniform-sphere NEE pdf (constant env)
+    # textured environment (reference src/emitters/envmap.cpp importance
+    # sampling): lat-long image + row/col CDF tables; (1,1) when absent
+    env_image: jnp.ndarray     # (He, We, 3)
+    env_cdf_rows: jnp.ndarray  # (He,) marginal CDF over rows
+    env_cdf_cols: jnp.ndarray  # (He, We) conditional CDFs per row
+    env_pdf_tex: jnp.ndarray   # (He, We) solid-angle pdf per texel (x pmf)
     packed: jnp.ndarray        # (E, 32) single-gather NEE table:
     # 0 kind, 1 pmf, 2:5 radiance, 5:8 position/direction, 8:11 spot axis,
     # 11:13 cutoffs, 13 area, 14:17 tri p0, 17:20 tri e1, 20:23 tri e2,
@@ -159,6 +165,8 @@ class SceneData(NamedTuple):
     medium: Optional[MediumData]
     aabb_min: jnp.ndarray  # (3,) scene bounds (guiding grid domain)
     aabb_max: jnp.ndarray
+    textures: jnp.ndarray       # (NT, TH, TW, 3) bitmap atlas ((1,1,1,3) if none)
+    texture_sizes: jnp.ndarray  # (NT, 2) actual (h, w) per texture
 
 
 def pad_to(arr: np.ndarray, n: int, fill=0):

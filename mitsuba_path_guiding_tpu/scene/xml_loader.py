@@ -157,6 +157,15 @@ def _parse_bsdf(el, defaults, bsdf_registry):
     for k, v in p.items():
         if k in ren:
             b[ren[k]] = v
+    # nested <texture name="reflectance" type="bitmap|checkerboard|...">
+    tex_el = el.find("texture")
+    if tex_el is not None:
+        tp = _props(tex_el, defaults)
+        tex = {"type": tex_el.get("type", "bitmap")}
+        for key in ("filename", "uscale", "vscale", "color0", "color1"):
+            if key in tp:
+                tex[key] = tp[key]
+        b["texture"] = tex
     if "exponent" in b:  # phong exponent -> alpha
         expn = float(b.pop("exponent"))
         b["alpha"] = float(np.sqrt(2.0 / (expn + 2.0)))
@@ -281,8 +290,14 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
             if "cutoffAngle" in ep or "cutoff_angle" in ep:
                 ed["cutoff_angle"] = float(ep.get("cutoffAngle", ep.get("cutoff_angle")))
             desc["emitters"].append(ed)
-        elif etype in ("envmap", "sky", "sun", "sunsky"):
-            # graceful fallback until textured env emitters land: constant
+        elif etype == "envmap":
+            ed = {"type": "envmap", "scale": float(ep.get("scale", 1.0))}
+            fn = ep.get("filename")
+            if fn:
+                ed["filename"] = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
+            desc["emitters"].append(ed)
+        elif etype in ("sky", "sun", "sunsky"):
+            # graceful fallback until the Hosek-Wilkie model lands: constant
             desc["emitters"].append({"type": "constant", "radiance": ep.get("radiance", [1.0, 1.0, 1.0])})
         else:
             raise ValueError(f"unsupported emitter type in XML: {etype}")
