@@ -21,11 +21,35 @@ TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
 
 
-def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
-    """Build from triangle (p0, e1, e2) arrays; returns flat BVH arrays."""
+def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, use_native: bool = True) -> BVH:
+    """Build from triangle (p0, e1, e2) arrays; returns flat BVH arrays.
+
+    Prefers the C++ builder (cpp/bvh_builder.cpp via accel/native.py,
+    ~100x faster); this Python path is the reference implementation and
+    fallback."""
     import jax.numpy as jnp
 
     T = p0.shape[0]
+    if use_native:
+        v0, v1, v2 = p0, p0 + e1, p0 + e2
+        extent = float(
+            (np.maximum(np.maximum(v0, v1), v2).max(axis=0)
+             - np.minimum(np.minimum(v0, v1), v2).min(axis=0)).max()
+        )
+        pad = 1e-6 * max(extent, 1.0)
+        from mitsuba_path_guiding_tpu.accel.native import build_bvh_native
+
+        out = build_bvh_native(p0, e1, e2, pad)
+        if out is not None:
+            node_min, node_max, child0, child1, prim_idx, max_depth = out
+            return BVH(
+                node_min=jnp.asarray(node_min),
+                node_max=jnp.asarray(node_max),
+                child0=jnp.asarray(child0),
+                child1=jnp.asarray(child1),
+                prim_idx=jnp.asarray(prim_idx),
+                max_depth=max_depth + 2,
+            )
     v0, v1, v2 = p0, p0 + e1, p0 + e2
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)

@@ -81,4 +81,5 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
         pdf = jnp.where(use_bsdf_native, bs.pdf, pdf_comb)
         return wo_world, pdf, weight, bs.is_delta
 
+    guide.alpha = alpha  # exposed for medium-event mixing (volpath)
     return guide

@@ -94,21 +94,40 @@ class ProgressiveRenderer:
             self.scene.sensor, r.width, r.height, pixel_id, u_pos, u_cam[..., 2:4]
         )
         guide = self.guide_fn if (self.grid is not None) else None
-        L, aux, rec = trace(
-            self.scene,
-            o,
-            d,
-            rkeys,
-            max_depth=r.max_depth,
-            rr_depth=r.rr_depth,
-            use_nee=r.use_nee,
-            use_bvh=self.use_bvh,
-            guide=guide,
-            guide_state=self.grid,
-            record_paths=train and self.grid is not None,
-            em_kinds=self.em_kinds,
-            mat_types=self.mat_types,
-        )
+        if self.scene.medium.enabled or r.integrator == "volpath":
+            from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
+
+            L, aux, rec = trace_vol(
+                self.scene,
+                o,
+                d,
+                rkeys,
+                max_depth=r.max_depth,
+                rr_depth=r.rr_depth,
+                use_nee=r.use_nee,
+                use_bvh=self.use_bvh,
+                guide=guide,
+                guide_state=self.grid,
+                record_paths=train and self.grid is not None,
+                em_kinds=self.em_kinds,
+                mat_types=self.mat_types,
+            )
+        else:
+            L, aux, rec = trace(
+                self.scene,
+                o,
+                d,
+                rkeys,
+                max_depth=r.max_depth,
+                rr_depth=r.rr_depth,
+                use_nee=r.use_nee,
+                use_bvh=self.use_bvh,
+                guide=guide,
+                guide_state=self.grid,
+                record_paths=train and self.grid is not None,
+                em_kinds=self.em_kinds,
+                mat_types=self.mat_types,
+            )
         if r.max_component_value > 0.0:
             L = jnp.minimum(L, r.max_component_value)
         return film_xy, L, aux, rec

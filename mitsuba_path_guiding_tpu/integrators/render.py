@@ -112,7 +112,7 @@ def render_wave(
     if use_volpath:
         from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
 
-        L, aux = trace_vol(
+        L, aux, _ = trace_vol(
             scene,
             o,
             d,

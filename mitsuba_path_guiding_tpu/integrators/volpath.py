@@ -55,7 +55,7 @@ def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types"),
+    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types", "record_paths"),
 )
 def trace_vol(
     scene: SceneData,
@@ -70,9 +70,11 @@ def trace_vol(
     guide_state=None,
     em_kinds=em_mod.ALL_KINDS,
     mat_types=bsdf_mod.ALL_TYPES,
+    record_paths: bool = False,
 ):
-    """Returns (L (N,3), PathAux).  max_depth counts collisions (surface or
-    medium)."""
+    """Returns (L (N,3), PathAux, PathRecord|None).  max_depth counts
+    collisions (surface or medium); records cover both event types so the
+    guiding cache trains on volumetric transport too."""
     n = ray_o.shape[0]
     geo, bvh, mats, em, med = scene.geo, scene.bvh, scene.mats, scene.emitters, scene.medium
     sigma_t = med.sigma_a + med.sigma_s
@@ -237,15 +239,45 @@ def trace_vol(
             good = (is_medium | is_surface) & (ds.pdf > 0.0)
             L = jnp.where(good[..., None], L + contrib, L)
 
-        # --- continuation sampling: phase (medium) or BSDF (surface)
+        # --- continuation sampling: phase (medium) or BSDF (surface),
+        # both optionally mixed with the spatio-directional guiding cache
+        # (config 4: guided directional sampling in media; distance
+        # sampling stays analytic in round 1)
         wo_phase, pdf_phase = phase_sample(d, g_hg, u[..., 3:5])
-        bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
-        wo_surf_world = frame.to_world(bs.wo)
+        if guide is None:
+            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
+            wo_surf_world = frame.to_world(bs.wo)
+            surf_pdf, surf_w, surf_delta = bs.pdf, bs.weight, bs.is_delta
+            wo_med, pdf_med = wo_phase, pdf_phase
+            w_med = jnp.ones((n, 3))
+        else:
+            wo_surf_world, surf_pdf, surf_w, surf_delta = guide(
+                guide_state, mats, mid, p_surf, frame, wi_local,
+                u[..., 3:6], u[..., 6], u[..., 7],
+            )
+            # medium: one-sample MIS between phase and the vMF mixture
+            from mitsuba_path_guiding_tpu.guiding.grid import (
+                _gather_cells,
+                _mixture_pdf,
+                _mixture_sample,
+                cell_index,
+            )
 
-        d_next = jnp.where(is_medium[..., None], wo_phase, wo_surf_world)
-        next_pdf = jnp.where(is_medium, pdf_phase, bs.pdf)
-        next_delta = jnp.where(is_medium, False, bs.is_delta)
-        T_new = jnp.where(is_medium[..., None], T, T * bs.weight)  # phase weight = 1
+            alpha_g = getattr(guide, "alpha", 0.5)
+            cid_m = cell_index(guide_state, p_med)
+            params_m = _gather_cells(guide_state, cid_m)
+            a_m = jnp.where(params_m[-1], alpha_g, 0.0)
+            d_gm = _mixture_sample(params_m, u[..., 7], u[..., 3:5])
+            take_gm = u[..., 6] < a_m
+            wo_med = jnp.where(take_gm[..., None], d_gm, wo_phase)
+            ph_val = phase_eval(d, wo_med, g_hg)
+            pdf_med = a_m * _mixture_pdf(params_m, wo_med) + (1.0 - a_m) * ph_val
+            w_med = (ph_val / jnp.maximum(pdf_med, 1e-8))[..., None] * jnp.ones((1, 3))
+
+        d_next = jnp.where(is_medium[..., None], wo_med, wo_surf_world)
+        next_pdf = jnp.where(is_medium, pdf_med, surf_pdf)
+        next_delta = jnp.where(is_medium, False, surf_delta)
+        T_new = jnp.where(is_medium[..., None], T * w_med, T * surf_w)
 
         cont = (is_medium | is_surface) & (jnp.max(jnp.abs(T_new), axis=-1) > 0.0) & (
             next_pdf > 0.0
@@ -272,9 +304,31 @@ def trace_vol(
             jnp.where(cont, next_delta, prev_delta),
             aux,
         )
-        return new_carry, None
+        if record_paths:
+            from mitsuba_path_guiding_tpu.core.spectrum import luminance
+
+            rec = (
+                jnp.stack([p_event[..., 0], p_event[..., 1], p_event[..., 2]], axis=0),
+                jnp.stack([d_next[..., 0], d_next[..., 1], d_next[..., 2]], axis=0),
+                luminance(L),
+                luminance(jnp.where(cont[..., None], T_new, T)),
+                next_pdf,
+                (is_medium | is_surface) & ~next_delta,
+            )
+        else:
+            rec = None
+        return new_carry, rec
 
     carry0 = (ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0, aux0)
-    carry, _ = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
+    carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
     _, _, L, _, _, _, _, aux = carry
-    return L, aux
+    record = None
+    if record_paths:
+        from mitsuba_path_guiding_tpu.core.spectrum import luminance
+        from mitsuba_path_guiding_tpu.integrators.path import PathRecord
+
+        rec_pos, rec_dir, rec_lumL, rec_lumT, rec_pdf, rec_valid = recs
+        lum_final = luminance(L)[None, :]
+        li = jnp.maximum(lum_final - rec_lumL, 0.0) / jnp.maximum(rec_lumT, 1e-6)
+        record = PathRecord(pos=rec_pos, dir=rec_dir, li=li, pdf=rec_pdf, valid=rec_valid)
+    return L, aux, record

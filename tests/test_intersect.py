@@ -96,3 +96,32 @@ def test_sphere_hit_distance_analytic():
     h = intersect_bvh(geo, bvh, o, d)
     assert bool(h.valid[0])
     assert abs(float(h.t[0]) - 4.0) < 5e-3  # tessellation error only
+
+
+def test_pallas_tiled_matches_brute():
+    """Pallas tiled intersector (interpret mode on CPU) vs dense oracle."""
+    import jax
+
+    from mitsuba_path_guiding_tpu.ops.intersect_pallas import (
+        intersect_tiled,
+        pack_triangles,
+    )
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    scene = build_scene(cornell_box())
+    geo = scene.geo
+    pack = pack_triangles(
+        np.asarray(geo.p0), np.asarray(geo.e1), np.asarray(geo.e2)
+    )
+    n = 1024
+    o, d = random_rays(n, seed=7)
+    tmax = jnp.full((n,), 3e38)
+    t, prim, u, v, valid = intersect_tiled(pack, o, d, tmax, interpret=True)
+    hb = intersect_brute(geo, o, d)
+    assert np.array_equal(np.asarray(valid), np.asarray(hb.valid))
+    m = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(hb.t)[m], rtol=1e-4, atol=1e-5
+    )
+    assert (np.asarray(prim)[m] == np.asarray(hb.prim)[m]).mean() > 0.99
