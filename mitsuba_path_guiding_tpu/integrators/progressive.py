@@ -89,9 +89,10 @@ class ProgressiveRenderer:
         u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
         from mitsuba_path_guiding_tpu.integrators.render import camera_jitter
 
-        u_pos = camera_jitter(r, pixel_id * 0 + sample_idx, u_cam)
+        u_pos = camera_jitter(r, sample_idx, u_cam)
         o, d, film_xy = generate_rays(
-            self.scene.sensor, r.width, r.height, pixel_id, u_pos, u_cam[..., 2:4]
+            self.scene.sensor, r.width, r.height, pixel_id, u_pos, u_cam[..., 2:4],
+            kind=int(self.scene.sensor.kind),
         )
         guide = self.guide_fn if (self.grid is not None) else None
         if self.scene.medium.enabled or r.integrator == "volpath":

@@ -105,6 +105,7 @@ def render_wave(
         pixel_id,
         u_pos,
         u_lens=u_cam[..., 2:4],
+        kind=int(scene.sensor.kind),
     )
     use_volpath = cfg.integrator == "volpath" or (
         cfg.integrator == "path" and scene.medium.enabled

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.core.math import normalize
 from mitsuba_path_guiding_tpu.core.warp import square_to_uniform_disk_concentric
-from mitsuba_path_guiding_tpu.scene.types import Sensor
+from mitsuba_path_guiding_tpu.scene.types import Sensor, SensorKind
 
 
 def generate_rays(
@@ -20,6 +20,7 @@ def generate_rays(
     pixel_id: jnp.ndarray,
     u_pos: jnp.ndarray,
     u_lens: jnp.ndarray | None = None,
+    kind: int = SensorKind.PERSPECTIVE,
 ):
     """Primary rays for flat pixel ids with sub-pixel jitter.
 
@@ -34,6 +35,34 @@ def generate_rays(
     ndc_x = 2.0 * fx / width - 1.0
     ndc_y = 1.0 - 2.0 * fy / height
     aspect = height / width
+    R = sensor.to_world[:3, :3]
+    t = sensor.to_world[:3, 3]
+    film_xy = jnp.stack([fx, fy], axis=-1)
+
+    if kind == SensorKind.ORTHOGRAPHIC:
+        # parallel rays along +z; tan_half_fov_x doubles as half-width
+        o_cam = jnp.stack(
+            [
+                ndc_x * sensor.tan_half_fov_x,
+                ndc_y * sensor.tan_half_fov_x * aspect,
+                jnp.zeros_like(ndc_x),
+            ],
+            axis=-1,
+        )
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o_cam.shape)
+        return o_cam @ R.T + t, normalize(d_cam @ R.T), film_xy
+
+    if kind == SensorKind.SPHERICAL:
+        # lat-long 360 capture (reference spherical.cpp): u->phi, v->theta
+        theta = (fy / height) * jnp.pi
+        phi = (fx / width) * 2.0 * jnp.pi - jnp.pi
+        st = jnp.sin(theta)
+        d_cam = jnp.stack(
+            [st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1
+        )
+        o_world = jnp.broadcast_to(t, d_cam.shape)
+        return o_world, normalize(d_cam @ R.T), film_xy
+
     d_cam = jnp.stack(
         [
             ndc_x * sensor.tan_half_fov_x,
@@ -42,10 +71,6 @@ def generate_rays(
         ],
         axis=-1,
     )
-
-    R = sensor.to_world[:3, :3]
-    t = sensor.to_world[:3, 3]
-
     o_cam = jnp.zeros_like(d_cam)
     if u_lens is not None:
         # thin lens: offset origin on the aperture disk, refocus
@@ -57,5 +82,4 @@ def generate_rays(
 
     d_world = normalize(d_cam @ R.T)
     o_world = o_cam @ R.T + t
-    film_xy = jnp.stack([fx, fy], axis=-1)
     return o_world, d_world, film_xy

@@ -50,7 +50,7 @@ def make_device_mesh(devices=None) -> Mesh:
 from mitsuba_path_guiding_tpu.models.emitter import ALL_KINDS
 
 
-def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None):
+def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None, sensor_kind=0):
     """Per-device wave: trace the local pixel shard (pure, shard-oblivious)."""
     key = rng.base_key(cfg.seed)
     rkeys = rng.ray_keys(key, pixel_id, sample_idx)
@@ -59,7 +59,8 @@ def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample
 
     u_pos = camera_jitter(cfg, sample_idx, u_cam)
     o, d, film_xy = generate_rays(
-        scene.sensor, cfg.width, cfg.height, pixel_id, u_pos, u_cam[..., 2:4]
+        scene.sensor, cfg.width, cfg.height, pixel_id, u_pos, u_cam[..., 2:4],
+        kind=sensor_kind,
     )
     L, aux, rec = trace(
         scene,

@@ -40,6 +40,7 @@ from mitsuba_path_guiding_tpu.scene.types import (
     MediumData,
     SceneData,
     Sensor,
+    SensorKind,
 )
 
 _BSDF_TYPES = {
@@ -367,10 +368,18 @@ def build_scene(desc: dict) -> SceneData:
     )
 
     sspec = desc.get("sensor", {})
+    skind = {
+        "perspective": SensorKind.PERSPECTIVE,
+        "thinlens": SensorKind.PERSPECTIVE,
+        "orthographic": SensorKind.ORTHOGRAPHIC,
+        "spherical": SensorKind.SPHERICAL,
+    }.get(sspec.get("type", "perspective"), SensorKind.PERSPECTIVE)
     fov = float(sspec.get("fov", 45.0))
     # fov is along the x (width) axis unless fov_axis says otherwise;
     # the y tan is filled in at render time from the aspect ratio.
     tan_half = np.tan(np.deg2rad(fov) / 2)
+    if skind == SensorKind.ORTHOGRAPHIC:
+        tan_half = float(sspec.get("ortho_width", 1.0))  # half-width
     sensor = Sensor(
         to_world=jnp.asarray(np.asarray(sspec.get("to_world", look_at([0, 0, -5], [0, 0, 0]))).astype(np.float32)),
         tan_half_fov_x=jnp.float32(tan_half),
@@ -378,6 +387,7 @@ def build_scene(desc: dict) -> SceneData:
         aperture_radius=jnp.float32(sspec.get("aperture_radius", 0.0)),
         focus_distance=jnp.float32(sspec.get("focus_distance", 1.0)),
         near_clip=jnp.float32(sspec.get("near_clip", 1e-3)),
+        kind=jnp.int32(skind),
     )
 
     med = desc.get("medium", None)

@@ -101,10 +101,12 @@ def make_sphere(res_theta=32, res_phi=64):
         for j in range(res_phi):
             a, b = idx[i, j], idx[i, (j + 1) % res_phi]
             c, d = idx[i + 1, (j + 1) % res_phi], idx[i + 1, j]
+            # counter-clockwise seen from outside -> outward geometric
+            # normals (area emitters emit from the front face)
             if i > 0:
-                faces.append([a, b, c])
+                faces.append([a, c, b])
             if i < res_theta - 1:
-                faces.append([a, c, d])
+                faces.append([a, d, c])
     return Mesh(verts, np.array(faces), verts.copy())
 
 

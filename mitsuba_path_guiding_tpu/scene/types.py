@@ -133,16 +133,24 @@ class Emitters(NamedTuple):
     # 23:26 unit tri normal, 26:32 padding
 
 
+class SensorKind:
+    PERSPECTIVE = 0   # src/sensors/perspective.cpp (+thinlens via aperture)
+    ORTHOGRAPHIC = 1  # src/sensors/orthographic.cpp
+    SPHERICAL = 2     # src/sensors/spherical.cpp (lat-long 360)
+
+
 class Sensor(NamedTuple):
-    """Perspective / thinlens camera (reference src/sensors/perspective.cpp,
-    thinlens.cpp)."""
+    """Perspective/thinlens/orthographic/spherical camera (reference
+    src/sensors/).  ``kind`` is also readable host-side (int()) to pick the
+    static ray-gen branch."""
 
     to_world: jnp.ndarray    # (4, 4) camera-to-world
-    tan_half_fov_x: jnp.ndarray  # scalar
+    tan_half_fov_x: jnp.ndarray  # scalar (ortho: half-width in world units)
     tan_half_fov_y: jnp.ndarray
     aperture_radius: jnp.ndarray  # scalar; 0 = pinhole
     focus_distance: jnp.ndarray
     near_clip: jnp.ndarray
+    kind: jnp.ndarray        # () int32 SensorKind
 
 
 class MediumData(NamedTuple):
