@@ -291,3 +291,75 @@ def test_veach_mis_scene_renders():
     # medians are much more stable than means under firefly noise
     med_rel = abs(np.median(img_a) - np.median(img_b)) / max(np.median(img_a), 1e-6)
     assert med_rel < 0.2, med_rel
+
+
+def test_point_light_inverse_square():
+    """Point emitter: irradiance on a floor falls off as cos/d^2
+    (reference emitters/point.cpp)."""
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate
+    from mitsuba_path_guiding_tpu.scene.transforms import scale as S
+
+    desc = {
+        "sensor": {"type": "orthographic", "ortho_width": 2.0,
+                   "to_world": look_at([0, 4, 0.001], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "to_world": rotate([1, 0, 0], -90) @ S(4),
+                    "bsdf": {"type": "diffuse", "reflectance": [1.0] * 3}}],
+        "emitters": [{"type": "point", "position": [0, 1, 0],
+                      "intensity": [1.0] * 3}],
+    }
+    sc = build_scene(desc)
+    img = np.asarray(render(sc, RenderConfig(width=33, height=33, spp=8, max_depth=1)))
+    # analytic: L = rho/pi * I * cos/d^2; center: d=1, cos=1 -> 1/pi
+    center = img[16, 16].mean()
+    np.testing.assert_allclose(center, 1 / np.pi, rtol=0.02)
+    # at r=1 on the floor: d^2 = 2, cos = 1/sqrt(2) -> (1/pi) * 2^-1.5
+    off = img[16, 24].mean()  # 8 px = 1 world unit (33px over 4 units)
+    np.testing.assert_allclose(off / center, 2 ** -1.5, rtol=0.05)
+
+
+def test_directional_light_shadow():
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate, translate
+    from mitsuba_path_guiding_tpu.scene.transforms import scale as S
+
+    desc = {
+        "sensor": {"type": "orthographic", "ortho_width": 2.0,
+                   "to_world": look_at([0, 4, 0.001], [0, 0, 0])},
+        "shapes": [
+            {"type": "rectangle", "to_world": rotate([1, 0, 0], -90) @ S(4),
+             "bsdf": {"type": "diffuse", "reflectance": [1.0] * 3}},
+            # floating square casting a straight-down shadow
+            {"type": "rectangle",
+             "to_world": translate(0, 1, 0) @ rotate([1, 0, 0], -90) @ S(0.5),
+             "bsdf": {"type": "diffuse", "reflectance": [0.0] * 3}},
+        ],
+        "emitters": [{"type": "directional", "direction": [0, -1, 0],
+                      "irradiance": [1.0] * 3}],
+    }
+    sc = build_scene(desc)
+    img = np.asarray(render(sc, RenderConfig(width=32, height=32, spp=4, max_depth=1)))
+    # lit floor: L = rho/pi * E * cos = 1/pi; shadow: 0
+    lit = img[4, 4].mean()
+    shadow = img[16, 16].mean()
+    np.testing.assert_allclose(lit, 1 / np.pi, rtol=0.02)
+    assert shadow < 1e-4
+
+
+def test_spot_light_cone():
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate
+    from mitsuba_path_guiding_tpu.scene.transforms import scale as S
+
+    desc = {
+        "sensor": {"type": "orthographic", "ortho_width": 2.0,
+                   "to_world": look_at([0, 4, 0.001], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "to_world": rotate([1, 0, 0], -90) @ S(4),
+                    "bsdf": {"type": "diffuse", "reflectance": [1.0] * 3}}],
+        "emitters": [{"type": "spot", "intensity": [1.0] * 3,
+                      "cutoff_angle": 20.0,
+                      "to_world": look_at([0, 1, 0], [0, 0, 0])}],
+    }
+    sc = build_scene(desc)
+    img = np.asarray(render(sc, RenderConfig(width=33, height=33, spp=8, max_depth=1)))
+    center = img[16, 16].mean()
+    corner = img[2, 2].mean()
+    np.testing.assert_allclose(center, 1 / np.pi, rtol=0.05)  # inside beam
+    assert corner < 1e-4  # outside the 20-degree cone
