@@ -112,6 +112,8 @@ class ProgressiveRenderer:
                 record_paths=train and self.grid is not None,
                 em_kinds=self.em_kinds,
                 mat_types=self.mat_types,
+                hetero=bool(self.scene.medium.heterogeneous),
+                phase_kind=int(self.scene.medium.phase_kind),
             )
         else:
             L, aux, rec = trace(

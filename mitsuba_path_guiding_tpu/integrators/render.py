@@ -126,6 +126,8 @@ def render_wave(
             guide_state=guide_state,
             em_kinds=em_kinds,
             mat_types=mat_types,
+            hetero=bool(scene.medium.heterogeneous),
+            phase_kind=int(scene.medium.phase_kind),
         )
     else:
         L, aux, _ = trace(

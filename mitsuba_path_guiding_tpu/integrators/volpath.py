@@ -32,8 +32,18 @@ from mitsuba_path_guiding_tpu.core.rng import bounce_uniform
 from mitsuba_path_guiding_tpu.integrators.path import INFD, PathAux, _offset_ray
 from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
 from mitsuba_path_guiding_tpu.models import emitter as em_mod
-from mitsuba_path_guiding_tpu.models.phase import phase_eval, phase_sample
+from mitsuba_path_guiding_tpu.models.medium import (
+    _track_keys,
+    sample_free_flight,
+    transmittance_ratio,
+)
+from mitsuba_path_guiding_tpu.models.phase import phase_eval_kind, phase_sample_kind
 from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+# rng fold-in salts for the tracking loops (distinct from bounce tags,
+# core/rng.py TAG_* space)
+TAG_TRACK_DIST = 2 << 20
+TAG_TRACK_NEE = 3 << 20
 
 
 def transmittance(sigma_t: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +65,7 @@ def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types", "record_paths"),
+    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types", "record_paths", "hetero", "phase_kind"),
 )
 def trace_vol(
     scene: SceneData,
@@ -71,6 +81,8 @@ def trace_vol(
     em_kinds=em_mod.ALL_KINDS,
     mat_types=bsdf_mod.ALL_TYPES,
     record_paths: bool = False,
+    hetero: bool = False,
+    phase_kind: int = 0,
 ):
     """Returns (L (N,3), PathAux, PathRecord|None).  max_depth counts
     collisions (surface or medium); records cover both event types so the
@@ -84,11 +96,16 @@ def trace_vol(
     def intersect(o, d):
         return intersect_bvh(geo, bvh, o, d) if use_bvh else intersect_brute(geo, o, d)
 
-    def vis_transmittance(o, d, dist):
+    def vis_transmittance(o, d, dist, depth):
         """Attenuated visibility for shadow rays: 0 if surface-occluded,
-        else medium transmittance over the distance."""
+        else medium transmittance over the distance (closed-form for
+        homogeneous media; unbiased ratio tracking for grids)."""
         occ = occluded(geo, bvh, o, d, dist, use_bvh=use_bvh)
-        tr = transmittance(sigma_t, dist)
+        if hetero:
+            tkn = _track_keys(rkeys, depth, TAG_TRACK_NEE)
+            tr = transmittance_ratio(med, o, d, dist, tkn)
+        else:
+            tr = transmittance(sigma_t, dist)
         return jnp.where(occ[..., None], 0.0, tr)
 
     L0 = jnp.zeros((n, 3))
@@ -110,33 +127,49 @@ def trace_vol(
         hit = intersect(o, d)
         t_surf = jnp.where(hit.valid, hit.t, INFD)
 
-        # --- homogeneous distance sampling with channel balance heuristic
-        # pick channel uniformly, invert its exponential CDF
-        ch = jnp.clip((u[..., 9] * 3.0).astype(jnp.int32), 0, 2)
-        st_ch = jnp.maximum(sigma_t[ch], 1e-12)
-        t_med = -jnp.log(jnp.maximum(1.0 - u[..., 10], 1e-12)) / st_ch
-        medium_on = jnp.max(sigma_t) > 0.0
-        t_med = jnp.where(medium_on, t_med, INFD)
-        is_medium = alive & (t_med < t_surf)
-        is_surface = alive & hit.valid & ~is_medium
-        escaped = alive & ~hit.valid & ~is_medium
+        if hetero:
+            # --- weighted delta tracking against the grid majorant
+            # (heterogeneous.cpp Woodcock tracking, re-designed as one
+            # wave-uniform while_loop; models/medium.py)
+            tkd = _track_keys(rkeys, depth, TAG_TRACK_DIST)
+            t_med, is_med_ev, w_ff = sample_free_flight(med, o, d, t_surf, tkd)
+            is_medium = alive & is_med_ev
+            is_surface = alive & hit.valid & ~is_medium
+            escaped = alive & ~hit.valid & ~is_medium
+            # w_ff already contains sigma_s/(maj p_real) on medium events
+            # and the accumulated null ratios on pass-through
+            T = jnp.where(
+                (is_medium | is_surface | escaped)[..., None], T * w_ff, T
+            )
+        else:
+            # --- homogeneous distance sampling with channel balance
+            # heuristic: pick channel uniformly, invert its exponential CDF
+            ch = jnp.clip((u[..., 9] * 3.0).astype(jnp.int32), 0, 2)
+            st_ch = jnp.maximum(sigma_t[ch], 1e-12)
+            t_med = -jnp.log(jnp.maximum(1.0 - u[..., 10], 1e-12)) / st_ch
+            medium_on = jnp.max(sigma_t) > 0.0
+            t_med = jnp.where(medium_on, t_med, INFD)
+            is_medium = alive & (t_med < t_surf)
+            is_surface = alive & hit.valid & ~is_medium
+            escaped = alive & ~hit.valid & ~is_medium
 
-        # throughput updates for the sampled event (balance heuristic over
-        # the three per-channel exponential strategies, volpath.cpp:104):
-        # medium events weight by pdf(t_med); surface events weight by the
-        # probability that the sampled distance passed t_surf
-        pdf_t, _ = _distance_pdfs(sigma_t, t_med)
-        tr_med = transmittance(sigma_t, t_med)
-        w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
-        tr_surf = transmittance(sigma_t, t_surf)
-        _, p_pass = _distance_pdfs(sigma_t, t_surf)
-        w_surface = tr_surf / jnp.maximum(p_pass, 1e-30)[..., None]
-        T = jnp.where(
-            is_medium[..., None],
-            T * w_medium,
-            jnp.where((is_surface | escaped)[..., None], T * w_surface, T),
-        )
-        # escaped: w_surface with t=INF -> 0 unless sigma_t == 0
+            # throughput updates for the sampled event (balance heuristic
+            # over the three per-channel exponential strategies,
+            # volpath.cpp:104): medium events weight by pdf(t_med); surface
+            # events weight by the probability that the sampled distance
+            # passed t_surf
+            pdf_t, _ = _distance_pdfs(sigma_t, t_med)
+            tr_med = transmittance(sigma_t, t_med)
+            w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
+            tr_surf = transmittance(sigma_t, t_surf)
+            _, p_pass = _distance_pdfs(sigma_t, t_surf)
+            w_surface = tr_surf / jnp.maximum(p_pass, 1e-30)[..., None]
+            T = jnp.where(
+                is_medium[..., None],
+                T * w_medium,
+                jnp.where((is_surface | escaped)[..., None], T * w_surface, T),
+            )
+            # escaped: w_surface with t=INF -> 0 unless sigma_t == 0
 
         # --- environment on escape
         env_L = em_mod.eval_env(em, d, kinds=em_kinds)
@@ -220,7 +253,7 @@ def trace_vol(
         if use_nee:
             ds = em_mod.sample_direct_jit(em, geo, p_event, u[..., 0:3], kinds=em_kinds)
             # phase / bsdf value toward the light
-            ph = phase_eval(d, ds.direction, g_hg)
+            ph = phase_eval_kind(d, ds.direction, g_hg, phase_kind)
             wo_local_nee = frame.to_local(ds.direction)
             f_surf, pdf_b_surf = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types)
             f_nee = jnp.where(
@@ -231,7 +264,7 @@ def trace_vol(
                 is_medium[..., None], p_event, _offset_ray(p_surf, ng, ds.direction)
             )
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
-            tr_vis = vis_transmittance(o_sh, ds.direction, t_sh)
+            tr_vis = vis_transmittance(o_sh, ds.direction, t_sh, depth)
             w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_fwd))
             contrib = (
                 T * f_nee * tr_vis * ds.radiance * (w_mis / jnp.maximum(ds.pdf, 1e-12))[..., None]
@@ -243,7 +276,7 @@ def trace_vol(
         # both optionally mixed with the spatio-directional guiding cache
         # (config 4: guided directional sampling in media; distance
         # sampling stays analytic in round 1)
-        wo_phase, pdf_phase = phase_sample(d, g_hg, u[..., 3:5])
+        wo_phase, pdf_phase = phase_sample_kind(d, g_hg, u[..., 3:5], phase_kind)
         if guide is None:
             bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
             wo_surf_world = frame.to_world(bs.wo)
@@ -270,7 +303,7 @@ def trace_vol(
             d_gm = _mixture_sample(params_m, u[..., 7], u[..., 3:5])
             take_gm = u[..., 6] < a_m
             wo_med = jnp.where(take_gm[..., None], d_gm, wo_phase)
-            ph_val = phase_eval(d, wo_med, g_hg)
+            ph_val = phase_eval_kind(d, wo_med, g_hg, phase_kind)
             pdf_med = a_m * _mixture_pdf(params_m, wo_med) + (1.0 - a_m) * ph_val
             w_med = (ph_val / jnp.maximum(pdf_med, 1e-8))[..., None] * jnp.ones((1, 3))
 

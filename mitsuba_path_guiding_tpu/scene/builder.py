@@ -119,6 +119,64 @@ def _compile_bsdf(spec: dict, textures: list | None = None):
     return row
 
 
+def _compile_medium(med: dict | None) -> MediumData:
+    """Medium dict -> MediumData (reference src/medium/ plugin configure).
+
+    Homogeneous: {"sigma_a": rgb, "sigma_s": rgb, "g": float}
+    Heterogeneous (heterogeneous.cpp EDensity model): additionally
+      "density": volume spec (scene/volume.py — gridvolume/.vol/.npy/
+                 constvolume/vdbvolume or a bare 3-D array),
+      "scale": float extinction scale,
+      "bounds": ((lo),(hi)) world AABB of the grid (overrides the VOL
+                file's embedded bounds),
+      "phase": "hg" (default) | "isotropic" | "rayleigh".
+    """
+    ones = np.ones((1, 1, 1), dtype=np.float32)
+    eye = np.eye(4, dtype=np.float32)
+    if med is None:
+        return MediumData(
+            sigma_a=jnp.zeros(3), sigma_s=jnp.zeros(3), phase_g=jnp.float32(0.0),
+            enabled=False, density=jnp.asarray(ones), world_to_grid=jnp.asarray(eye),
+            majorant=jnp.float32(0.0), heterogeneous=False, phase_kind=0,
+        )
+    from mitsuba_path_guiding_tpu.models.phase import PhaseKind
+
+    scale_f = float(med.get("scale", 1.0))
+    sigma_a = np.asarray(med.get("sigma_a", [0.0] * 3), dtype=np.float32) * scale_f
+    sigma_s = np.asarray(med.get("sigma_s", [0.0] * 3), dtype=np.float32) * scale_f
+    phase_name = med.get("phase", "hg")
+    pk = PhaseKind.RAYLEIGH if phase_name == "rayleigh" else PhaseKind.HG
+    g = 0.0 if phase_name in ("isotropic", "rayleigh") else float(med.get("g", 0.0))
+    dens_spec = med.get("density", None)
+    if dens_spec is None:
+        return MediumData(
+            sigma_a=jnp.asarray(sigma_a), sigma_s=jnp.asarray(sigma_s),
+            phase_g=jnp.float32(g), enabled=True, density=jnp.asarray(ones),
+            world_to_grid=jnp.asarray(eye), majorant=jnp.float32(np.max(sigma_a + sigma_s)),
+            heterogeneous=False, phase_kind=pk,
+        )
+    from mitsuba_path_guiding_tpu.scene.volume import load_volume_spec
+
+    grid, aabb = load_volume_spec(dens_spec)
+    if "bounds" in med:
+        aabb = np.asarray(med["bounds"], dtype=np.float32).reshape(2, 3)
+    if aabb is None:
+        aabb = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]], dtype=np.float32)
+    lo, hi = aabb[0], aabb[1]
+    extent = np.maximum(hi - lo, 1e-8)
+    w2g = np.eye(4, dtype=np.float32)
+    w2g[:3, :3] = np.diag(1.0 / extent)
+    w2g[:3, 3] = -lo / extent
+    majorant = float(grid.max()) * float(np.max(sigma_a + sigma_s))
+    return MediumData(
+        sigma_a=jnp.asarray(sigma_a), sigma_s=jnp.asarray(sigma_s),
+        phase_g=jnp.float32(g), enabled=True,
+        density=jnp.asarray(grid.astype(np.float32)),
+        world_to_grid=jnp.asarray(w2g), majorant=jnp.float32(majorant),
+        heterogeneous=True, phase_kind=pk,
+    )
+
+
 def _to_world(spec):
     m = spec.get("to_world", None)
     if m is None:
@@ -390,18 +448,7 @@ def build_scene(desc: dict) -> SceneData:
         kind=jnp.int32(skind),
     )
 
-    med = desc.get("medium", None)
-    if med is not None:
-        medium = MediumData(
-            sigma_a=jnp.asarray(np.asarray(med.get("sigma_a", [0.0] * 3), dtype=np.float32)),
-            sigma_s=jnp.asarray(np.asarray(med.get("sigma_s", [0.0] * 3), dtype=np.float32)),
-            phase_g=jnp.float32(med.get("g", 0.0)),
-            enabled=True,
-        )
-    else:
-        medium = MediumData(
-            sigma_a=jnp.zeros(3), sigma_s=jnp.zeros(3), phase_g=jnp.float32(0.0), enabled=False
-        )
+    medium = _compile_medium(desc.get("medium", None))
 
     v0 = p0h
     v1 = p0h + e1h

@@ -136,3 +136,25 @@ def volumetric_box(sigma_s=0.6, sigma_a=0.05, g=0.3, light_scale=1.0):
     sc = cornell_box(light_scale=light_scale)
     sc["medium"] = {"sigma_s": [sigma_s] * 3, "sigma_a": [sigma_a] * 3, "g": g}
     return sc
+
+
+def heterogeneous_box(sigma_s=0.8, sigma_a=0.1, g=0.0, light_scale=1.0, res=32):
+    """Cornell box with a procedural heterogeneous density grid (a smooth
+    spherical falloff cloud) — exercises the delta/ratio tracking kernels
+    (reference heterogeneous.cpp + gridvolume.cpp; BASELINE config 4)."""
+    import numpy as np
+
+    sc = cornell_box(light_scale=light_scale)
+    z, y, x = np.meshgrid(
+        *(np.linspace(0, 1, res),) * 3, indexing="ij"
+    )
+    r = np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
+    dens = np.clip(1.0 - 2.0 * r, 0.0, 1.0) ** 2
+    sc["medium"] = {
+        "sigma_s": [sigma_s] * 3,
+        "sigma_a": [sigma_a] * 3,
+        "g": g,
+        "density": dens.astype(np.float32),
+        "bounds": ((-0.8, 0.2, -0.8), (0.8, 1.8, 0.8)),
+    }
+    return sc

@@ -154,14 +154,23 @@ class Sensor(NamedTuple):
 
 
 class MediumData(NamedTuple):
-    """Homogeneous medium parameters (reference src/medium/homogeneous.cpp).
+    """Participating-medium parameters (reference src/medium/{homogeneous,
+    heterogeneous}.cpp + src/volume/{constvolume,gridvolume,vdbvolume}.cpp).
 
-    Round 1 supports one global exterior medium (sigma_t = 0 disables)."""
+    One global medium; homogeneous media use the closed-form paths, grid
+    media the null-collision tracking kernels (models/medium.py).
+    sigma_t(x) = density(x) * (sigma_a + sigma_s); for homogeneous media
+    density is the constant-1 (1,1,1) grid and the closed form is used."""
 
-    sigma_a: jnp.ndarray  # (3,)
+    sigma_a: jnp.ndarray  # (3,) — includes any user "scale" factor
     sigma_s: jnp.ndarray  # (3,)
     phase_g: jnp.ndarray  # scalar HG anisotropy; 0 = isotropic
-    enabled: bool         # static
+    enabled: bool         # static (host-side branch)
+    density: jnp.ndarray       # (D, H, W) float32 density grid
+    world_to_grid: jnp.ndarray # (4, 4) world point -> [0,1]^3 grid coords
+    majorant: jnp.ndarray      # () max density * max channel of sigma_t
+    heterogeneous: bool        # static (host-side branch)
+    phase_kind: int = 0        # static PhaseKind (models/phase.py dispatch)
 
 
 class SceneData(NamedTuple):

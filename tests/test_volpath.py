@@ -119,3 +119,24 @@ def test_nee_toggle_agreement_volumetric():
         )
     )
     assert abs(a.mean() - b.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
+
+
+def test_rayleigh_chi2():
+    from mitsuba_path_guiding_tpu.models.phase import rayleigh_eval, rayleigh_sample
+
+    wi = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (N, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(11), (N, 2))
+    wo, pdf = rayleigh_sample(wi, u)
+    np.testing.assert_allclose(
+        np.asarray(pdf),
+        np.asarray(rayleigh_eval(wi, wo)),
+        rtol=1e-5,
+    )
+
+    def pdf_fn(dirs):
+        m = dirs.shape[0]
+        wi_m = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (m, 3))
+        return np.asarray(rayleigh_eval(wi_m, jnp.asarray(dirs)))
+
+    passed, p, msg = chi2.chi2_test_sphere(np.asarray(wo), pdf_fn)
+    assert passed, msg
