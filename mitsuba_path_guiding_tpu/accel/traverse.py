@@ -217,3 +217,51 @@ def occluded(geo: Geometry, bvh: BVH, o, d, tmax, use_bvh: bool = True) -> jnp.n
         h = intersect_bvh(geo, bvh, o, d, tmax, any_hit=True)
         return h.valid
     return occluded_brute(geo, o, d, tmax)
+
+
+def shadow_transmittance(
+    geo: Geometry,
+    bvh: BVH,
+    mats_packed: jnp.ndarray,
+    o,
+    d,
+    tmax,
+    use_bvh: bool = True,
+    max_hits: int = 4,
+) -> jnp.ndarray:
+    """Transparency-aware shadow rays (the surface part of the reference's
+    Scene::evalTransmittance, scene.h:290: null/mask boundaries transmit
+    instead of occluding).
+
+    Marches up to ``max_hits`` closest hits; each hit multiplies the
+    carried (N,) transmittance by its material's straight-through
+    fraction: NULL -> 1, MASK -> 1 - opacity, anything else -> 0.  Only
+    compiled when the scene contains transparent materials."""
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    n = o.shape[0]
+    tr = jnp.ones((n,))
+    o_cur = o
+    t_rem = tmax
+    for _ in range(max_hits):
+        h = (
+            intersect_bvh(geo, bvh, o_cur, d, t_rem)
+            if use_bvh
+            else intersect_brute(geo, o_cur, d, t_rem)
+        )
+        prim = jnp.maximum(h.prim, 0)
+        mid = geo.shade_packed[prim, 18].astype(jnp.int32)
+        mtype = mats_packed[mid, 0].astype(jnp.int32)
+        opacity = mats_packed[mid, 18]
+        pass_frac = jnp.where(
+            mtype == BSDFType.NULL,
+            1.0,
+            jnp.where(mtype == BSDFType.MASK, 1.0 - opacity, 0.0),
+        )
+        tr = jnp.where(h.valid, tr * pass_frac, tr)
+        step = jnp.where(h.valid, h.t + EPS_T, 0.0)
+        o_cur = o_cur + step[..., None] * d
+        t_rem = t_rem - step
+        if max_hits == 1:
+            break
+    return tr

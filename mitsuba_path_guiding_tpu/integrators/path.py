@@ -35,7 +35,7 @@ from mitsuba_path_guiding_tpu.core.math import (
 from mitsuba_path_guiding_tpu.core.rng import bounce_uniform
 from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
 from mitsuba_path_guiding_tpu.models import emitter as em_mod
-from mitsuba_path_guiding_tpu.scene.types import SceneData
+from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
 
 INFD = jnp.float32(3.0e37)
 
@@ -88,6 +88,7 @@ def _offset_ray(p, ng, d):
         "em_kinds",
         "mat_types",
         "textured",
+        "bumped",
     ),
 )
 def trace(
@@ -105,6 +106,7 @@ def trace(
     em_kinds=em_mod.ALL_KINDS,
     mat_types=bsdf_mod.ALL_TYPES,
     textured: bool = False,
+    bumped: bool = False,
 ):
     """Trace one wavefront to completion.
 
@@ -120,8 +122,19 @@ def trace(
             return intersect_bvh(geo, bvh, o, d)
         return intersect_brute(geo, o, d)
 
-    def shadow_occluded(o, d, tmax):
-        return occluded(geo, bvh, o, d, tmax, use_bvh=use_bvh)
+    # transparent (null/mask) surfaces transmit shadow rays — the surface
+    # part of Scene::evalTransmittance (scene.h:290); boolean occlusion
+    # compiles when the scene has no transparent materials
+    transparent_shadows = (BSDFType.NULL in mat_types) or (BSDFType.MASK in mat_types)
+
+    def shadow_visibility(o, d, tmax):
+        if transparent_shadows:
+            from mitsuba_path_guiding_tpu.accel.traverse import shadow_transmittance
+
+            return shadow_transmittance(
+                geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
+            )
+        return 1.0 - occluded(geo, bvh, o, d, tmax, use_bvh=use_bvh)
 
     L0 = jnp.zeros((n, 3))
     T0 = jnp.ones((n, 3))
@@ -138,7 +151,7 @@ def trace(
     # uniform layout per bounce: 0:3 NEE, 3:6 BSDF (2 dir + lobe),
     # 6 guide-selection, 7 guide-lobe, 8 russian roulette
     def bounce(carry, depth):
-        o, d, L, T, alive, prev_pdf, prev_delta, aux = carry
+        o, d, L, T, alive, prev_pdf, prev_delta, t_acc, aux = carry
         u = bounce_uniform(rkeys, depth, 9)
 
         hit = intersect(o, d)
@@ -182,8 +195,7 @@ def trace(
         ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
         mid = row[18].astype(jnp.int32)
         is_emitter = row[19] >= 0.0
-        if textured:
-            # bilinear reflectance override from the atlas (textures/bitmap.cpp)
+        if textured or bumped:
             from mitsuba_path_guiding_tpu.models.texture import sample_atlas
 
             uv_hit = jnp.stack(
@@ -193,6 +205,8 @@ def trace(
                 ],
                 axis=-1,
             )
+        if textured:
+            # bilinear reflectance override from the atlas (textures/bitmap.cpp)
             tid = scene.mats.texture_id[mid]
             tex = (
                 sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit),
@@ -200,6 +214,15 @@ def trace(
             )
         else:
             tex = None
+        if bumped:
+            # normal-map frame perturbation (reference bsdfs/normalmap.cpp;
+            # bumpmap.cpp heights become normal maps at build time)
+            btid = mats.packed[mid, 19].astype(jnp.int32)
+            n_t = sample_atlas(scene.textures, scene.texture_sizes, jnp.maximum(btid, 0), uv_hit) * 2.0 - 1.0
+            ns_b = normalize(Frame.from_normal(ns).to_world(normalize(n_t)))
+            # stay on the geometric side (same guard as the base normal)
+            ns_b = jnp.where(dot(ns_b, ng)[..., None] < 0.0, -ns_b, ns_b)
+            ns = jnp.where((btid >= 0)[..., None], ns_b, ns)
 
         # --- emissive hit with MIS against NEE (path.cpp:163-174,209-258);
         # emitted radiance / pmf / area are baked into the packed row
@@ -210,7 +233,11 @@ def trace(
             0.0,
         )
         if use_nee:
-            dist2 = t_hit * t_hit
+            # distance accumulated through straight pass-throughs (null/
+            # mask) keeps NEE-vs-BSDF MIS consistent across them — the
+            # reference's index-matched handling (volpath.cpp:376-429)
+            d_mis = t_hit + t_acc
+            dist2 = d_mis * d_mis
             pdf_nee_hit = row[23] * dist2 / jnp.maximum(
                 jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
             )
@@ -239,10 +266,13 @@ def trace(
             f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex)
             o_sh = _offset_ray(p, ng, ds.direction)
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
-            occ = shadow_occluded(o_sh, ds.direction, t_sh)
+            vis = shadow_visibility(o_sh, ds.direction, t_sh)
             w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_bsdf_nee))
-            contrib = T * f_nee * ds.radiance * (w_mis / jnp.maximum(ds.pdf, 1e-12))[..., None]
-            good = act & ~occ & (ds.pdf > 0.0)
+            contrib = (
+                T * f_nee * ds.radiance
+                * (vis * w_mis / jnp.maximum(ds.pdf, 1e-12))[..., None]
+            )
+            good = act & (vis > 0.0) & (ds.pdf > 0.0)
             L = jnp.where(good[..., None], L + contrib, L)
 
         # --- BSDF (or guided) sampling
@@ -278,6 +308,20 @@ def trace(
         )
         cont = cont & jnp.where(rr_active, rr_pass, True)
 
+        # straight pass-throughs (null/mask transmission) keep the MIS
+        # state of the last REAL vertex: the direction pdf is unchanged,
+        # only distance accumulates (otherwise light hits behind the
+        # transparent surface get delta weight 1 AND full NEE = double
+        # counting)
+        if transparent_shadows:
+            straight = next_delta & (dot(wo_world, d) > 1.0 - 1e-6)
+            next_pdf_c = jnp.where(straight, prev_pdf, next_pdf)
+            next_delta_c = jnp.where(straight, prev_delta, next_delta)
+            t_acc_new = jnp.where(straight, t_acc + t_hit, 0.0)
+        else:
+            next_pdf_c, next_delta_c = next_pdf, next_delta
+            t_acc_new = jnp.zeros_like(t_acc)
+
         o_next = _offset_ray(p, ng, wo_world)
         new_carry = (
             jnp.where(cont[..., None], o_next, o),
@@ -285,8 +329,9 @@ def trace(
             L,
             jnp.where(cont[..., None], T_new, T),
             cont,
-            jnp.where(cont, next_pdf, prev_pdf),
-            jnp.where(cont, next_delta, prev_delta),
+            jnp.where(cont, next_pdf_c, prev_pdf),
+            jnp.where(cont, next_delta_c, prev_delta),
+            jnp.where(cont, t_acc_new, t_acc),
             aux,
         )
         if record_paths:
@@ -308,9 +353,12 @@ def trace(
             rec = None
         return new_carry, rec
 
-    carry0 = (ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0, aux0)
+    carry0 = (
+        ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0,
+        jnp.zeros((n,)), aux0,
+    )
     carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
-    _, _, L, _, _, _, _, aux = carry
+    _, _, L, _, _, _, _, _, aux = carry
 
     record = None
     if record_paths:

@@ -28,6 +28,17 @@ from mitsuba_path_guiding_tpu.scene.types import SceneData
 BRUTE_FORCE_MAX_TRIS = 16384
 
 
+def _has_bump(scene) -> bool:
+    """Static bump-map presence.  Under jit/shard_map tracing the material
+    table is a tracer — the flag is then decided at trace time from the
+    (unavailable) values, so default to False there; concrete callers
+    (the normal host-driven renders) see the real flag."""
+    try:
+        return bool((np.asarray(scene.mats.packed[:, 19]) >= 0).any())
+    except Exception:  # TracerArrayConversionError and friends
+        return False
+
+
 def camera_jitter(cfg, sample_idx, u_cam):
     """Sub-pixel jitter by sampler type (reference sampler plugin family):
     independent (pure random), stratified grid, or Halton(2,3) with
@@ -144,6 +155,7 @@ def render_wave(
             em_kinds=em_kinds,
             mat_types=mat_types,
             textured=int(scene.textures.shape[0] * scene.textures.shape[1]) > 1,
+            bumped=_has_bump(scene),
         )
     if cfg.max_component_value > 0.0:
         # fork firefly clamp (progressiveintegrator.cpp:274-276)

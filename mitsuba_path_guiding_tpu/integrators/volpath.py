@@ -38,7 +38,7 @@ from mitsuba_path_guiding_tpu.models.medium import (
     transmittance_ratio,
 )
 from mitsuba_path_guiding_tpu.models.phase import phase_eval_kind, phase_sample_kind
-from mitsuba_path_guiding_tpu.scene.types import SceneData
+from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
 
 # rng fold-in salts for the tracking loops (distinct from bounce tags,
 # core/rng.py TAG_* space)
@@ -96,17 +96,27 @@ def trace_vol(
     def intersect(o, d):
         return intersect_bvh(geo, bvh, o, d) if use_bvh else intersect_brute(geo, o, d)
 
+    transparent_shadows = (BSDFType.NULL in mat_types) or (BSDFType.MASK in mat_types)
+
     def vis_transmittance(o, d, dist, depth):
-        """Attenuated visibility for shadow rays: 0 if surface-occluded,
-        else medium transmittance over the distance (closed-form for
+        """Attenuated visibility for shadow rays (Scene::evalTransmittance,
+        scene.h:290): surface term (boolean, or transparency-aware when
+        null/mask materials exist) x medium transmittance (closed form for
         homogeneous media; unbiased ratio tracking for grids)."""
-        occ = occluded(geo, bvh, o, d, dist, use_bvh=use_bvh)
+        if transparent_shadows:
+            from mitsuba_path_guiding_tpu.accel.traverse import shadow_transmittance
+
+            vis = shadow_transmittance(
+                geo, bvh, mats.packed, o, d, dist, use_bvh=use_bvh
+            )[..., None]
+        else:
+            vis = (~occluded(geo, bvh, o, d, dist, use_bvh=use_bvh))[..., None]
         if hetero:
             tkn = _track_keys(rkeys, depth, TAG_TRACK_NEE)
             tr = transmittance_ratio(med, o, d, dist, tkn)
         else:
             tr = transmittance(sigma_t, dist)
-        return jnp.where(occ[..., None], 0.0, tr)
+        return vis * tr
 
     L0 = jnp.zeros((n, 3))
     T0 = jnp.ones((n, 3))
@@ -121,7 +131,7 @@ def trace_vol(
     )
 
     def bounce(carry, depth):
-        o, d, L, T, alive, prev_pdf, prev_delta, aux = carry
+        o, d, L, T, alive, prev_pdf, prev_delta, t_acc, aux = carry
         u = bounce_uniform(rkeys, depth, 12)
 
         hit = intersect(o, d)
@@ -217,7 +227,8 @@ def trace_vol(
             0.0,
         )
         if use_nee:
-            d2h = t_hit * t_hit
+            d_mis = t_hit + t_acc  # distance through straight pass-throughs
+            d2h = d_mis * d_mis
             pdf_nee_hit = row[23] * d2h / jnp.maximum(
                 jnp.abs(cos_l) * jnp.maximum(row[25], 1e-12), 1e-12
             )
@@ -324,6 +335,17 @@ def trace_vol(
         )
         cont = cont & jnp.where(rr_active, rr_pass, True)
 
+        # straight pass-throughs keep the last real vertex's MIS state
+        # (see path.py; null/mask transmission)
+        if transparent_shadows:
+            straight = next_delta & (dot(d_next, d) > 1.0 - 1e-6)
+            next_pdf_c = jnp.where(straight, prev_pdf, next_pdf)
+            next_delta_c = jnp.where(straight, prev_delta, next_delta)
+            t_acc_new = jnp.where(straight, t_acc + t_hit, 0.0)
+        else:
+            next_pdf_c, next_delta_c = next_pdf, next_delta
+            t_acc_new = jnp.zeros_like(t_acc)
+
         o_next = jnp.where(
             is_medium[..., None], p_event, _offset_ray(p_surf, ng, wo_surf_world)
         )
@@ -333,8 +355,9 @@ def trace_vol(
             L,
             jnp.where(cont[..., None], T_new, T),
             cont,
-            jnp.where(cont, next_pdf, prev_pdf),
-            jnp.where(cont, next_delta, prev_delta),
+            jnp.where(cont, next_pdf_c, prev_pdf),
+            jnp.where(cont, next_delta_c, prev_delta),
+            jnp.where(cont, t_acc_new, t_acc),
             aux,
         )
         if record_paths:
@@ -352,9 +375,12 @@ def trace_vol(
             rec = None
         return new_carry, rec
 
-    carry0 = (ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0, aux0)
+    carry0 = (
+        ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0,
+        jnp.zeros((n,)), aux0,
+    )
     carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
-    _, _, L, _, _, _, _, aux = carry
+    _, _, L, _, _, _, _, _, aux = carry
     record = None
     if record_paths:
         from mitsuba_path_guiding_tpu.core.spectrum import luminance

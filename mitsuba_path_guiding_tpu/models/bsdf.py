@@ -71,6 +71,10 @@ class _P(NamedTuple):
     eta: jnp.ndarray
     k: jnp.ndarray
     alpha: jnp.ndarray
+    alpha_v: jnp.ndarray
+    sub_a: jnp.ndarray   # int32 nested material row (-1 none)
+    sub_b: jnp.ndarray
+    weight: jnp.ndarray  # blend factor / mask opacity
 
 
 def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
@@ -78,7 +82,7 @@ def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
     field gathers materialize lane-padded (N,3) arrays on TPU.
     ``tex``: optional (rgb (N,3), mask (N,)) reflectance override from the
     texture atlas (reference Texture::eval at the shading point)."""
-    row = mats.packed[mid].T  # (16, N)
+    row = mats.packed[mid].T  # (32, N)
     v3 = lambda a: jnp.stack([row[a], row[a + 1], row[a + 2]], axis=-1)
     refl = v3(1)
     if tex is not None:
@@ -91,19 +95,26 @@ def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
         eta=v3(7),
         k=v3(10),
         alpha=jnp.maximum(row[13], ALPHA_MIN),
+        alpha_v=jnp.maximum(row[15], ALPHA_MIN),
+        sub_a=row[16].astype(jnp.int32),
+        sub_b=row[17].astype(jnp.int32),
+        weight=row[18],
     )
 
 
 def _flip_two_sided(p: _P, wi):
     """Reflective families act two-sided: flip wi into the upper hemisphere.
-    Returns (wi_flipped, sign) — wo must be un-flipped with the same sign."""
+    Returns (wi_flipped, sign) — wo must be un-flipped with the same sign.
+    DIFFTRANS and the MASK pass-through lobe transmit, but flipping is
+    still correct for them: the sampled wo is produced in flipped space
+    and un-flipped with the same sign, landing on the true opposite side."""
     transmissive = (
         (p.type == BSDFType.DIELECTRIC)
         | (p.type == BSDFType.ROUGH_DIELECTRIC)
         | (p.type == BSDFType.NULL)
     )
     s = jnp.where(transmissive | (cos_theta(wi) >= 0.0), 1.0, -1.0)
-    return wi * jnp.stack([jnp.ones_like(s), jnp.ones_like(s), s], -1) * 0 + jnp.stack(
+    return jnp.stack(
         [wi[..., 0], wi[..., 1], wi[..., 2] * s], axis=-1
     ), s
 
@@ -297,6 +308,52 @@ def _rough_dielectric_eval_pdf(p: _P, wi, wo):
     return p.spec * f[..., None], pdf
 
 
+def _ward_C(p: _P, m):
+    """Anisotropic exponent C(phi_h) * tan^2(theta_h) for half vector m."""
+    c2 = cos_theta(m) ** 2
+    # tan^2 * cos^2(phi) = mx^2 / mz^2 etc.
+    return (m[..., 0] ** 2 / (p.alpha * p.alpha) + m[..., 1] ** 2 / (p.alpha_v * p.alpha_v)) / jnp.maximum(c2, 1e-8)
+
+
+def _ward_h_pdf(p: _P, m):
+    """Half-vector pdf of the Ward sampler: exp(-tan2 C)/(pi au av cos^3)."""
+    c = jnp.maximum(cos_theta(m), 1e-6)
+    return jnp.exp(-_ward_C(p, m)) / (jnp.pi * p.alpha * p.alpha_v * c * c * c)
+
+
+def _ward_lobe_probs(p: _P):
+    ks = jnp.mean(p.spec, axis=-1)
+    kd = jnp.mean(p.refl, axis=-1)
+    return jnp.clip(ks / jnp.maximum(ks + kd, 1e-9), 0.05, 0.95)
+
+
+def _ward_eval_pdf(p: _P, wi, wo):
+    """Anisotropic Ward-Duer (reference src/bsdfs/ward.cpp; Walter 2005
+    'Notes on the Ward BRDF' for the sampling density)."""
+    ci, co = cos_theta(wi), cos_theta(wo)
+    up = (ci > 1e-6) & (co > 1e-6)
+    m = normalize(wi + wo)
+    expo = jnp.exp(-_ward_C(p, m))
+    f_spec = p.spec * (
+        expo / jnp.maximum(4.0 * jnp.pi * p.alpha * p.alpha_v * jnp.sqrt(jnp.maximum(ci * co, 1e-8)), 1e-8) * co
+    )[..., None]
+    f = p.refl * (INV_PI * jnp.maximum(co, 0.0))[..., None] + f_spec
+    sp = _ward_lobe_probs(p)
+    pdf_spec = _ward_h_pdf(p, m) / jnp.maximum(4.0 * jnp.abs(dot(m, wo)), 1e-8)
+    pdf = sp * pdf_spec + (1.0 - sp) * square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(up[..., None], f, 0.0), jnp.where(up, pdf, 0.0)
+
+
+def _difftrans_eval_pdf(p: _P, wi, wo):
+    """Diffuse transmission (reference src/bsdfs/difftrans.cpp): wo in the
+    hemisphere opposite wi (flipped space: wi up, wo down)."""
+    thru = (cos_theta(wi) > 0.0) & (cos_theta(wo) < 0.0)
+    aco = jnp.abs(cos_theta(wo))
+    f = p.refl * (INV_PI * aco)[..., None]
+    pdf = aco * INV_PI
+    return jnp.where(thru[..., None], f, 0.0), jnp.where(thru, pdf, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # dispatch tables
 # ---------------------------------------------------------------------------
@@ -309,7 +366,14 @@ _SMOOTH_EVALS = {
     BSDFType.ROUGH_PLASTIC: _rough_plastic_eval_pdf,
     BSDFType.PHONG: _phong_eval_pdf,
     BSDFType.ROUGH_DIELECTRIC: _rough_dielectric_eval_pdf,
+    BSDFType.WARD: _ward_eval_pdf,
+    BSDFType.DIFFTRANS: _difftrans_eval_pdf,
 }
+
+# families allowed as nested lobes of BLEND/MASK (plain, non-nested)
+_NESTABLE = tuple(
+    t for t in _SMOOTH_EVALS
+) + (BSDFType.CONDUCTOR, BSDFType.DIELECTRIC, BSDFType.NULL)
 
 
 ALL_TYPES = tuple(range(BSDFType.N_TYPES))
@@ -323,13 +387,10 @@ def types_present(mats: Materials):
     return tuple(sorted(set(np.asarray(mats.type).tolist())))
 
 
-def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
-    """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats."""
-    p = gather_params(mats, mid, tex)
-    wi2, s = _flip_two_sided(p, wi)
-    wo2 = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
-    f = jnp.zeros(wi.shape)
-    pdf = jnp.zeros(wi.shape[:-1])
+def _eval_smooth(p: _P, wi2, wo2, types):
+    """Family-dispatched smooth eval/pdf on already-flipped directions."""
+    f = jnp.zeros(wi2.shape)
+    pdf = jnp.zeros(wi2.shape[:-1])
     for t, fn in _SMOOTH_EVALS.items():
         if t not in types:
             continue
@@ -340,10 +401,35 @@ def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
     return f, pdf
 
 
-def albedo_raw(mats: Materials, mid):
-    """fork BSDF::getAlbedo parity (bsdf.h:361): approximate reflectance for
-    denoiser/guiding feature buffers."""
-    p = gather_params(mats, mid)
+def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
+    """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats.
+
+    BLEND rows evaluate both nested lobes and mix by weight
+    (blendbsdf.cpp eval/pdf); MASK rows scale the nested lobe by opacity
+    (mask.cpp — the (1-opacity) pass-through is a delta lobe, invisible
+    to smooth eval)."""
+    p = gather_params(mats, mid, tex)
+    wi2, s = _flip_two_sided(p, wi)
+    wo2 = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
+    f, pdf = _eval_smooth(p, wi2, wo2, types)
+    if (BSDFType.BLEND in types) or (BSDFType.MASK in types):
+        pa = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
+        fa, pdfa = _eval_smooth(pa, wi2, wo2, types)
+        if BSDFType.BLEND in types:
+            pb = gather_params(mats, jnp.maximum(p.sub_b, 0), tex)
+            fb, pdfb = _eval_smooth(pb, wi2, wo2, types)
+            is_b = p.type == BSDFType.BLEND
+            w = p.weight
+            f = jnp.where(is_b[..., None], (1.0 - w)[..., None] * fa + w[..., None] * fb, f)
+            pdf = jnp.where(is_b, (1.0 - w) * pdfa + w * pdfb, pdf)
+        if BSDFType.MASK in types:
+            is_m = p.type == BSDFType.MASK
+            f = jnp.where(is_m[..., None], p.weight[..., None] * fa, f)
+            pdf = jnp.where(is_m, p.weight * pdfa, pdf)
+    return f, pdf
+
+
+def _albedo_of(p: _P):
     spec_like = (
         (p.type == BSDFType.CONDUCTOR)
         | (p.type == BSDFType.ROUGH_CONDUCTOR)
@@ -355,17 +441,27 @@ def albedo_raw(mats: Materials, mid):
     return a
 
 
-def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSample:
-    """Sample the families on the wavefront, select by type.  ``types`` is
-    a static tuple of BSDFType values present — absent families compile
+def albedo_raw(mats: Materials, mid):
+    """fork BSDF::getAlbedo parity (bsdf.h:361): approximate reflectance for
+    denoiser/guiding feature buffers.  Nested rows mirror the reference's
+    recursive getAlbedo (blendbsdf.cpp:135-139 lerp, mask.cpp:113 scale)."""
+    p = gather_params(mats, mid)
+    a = _albedo_of(p)
+    aa = _albedo_of(gather_params(mats, jnp.maximum(p.sub_a, 0)))
+    ab = _albedo_of(gather_params(mats, jnp.maximum(p.sub_b, 0)))
+    w = p.weight[..., None]
+    a = jnp.where((p.type == BSDFType.BLEND)[..., None], (1.0 - w) * aa + w * ab, a)
+    a = jnp.where((p.type == BSDFType.MASK)[..., None], w * aa, a)
+    return a
+
+
+def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
+    """Sample the plain families on the wavefront, select by type.  ``types``
+    is a static tuple of BSDFType values present — absent families compile
     away entirely (the scene builder knows the material set)."""
     T = BSDFType
     has = lambda *ts: any(t in types for t in ts)
-    p = gather_params(mats, mid, tex)
     wi2, s = _flip_two_sided(p, wi)
-    u2 = u[..., 0:2]
-    ul = u[..., 2]
-
     wo = jnp.zeros_like(wi)
     weight = jnp.zeros_like(wi)
     pdf = jnp.zeros(wi.shape[:-1])
@@ -382,7 +478,7 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     eta_s = p.eta[..., 0]
 
     # --- shared pieces, built only for the families that need them
-    if has(T.DIFFUSE, T.ROUGH_DIFFUSE, T.PLASTIC, T.ROUGH_PLASTIC, T.PHONG):
+    if has(T.DIFFUSE, T.ROUGH_DIFFUSE, T.PLASTIC, T.ROUGH_PLASTIC, T.PHONG, T.WARD, T.DIFFTRANS):
         wo_cos = square_to_cosine_hemisphere(u2)
         pdf_cos = square_to_cosine_hemisphere_pdf(wo_cos)
     if has(T.CONDUCTOR, T.PLASTIC):
@@ -395,6 +491,46 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
         f_on, _ = _orennayar_eval_pdf(p, wi2, wo_cos)
         w_on = f_on / jnp.maximum(pdf_cos, 1e-8)[..., None]
         put(p.type == T.ROUGH_DIFFUSE, wo_cos, w_on, pdf_cos, jnp.zeros_like(sel))
+
+    if has(T.DIFFTRANS):
+        # cosine lobe on the opposite hemisphere (flipped space: down)
+        wo_dt = wo_cos * jnp.asarray([1.0, 1.0, -1.0])
+        put(
+            p.type == T.DIFFTRANS,
+            wo_dt,
+            p.refl,
+            pdf_cos,
+            jnp.zeros_like(sel),
+        )
+
+    if has(T.WARD):
+        # anisotropic half-vector sampling (Walter 2005 eq. 6-7) mixed
+        # with a cosine diffuse lobe
+        sp_w = _ward_lobe_probs(p)
+        take_spec_w = ul < sp_w
+        phi2 = 2.0 * jnp.pi * u2[..., 1]
+        hx = p.alpha * jnp.cos(phi2)
+        hy = p.alpha_v * jnp.sin(phi2)
+        norm = jnp.sqrt(hx * hx + hy * hy)
+        cphi = hx / jnp.maximum(norm, 1e-12)
+        sphi = hy / jnp.maximum(norm, 1e-12)
+        C = cphi * cphi / (p.alpha * p.alpha) + sphi * sphi / (p.alpha_v * p.alpha_v)
+        tan2 = -jnp.log(jnp.maximum(u2[..., 0], 1e-9)) / jnp.maximum(C, 1e-12)
+        ct = 1.0 / jnp.sqrt(1.0 + tan2)
+        st = safe_sqrt(1.0 - ct * ct)
+        m_w = jnp.stack([st * cphi, st * sphi, ct], axis=-1)
+        wo_w_spec = 2.0 * dot(wi2, m_w)[..., None] * m_w - wi2
+        wo_w = jnp.where(take_spec_w[..., None], wo_w_spec, wo_cos)
+        f_w, pdf_w = _ward_eval_pdf(p, wi2, wo_w)
+        ok_w = (cos_theta(wo_w) > 1e-6) & (pdf_w > 1e-9)
+        w_w = f_w / jnp.maximum(pdf_w, 1e-9)[..., None]
+        put(
+            p.type == T.WARD,
+            wo_w,
+            jnp.where(ok_w[..., None], w_w, 0.0),
+            jnp.where(ok_w, pdf_w, 0.0),
+            jnp.zeros_like(sel),
+        )
 
     if has(T.CONDUCTOR):
         F_c = fresnel_conductor(cos_theta(wi2), p.eta, p.k)
@@ -560,6 +696,73 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     # un-flip wo back to the true frame for two-sided families
     wo = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
     # transmissive types already produced true-frame wo; s==1 for them
+    return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
+
+
+def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSample:
+    """Wavefront BSDF sampling with one level of nesting resolved.
+
+    BLEND (blendbsdf.cpp sample): pick lobe B with probability ``weight``,
+    sample it, then re-weight smooth samples by the full mixture
+    eval/pdf; delta picks keep the component result (the pick probability
+    cancels against the component's blend factor).
+    MASK (mask.cpp sample): with probability (1 - opacity) pass straight
+    through (delta, weight 1); otherwise sample the nested lobe — opacity
+    cancels the same way; the smooth pdf gains the opacity factor.
+    """
+    p = gather_params(mats, mid, tex)
+    u2 = u[..., 0:2]
+    ul = u[..., 2]
+    nested = (BSDFType.BLEND in types) or (BSDFType.MASK in types)
+    if not nested:
+        return _sample_families(p, wi, u2, ul, types)
+
+    is_blend = p.type == BSDFType.BLEND
+    is_mask = p.type == BSDFType.MASK
+    w_sel = p.weight
+    pick_b = is_blend & (ul < w_sel)
+    mask_pass = is_mask & (ul >= w_sel)  # 1-opacity pass-through mass
+    use_sub = (is_blend | is_mask) & ~mask_pass
+    sub_mid = jnp.where(pick_b, p.sub_b, p.sub_a)
+    p_sub = gather_params(mats, jnp.maximum(sub_mid, 0), tex)
+    p_eff = jax.tree.map(
+        lambda a, b: jnp.where(
+            use_sub.reshape(use_sub.shape + (1,) * (a.ndim - use_sub.ndim)), b, a
+        ),
+        p,
+        p_sub,
+    )
+    # stretch the lobe-select uniform back to [0,1) inside the pick
+    denom_b = jnp.where(pick_b, jnp.maximum(w_sel, 1e-9), jnp.maximum(1.0 - w_sel, 1e-9))
+    ul_eff = jnp.where(
+        is_blend,
+        jnp.clip(jnp.where(pick_b, ul / denom_b, (ul - w_sel) / denom_b), 0.0, 1.0 - 1e-7),
+        jnp.where(is_mask, jnp.clip(ul / jnp.maximum(w_sel, 1e-9), 0.0, 1.0 - 1e-7), ul),
+    )
+    res = _sample_families(p_eff, wi, u2, ul_eff, types)
+
+    wo, weight, pdf, is_delta = res.wo, res.weight, res.pdf, res.is_delta
+    # mask pass-through: delta transmission, weight 1 (opacity cancels)
+    pass_w = jnp.ones_like(weight)
+    wo = jnp.where(mask_pass[..., None], -wi, wo)
+    weight = jnp.where(mask_pass[..., None], pass_w, weight)
+    pdf = jnp.where(mask_pass, 1.0 - w_sel, pdf)
+    is_delta = jnp.where(mask_pass, True, is_delta)
+
+    # smooth samples from nested lobes: full-mixture re-weight
+    smooth_sub = use_sub & ~is_delta
+    f_mix, pdf_mix = eval_pdf_raw(mats, mid, wi, wo, types=types, tex=tex)
+    ok = smooth_sub & (pdf_mix > 1e-9)
+    weight = jnp.where(
+        ok[..., None], f_mix / jnp.maximum(pdf_mix, 1e-9)[..., None], weight
+    )
+    weight = jnp.where((smooth_sub & ~ok)[..., None], 0.0, weight)
+    pdf = jnp.where(smooth_sub, pdf_mix, pdf)
+    # delta picks from nested lobes: component result stands; pdf is the
+    # discrete pick probability times the component's own discrete pdf
+    delta_sub = use_sub & is_delta
+    p_pick = jnp.where(is_mask, w_sel, jnp.where(pick_b, w_sel, 1.0 - w_sel))
+    pdf = jnp.where(delta_sub, pdf * p_pick, pdf)
     return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
 
 

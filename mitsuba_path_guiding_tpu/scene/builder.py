@@ -55,6 +55,12 @@ _BSDF_TYPES = {
     "roughplastic": BSDFType.ROUGH_PLASTIC,
     "phong": BSDFType.PHONG,
     "null": BSDFType.NULL,
+    "ward": BSDFType.WARD,
+    "difftrans": BSDFType.DIFFTRANS,
+    # nested wrappers (one level deep; see Materials docstring):
+    "blendbsdf": BSDFType.BLEND,
+    "mixturebsdf": BSDFType.BLEND,
+    "mask": BSDFType.MASK,
 }
 
 # named conductor IOR presets (reference data/ior/*.spd, RGB-averaged)
@@ -74,12 +80,27 @@ def _rgb(x, default):
     return np.full(3, float(x)) if x.ndim == 0 else x
 
 
-def _compile_bsdf(spec: dict, textures: list | None = None):
+def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
     """One material table row from a bsdf dict.  A "texture" sub-dict
     ({"type": "bitmap", "filename"|"image"} or "checkerboard"/
     "gridtexture") rasterizes into the scene's atlas and overrides the
-    reflectance at shading time (reference src/textures/)."""
+    reflectance at shading time (reference src/textures/).
+
+    Nested wrappers (blendbsdf/mixturebsdf/mask, reference
+    src/bsdfs/{blendbsdf,mixturebsdf,mask}.cpp) register their child
+    lobes through ``register_sub`` (a callable returning the child's row
+    index) and store the indices in sub_a/sub_b; bumpmap/normalmap
+    wrappers compile to the child row plus bump fields."""
     t = spec.get("type", "diffuse")
+    if t in ("bumpmap", "normalmap"):
+        if register_sub is None:
+            raise ValueError(f"{t} not allowed here")
+        inner = dict(spec.get("bsdf") or {"type": "diffuse"})
+        row = _compile_bsdf(inner, textures, register_sub)
+        row["bump_tex_id"], row["bump_scale"] = _compile_bump_texture(
+            spec, textures, is_height=(t == "bumpmap")
+        )
+        return row
     if t not in _BSDF_TYPES:
         raise ValueError(f"unknown bsdf type: {t}")
     row = {
@@ -88,9 +109,39 @@ def _compile_bsdf(spec: dict, textures: list | None = None):
         "specular": _rgb(spec.get("specular_reflectance"), [1.0, 1.0, 1.0]),
         "eta": _rgb(spec.get("eta"), [1.5, 1.5, 1.5]),
         "k": _rgb(spec.get("k"), [0.0, 0.0, 0.0]),
-        "alpha": float(spec.get("alpha", 0.1)),
+        "alpha": float(spec.get("alpha", spec.get("alpha_u", 0.1))),
+        "alpha_v": float(spec.get("alpha_v", spec.get("alpha", spec.get("alpha_u", 0.1)))),
         "texture_id": -1,
+        "sub_a": -1,
+        "sub_b": -1,
+        "weight": 0.0,
+        "bump_tex_id": -1,
+        "bump_scale": 1.0,
     }
+    if t in ("blendbsdf", "mixturebsdf", "mask"):
+        if register_sub is None:
+            raise ValueError(f"{t} may not be nested inside another wrapper")
+        if t == "mask":
+            op = _rgb(spec.get("opacity"), [0.5] * 3)
+            row["weight"] = float(np.mean(op))
+            row["sub_a"] = register_sub(spec.get("bsdf") or {"type": "diffuse"})
+        else:
+            subs = spec.get("bsdfs")
+            if t == "mixturebsdf":
+                weights = [float(x) for x in spec.get("weights", [0.5, 0.5])]
+                if len(subs) != 2:
+                    raise ValueError(
+                        "mixturebsdf: this build supports exactly 2 components "
+                        "(reference mixturebsdf.cpp allows N; express N>2 as "
+                        "nested blends is unsupported — file an issue)"
+                    )
+                wsum = max(weights[0] + weights[1], 1e-9)
+                row["weight"] = weights[1] / wsum
+            else:
+                row["weight"] = float(spec.get("weight", 0.5))
+            row["sub_a"] = register_sub(subs[0])
+            row["sub_b"] = register_sub(subs[1])
+        return row
     tex = spec.get("texture")
     if tex is not None and textures is not None:
         from mitsuba_path_guiding_tpu.models.texture import rasterize_procedural
@@ -117,6 +168,43 @@ def _compile_bsdf(spec: dict, textures: list | None = None):
         ext_ior = float(spec.get("ext_ior", 1.000277))
         row["eta"] = np.full(3, int_ior / ext_ior)
     return row
+
+
+def _rasterize_texture(tex: dict, textures: list) -> np.ndarray:
+    from mitsuba_path_guiding_tpu.models.texture import rasterize_procedural
+
+    tt = tex.get("type", "bitmap")
+    if tt == "bitmap":
+        if "image" in tex:
+            return np.asarray(tex["image"], dtype=np.float32)
+        from mitsuba_path_guiding_tpu.util import _read
+
+        return _read(tex["filename"])
+    return rasterize_procedural(tex)
+
+
+def _compile_bump_texture(spec: dict, textures: list | None, is_height: bool):
+    """bumpmap/normalmap wrapper (reference src/bsdfs/{bumpmap,normalmap}.cpp).
+
+    Height maps are converted to tangent-space normal maps HOST-SIDE
+    (finite differences) so the shading path has a single code path: a
+    normal-map gather + frame perturbation."""
+    tex = spec.get("texture")
+    if tex is None or textures is None:
+        return -1, 1.0
+    img = _rasterize_texture(tex, textures)
+    scale = float(spec.get("scale", 1.0))
+    if is_height:
+        h = img.mean(axis=-1) if img.ndim == 3 else img
+        gy, gx = np.gradient(h)
+        H, W = h.shape
+        n = np.stack(
+            [-scale * gx * W, -scale * gy * H, np.ones_like(h)], axis=-1
+        )
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        img = ((n + 1.0) * 0.5).astype(np.float32)
+    textures.append(np.asarray(img, dtype=np.float32))
+    return len(textures) - 1, scale
 
 
 def _compile_medium(med: dict | None) -> MediumData:
@@ -198,13 +286,22 @@ def build_scene(desc: dict) -> SceneData:
     mat_cache: dict[str, int] = {}
     texture_images: list = []
 
-    def mat_index(bspec):
-        row = _compile_bsdf(bspec or {"type": "diffuse"}, texture_images)
+    def _intern(row):
         key = repr(sorted((k, repr(v)) for k, v in row.items()))
         if key not in mat_cache:
             mat_cache[key] = len(mat_rows)
             mat_rows.append(row)
         return mat_cache[key]
+
+    def _register_sub(bspec):
+        # nested lobes must be plain families (register_sub=None makes
+        # wrapper-in-wrapper raise)
+        return _intern(_compile_bsdf(bspec, texture_images, register_sub=None))
+
+    def mat_index(bspec):
+        return _intern(
+            _compile_bsdf(bspec or {"type": "diffuse"}, texture_images, _register_sub)
+        )
 
     tris = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
     tri_mat, tri_emitter = [], []
@@ -222,7 +319,30 @@ def build_scene(desc: dict) -> SceneData:
         em["power"].append(max(power, 1e-12))
         return len(em["kind"]) - 1
 
+    # instancing (reference shapes/instance.cpp + shapegroup.cpp): groups
+    # are templates; instances stamp them with a transform.  The compiler
+    # flattens instances into the world-space soup — full scene-format
+    # parity; two-level (TLAS/BLAS) acceleration is a planned memory
+    # optimization, not a capability gap.
+    groups: dict[str, list] = {}
+    flat_shapes = []
     for sh in shapes:
+        if sh.get("type") == "shapegroup":
+            groups[sh["id"]] = sh["shapes"]
+            continue
+        if sh.get("type") == "instance":
+            tw = _to_world(sh)
+            for member in groups[sh["ref"]]:
+                member = dict(member)
+                member_tw = tw @ _to_world(member)
+                member["to_world"] = member_tw
+                if "bsdf" in sh and "bsdf" not in member:
+                    member["bsdf"] = sh["bsdf"]
+                flat_shapes.append(member)
+            continue
+        flat_shapes.append(sh)
+
+    for sh in flat_shapes:
         mesh = SHAPE_BUILDERS[sh["type"]](sh).transformed(_to_world(sh))
         p0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = mesh.face_arrays()
         mid = mat_index(sh.get("bsdf"))
@@ -288,6 +408,49 @@ def build_scene(desc: dict) -> SceneData:
                 EmitterKind.DIRECTIONAL, irr, position=d,
                 power=float(np.dot(irr, np.asarray(LUM_WEIGHTS))),
             )
+        elif t in ("sky", "sun", "sunsky"):
+            # procedural clear sky (reference sky.cpp/sun.cpp/sunsky.cpp;
+            # Preetham model — see models/sunsky.py for the substitution
+            # rationale).  Sky becomes an importance-sampled envmap, sun a
+            # directional delta light.
+            from mitsuba_path_guiding_tpu.models.envmap import build_env_tables
+            from mitsuba_path_guiding_tpu.models.sunsky import (
+                preetham_sky_image,
+                preetham_sun_irradiance,
+                sun_direction_from_angles,
+            )
+
+            if "sun_direction" in espec:
+                sdir = np.asarray(espec["sun_direction"], dtype=np.float64)
+                sdir = sdir / np.linalg.norm(sdir)
+            else:
+                sdir = sun_direction_from_angles(
+                    float(espec.get("elevation", 30.0)),
+                    float(espec.get("azimuth", 0.0)),
+                )
+            turb = float(espec.get("turbidity", 3.0))
+            sc_f = float(espec.get("scale", 1.0))
+            if t in ("sky", "sunsky"):
+                if env_id >= 0:
+                    raise ValueError("only one environment emitter allowed")
+                img = preetham_sky_image(
+                    sdir, turb, resolution=int(espec.get("resolution", 128)),
+                    scale=sc_f * float(espec.get("sky_scale", 1.0)),
+                )
+                env_tables = build_env_tables(img, 1.0)
+                mean_lum = float((img @ np.asarray(LUM_WEIGHTS)).mean())
+                env_id = add_emitter(
+                    EmitterKind.ENVMAP, [mean_lum] * 3, power=mean_lum * 4 * np.pi
+                )
+                env_kind = EmitterKind.ENVMAP
+            if t in ("sun", "sunsky"):
+                irr = preetham_sun_irradiance(
+                    sdir, turb, scale=sc_f * float(espec.get("sun_scale", 1.0))
+                )
+                add_emitter(
+                    EmitterKind.DIRECTIONAL, irr, position=-sdir,
+                    power=float(np.dot(irr, np.asarray(LUM_WEIGHTS))),
+                )
         elif t == "spot":
             inten = _rgb(espec.get("intensity"), [1.0, 1.0, 1.0])
             tw = _to_world(espec)
@@ -350,7 +513,7 @@ def build_scene(desc: dict) -> SceneData:
         raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
 
     M = len(mat_rows)
-    mpk = np.zeros((M, 16), dtype=np.float32)
+    mpk = np.zeros((M, 32), dtype=np.float32)
     mpk[:, 0] = [m["type"] for m in mat_rows]
     mpk[:, 1:4] = np.stack([m["reflectance"] for m in mat_rows])
     mpk[:, 4:7] = np.stack([m["specular"] for m in mat_rows])
@@ -358,6 +521,12 @@ def build_scene(desc: dict) -> SceneData:
     mpk[:, 10:13] = np.stack([m["k"] for m in mat_rows])
     mpk[:, 13] = [m["alpha"] for m in mat_rows]
     mpk[:, 14] = [m["texture_id"] for m in mat_rows]
+    mpk[:, 15] = [m.get("alpha_v", m["alpha"]) for m in mat_rows]
+    mpk[:, 16] = [m.get("sub_a", -1) for m in mat_rows]
+    mpk[:, 17] = [m.get("sub_b", -1) for m in mat_rows]
+    mpk[:, 18] = [m.get("weight", 0.0) for m in mat_rows]
+    mpk[:, 19] = [m.get("bump_tex_id", -1) for m in mat_rows]
+    mpk[:, 20] = [m.get("bump_scale", 1.0) for m in mat_rows]
     mats = Materials(
         type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
         reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),

@@ -236,6 +236,94 @@ def load_ply(path):
     return Mesh(verts, np.asarray(faces), normals)
 
 
+def load_serialized(path, index: int = 0):
+    """Mitsuba .serialized mesh format (reference
+    src/librender/trimesh.cpp:176-240 loadCompressed): little-endian
+    uint16 magic 0x041C + uint16 version (3/4), then one zlib stream per
+    mesh holding uint32 flags, [v4: null-terminated name], uint64
+    vertex/triangle counts, positions, optional normals/uvs/colors, and
+    uint32 triangle indices.  Multi-mesh files index via the uint64
+    offset table before the trailing uint32 mesh count."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<HH", data, 0)
+    if magic != 0x041C:
+        raise ValueError(f"{path}: bad .serialized magic {magic:#x}")
+    if version not in (3, 4):
+        raise ValueError(f"{path}: unsupported version {version}")
+    offset = 4
+    if index != 0:
+        (count,) = struct.unpack_from("<I", data, len(data) - 4)
+        if not 0 <= index < count:
+            raise ValueError(f"{path}: mesh index {index} out of range ({count})")
+        if version == 4:
+            (off,) = struct.unpack_from(
+                "<Q", data, len(data) - 8 * (count - index) - 4
+            )
+        else:
+            (off,) = struct.unpack_from(
+                "<I", data, len(data) - 4 * (count - index + 1)
+            )
+        offset = off + 4  # skip the per-mesh header
+    # decompressobj tolerates the next mesh's bytes after the stream end
+    raw = zlib.decompressobj().decompress(data[offset:])
+    pos = 0
+    (flags,) = struct.unpack_from("<I", raw, pos); pos += 4
+    if version == 4:
+        end = raw.index(b"\0", pos)
+        pos = end + 1
+    vc, tc = struct.unpack_from("<QQ", raw, pos); pos += 16
+    double = bool(flags & 0x2000)
+    fsize, ftype = (8, "<f8") if double else (4, "<f4")
+
+    def take(n):
+        nonlocal pos
+        out = np.frombuffer(raw, dtype=ftype, count=n, offset=pos).astype(np.float64)
+        pos += n * fsize
+        return out
+
+    verts = take(vc * 3).reshape(vc, 3)
+    normals = take(vc * 3).reshape(vc, 3) if flags & 0x0001 else None
+    uvs = take(vc * 2).reshape(vc, 2) if flags & 0x0002 else None
+    if flags & 0x0008:
+        take(vc * 3)  # vertex colors parsed but unused
+    faces = np.frombuffer(raw, dtype="<u4", count=tc * 3, offset=pos).reshape(tc, 3)
+    return Mesh(verts, faces.astype(np.int64), normals, uvs)
+
+
+def save_serialized(path, meshes):
+    """Writer for tests/converters (v4, single precision)."""
+    import struct
+    import zlib
+
+    blobs, offsets = [], []
+    cursor = 0
+    for mesh in meshes:
+        flags = 0x1000 | (0x0001 if mesh.normals is not None else 0) | (
+            0x0002 if mesh.uvs is not None else 0
+        )
+        body = struct.pack("<I", flags) + b"mesh\0"
+        body += struct.pack("<QQ", len(mesh.vertices), len(mesh.faces))
+        body += mesh.vertices.astype("<f4").tobytes()
+        if mesh.normals is not None:
+            body += mesh.normals.astype("<f4").tobytes()
+        if mesh.uvs is not None:
+            body += mesh.uvs.astype("<f4").tobytes()
+        body += mesh.faces.astype("<u4").tobytes()
+        blob = struct.pack("<HH", 0x041C, 4) + zlib.compress(body)
+        offsets.append(cursor)
+        blobs.append(blob)
+        cursor += len(blob)
+    out = b"".join(blobs)
+    out += b"".join(struct.pack("<Q", o) for o in offsets)
+    out += struct.pack("<I", len(blobs))
+    with open(path, "wb") as f:
+        f.write(out)
+
+
 SHAPE_BUILDERS = {
     "rectangle": lambda props: make_rectangle(),
     "cube": lambda props: make_cube(),
@@ -247,5 +335,8 @@ SHAPE_BUILDERS = {
     "ply": lambda props: load_ply(props["filename"]),
     "trimesh": lambda props: Mesh(
         props["vertices"], props["faces"], props.get("normals"), props.get("uvs")
+    ),
+    "serialized": lambda props: load_serialized(
+        props["filename"], int(props.get("shape_index", 0))
     ),
 }

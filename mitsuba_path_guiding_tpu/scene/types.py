@@ -29,7 +29,10 @@ class BSDFType:
     PHONG = 9            # bsdfs/phong.cpp — modified Phong
     MASK = 10            # bsdfs/mask.cpp — opacity-masked nested BSDF
     TWO_SIDED = 11       # handled at build time by flag
-    N_TYPES = 12
+    WARD = 12            # bsdfs/ward.cpp — anisotropic Ward-Duer
+    DIFFTRANS = 13       # bsdfs/difftrans.cpp — diffuse transmission
+    BLEND = 14           # bsdfs/blendbsdf.cpp + mixturebsdf.cpp (2 lobes)
+    N_TYPES = 15
 
 
 class EmitterKind:
@@ -88,9 +91,17 @@ class BVH(NamedTuple):
 class Materials(NamedTuple):
     """Enum-dispatched BSDF parameter table, (M,) leading axis.
 
-    ``packed`` (M, 16) mirrors the fields for single-row-gather shading:
-    0 type, 1:4 reflectance, 4:7 specular, 7:10 eta, 10:13 k, 13 alpha,
-    14 texture_id, 15 pad."""
+    ``packed`` (M, 32) mirrors the fields for single-row-gather shading:
+    0 type, 1:4 reflectance, 4:7 specular, 7:10 eta, 10:13 k, 13 alpha(_u),
+    14 texture_id, 15 alpha_v (anisotropic ward; == alpha otherwise),
+    16 sub_a (nested material row, -1 none), 17 sub_b, 18 weight/opacity,
+    19 bump_tex_id (-1 none; always a *normal map* — builder converts
+    height maps host-side), 20 bump_scale, 21:32 pad.
+
+    One level of nesting (blendbsdf/mixturebsdf/mask wrapping plain
+    families) is resolved on the wavefront; the scene compiler rejects
+    deeper graphs (reference allows them, practical scenes don't use them).
+    """
 
     type: jnp.ndarray        # (M,) int32 BSDFType
     reflectance: jnp.ndarray # (M, 3) diffuse albedo / tint
@@ -99,7 +110,7 @@ class Materials(NamedTuple):
     k: jnp.ndarray           # (M, 3) conductor absorption
     alpha: jnp.ndarray       # (M,) microfacet roughness (GGX)
     texture_id: jnp.ndarray  # (M,) int32 index into texture atlas, -1 = none
-    packed: jnp.ndarray      # (M, 16) float32, layout above
+    packed: jnp.ndarray      # (M, 32) float32, layout above
 
 
 class Emitters(NamedTuple):

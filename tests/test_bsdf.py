@@ -12,28 +12,43 @@ from mitsuba_path_guiding_tpu.scene.types import BSDFType, Materials
 N = 150_000
 
 
-def make_mats(mtype, refl=(0.8, 0.6, 0.4), spec=(1.0, 1.0, 1.0), eta=1.5, k=0.0, alpha=0.3):
-    one = lambda v: jnp.asarray(np.array([v if np.ndim(v) else [v] * 3]), jnp.float32)
+def _row(mtype, refl, spec, eta, k, alpha, alpha_v=None, sub_a=-1, sub_b=-1, weight=0.0):
     eta3 = [eta] * 3 if np.ndim(eta) == 0 else eta
     k3 = [k] * 3 if np.ndim(k) == 0 else k
-    packed = np.zeros((1, 16), dtype=np.float32)
-    packed[0, 0] = mtype
-    packed[0, 1:4] = refl
-    packed[0, 4:7] = spec
-    packed[0, 7:10] = eta3
-    packed[0, 10:13] = k3
-    packed[0, 13] = alpha
-    packed[0, 14] = -1
+    packed = np.zeros((32,), dtype=np.float32)
+    packed[0] = mtype
+    packed[1:4] = refl
+    packed[4:7] = spec
+    packed[7:10] = eta3
+    packed[10:13] = k3
+    packed[13] = alpha
+    packed[14] = -1
+    packed[15] = alpha if alpha_v is None else alpha_v
+    packed[16] = sub_a
+    packed[17] = sub_b
+    packed[18] = weight
+    packed[19] = -1
+    packed[20] = 1.0
+    return packed
+
+
+def mats_from_rows(rows):
+    packed = np.stack(rows).astype(np.float32)
+    m = packed.shape[0]
     return Materials(
-        type=jnp.array([mtype], jnp.int32),
-        reflectance=one(list(refl)),
-        specular=one(list(spec)),
-        eta=one(eta3),
-        k=one(k3),
-        alpha=jnp.array([alpha], jnp.float32),
-        texture_id=jnp.array([-1], jnp.int32),
+        type=jnp.asarray(packed[:, 0].astype(np.int32)),
+        reflectance=jnp.asarray(packed[:, 1:4]),
+        specular=jnp.asarray(packed[:, 4:7]),
+        eta=jnp.asarray(packed[:, 7:10]),
+        k=jnp.asarray(packed[:, 10:13]),
+        alpha=jnp.asarray(packed[:, 13]),
+        texture_id=jnp.full((m,), -1, jnp.int32),
         packed=jnp.asarray(packed),
     )
+
+
+def make_mats(mtype, refl=(0.8, 0.6, 0.4), spec=(1.0, 1.0, 1.0), eta=1.5, k=0.0, alpha=0.3, alpha_v=None):
+    return mats_from_rows([_row(mtype, refl, spec, eta, k, alpha, alpha_v)])
 
 
 def run_chi2(mats, wi_theta_deg, seed=0, significance=0.0025):
@@ -151,3 +166,94 @@ def test_albedo_defined_for_all_types():
         mats = make_mats(min(t, BSDFType.MASK))
         a = np.asarray(B.albedo(mats, jnp.zeros((4,), jnp.int32)))
         assert np.isfinite(a).all()
+
+
+# ---------------------------------------------------------------------------
+# new families: ward / difftrans / blend / mask (reference ward.cpp,
+# difftrans.cpp, blendbsdf.cpp, mixturebsdf.cpp, mask.cpp)
+# ---------------------------------------------------------------------------
+
+def _blend_mats(weight=0.35):
+    """row 0 = blend of [diffuse (row 1), rough conductor (row 2)]."""
+    rows = [
+        _row(BSDFType.BLEND, (0, 0, 0), (0, 0, 0), 1.5, 0.0, 0.1,
+             sub_a=1, sub_b=2, weight=weight),
+        _row(BSDFType.DIFFUSE, (0.8, 0.6, 0.4), (1, 1, 1), 1.5, 0.0, 0.1),
+        _row(BSDFType.ROUGH_CONDUCTOR, (0.5, 0.5, 0.5), (1, 1, 1),
+             [0.2, 0.9, 1.4], [3.9, 2.4, 2.1], 0.35),
+    ]
+    return mats_from_rows(rows)
+
+
+def _mask_mats(opacity=0.7):
+    rows = [
+        _row(BSDFType.MASK, (0, 0, 0), (0, 0, 0), 1.5, 0.0, 0.1,
+             sub_a=1, weight=opacity),
+        _row(BSDFType.DIFFUSE, (0.8, 0.6, 0.4), (1, 1, 1), 1.5, 0.0, 0.1),
+    ]
+    return mats_from_rows(rows)
+
+
+@pytest.mark.parametrize(
+    "name,mats,theta",
+    [
+        ("ward_iso", make_mats(BSDFType.WARD, refl=(0.3, 0.2, 0.1), spec=(0.6, 0.6, 0.6), alpha=0.25), 35),
+        ("ward_aniso", make_mats(BSDFType.WARD, refl=(0.2, 0.2, 0.2), spec=(0.7, 0.7, 0.7), alpha=0.1, alpha_v=0.4), 50),
+        ("difftrans", make_mats(BSDFType.DIFFTRANS, refl=(0.7, 0.5, 0.3)), 30),
+        ("difftrans_below", make_mats(BSDFType.DIFFTRANS, refl=(0.7, 0.5, 0.3)), 140),
+        ("blend", _blend_mats(0.35), 40),
+        ("mask", _mask_mats(0.7), 30),
+    ],
+)
+def test_new_bsdf_chi2(name, mats, theta):
+    passed, msg, _ = run_chi2(mats, theta, seed=abs(hash(name)) % (2**31))
+    assert passed, f"{name}: {msg}"
+
+
+def test_blend_weight_consistency():
+    """sampled weight == eval/pdf for blend lanes (mixture bookkeeping)."""
+    mats = _blend_mats(0.6)
+    n = 4096
+    wi = jnp.broadcast_to(jnp.asarray([np.sin(0.5), 0.0, np.cos(0.5)], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(8), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    f, pdf = B.eval_pdf(mats, mid, wi, bs.wo)
+    ok = (
+        (~np.asarray(bs.is_delta))
+        & (np.asarray(bs.pdf) > 1e-4)
+        & (np.asarray(bs.weight).max(axis=-1) > 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs.weight)[ok],
+        np.asarray(f)[ok] / np.asarray(pdf)[ok][:, None],
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_mask_passthrough_fraction():
+    """pass-through lobe: delta straight-through with weight 1, picked
+    with probability 1 - opacity (mask.cpp)."""
+    mats = _mask_mats(0.7)
+    n = 100_000
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.6, 0.8], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    is_pass = np.asarray(bs.is_delta)
+    frac = is_pass.mean()
+    assert abs(frac - 0.3) < 0.01, frac
+    wo_pass = np.asarray(bs.wo)[is_pass]
+    np.testing.assert_allclose(wo_pass, -np.asarray(wi)[is_pass], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bs.weight)[is_pass], 1.0, atol=1e-6)
+
+
+def test_ward_furnace_bounded():
+    mats = make_mats(BSDFType.WARD, refl=(0.5, 0.5, 0.5), spec=(0.5, 0.5, 0.5), alpha=0.3)
+    n = 50_000
+    wi = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.945], jnp.float32), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    assert float(np.asarray(bs.weight).max(axis=-1).mean()) < 1.1

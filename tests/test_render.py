@@ -89,3 +89,40 @@ def test_exr_readable_header(tmp_path):
     write_exr(str(p), img)
     magic = p.read_bytes()[:4]
     assert magic == bytes([0x76, 0x2F, 0x31, 0x01])
+
+
+def test_instances_and_serialized(tmp_path):
+    """shapegroup/instance flattening + .serialized roundtrip through the
+    scene compiler (reference shapes/instance.cpp, trimesh.cpp format)."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.shapes import make_sphere, save_serialized
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at, rotate, translate
+
+    path = str(tmp_path / "ball.serialized")
+    save_serialized(path, [make_sphere(8, 16)])
+    desc = {
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": look_at([0, 0, -6], [0, 0, 0])},
+        "shapes": [
+            {"type": "shapegroup", "id": "g",
+             "shapes": [{"type": "serialized", "filename": path,
+                         "bsdf": {"type": "diffuse"}}]},
+            {"type": "instance", "ref": "g", "to_world": translate(-1.5, 0, 0)},
+            {"type": "instance", "ref": "g", "to_world": translate(1.5, 0, 0)},
+            {"type": "rectangle",
+             "to_world": translate(0, 0, 2) @ rotate([1, 0, 0], 180),
+             "bsdf": {"type": "diffuse"},
+             "emitter": {"radiance": [4.0, 4.0, 4.0]}},
+        ],
+        "emitters": [],
+    }
+    scene = build_scene(desc)
+    # two instances = twice the sphere triangles (+2 light tris)
+    n_sphere = len(make_sphere(8, 16).faces)
+    assert int(scene.geo.p0.shape[0]) == 2 * n_sphere + 2
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+
+    img = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=4, max_depth=3)))
+    assert np.isfinite(img).all() and img.mean() > 0
