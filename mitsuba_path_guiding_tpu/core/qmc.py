@@ -7,9 +7,11 @@ counter-based design is preserved: the s-th sample of pixel p uses the
 Halton point at index s, torus-shifted by a per-pixel hash — deterministic,
 sharding-invariant, and progressive (sequences extend across passes).
 
-The reference's Sobol' sampler relies on 108k LoC of direction-number
-tables (src/samplers/sobolseq.cpp); round 1 ships Halton + stratified and
-documents Sobol as future work (PARITY.md).
+Sobol' sequences (reference src/samplers/sobol.cpp + the 108k-LoC
+direction-number tables in sobolseq.cpp) are generated from scipy's
+Joe-Kuo direction numbers pulled once at build time — the table is data,
+not code — with per-pixel digital-shift (base-2 Cranley-Patterson)
+scrambling for decorrelation.
 """
 from __future__ import annotations
 
@@ -74,3 +76,55 @@ def stratified_2d(
     return jnp.stack(
         [(cx + jitter[..., 0]) / k, (cy + jitter[..., 1]) / k], axis=-1
     )
+
+
+# ---------------------------------------------------------------------------
+# Sobol' (Joe-Kuo direction numbers via scipy, digital-shift scrambled)
+# ---------------------------------------------------------------------------
+
+_SOBOL_BITS = 30
+_sobol_cache: dict = {}
+
+
+def sobol_direction_numbers(n_dims: int):
+    """(n_dims, 30) uint32 direction vectors (MSB-aligned to 2^30)."""
+    import numpy as np
+
+    if n_dims not in _sobol_cache:
+        from scipy.stats import qmc  # baked into the image
+
+        sv = qmc.Sobol(n_dims, scramble=False)._sv
+        _sobol_cache[n_dims] = jnp.asarray(
+            np.asarray(sv, dtype=np.int64).astype(np.uint32)
+        )
+    return _sobol_cache[n_dims]
+
+
+def sobol_point(idx: jnp.ndarray, sv: jnp.ndarray, shift_bits=None) -> jnp.ndarray:
+    """Sobol points for uint32 sample indices.
+
+    idx: (N,) uint32; sv: (D, 30) direction numbers; shift_bits: optional
+    (N, D) or (D,) uint32 digital-shift scrambling (XOR).  Returns (N, D)
+    floats in [0, 1)."""
+    idx = idx.astype(jnp.uint32)
+    acc = jnp.zeros(idx.shape + (sv.shape[0],), jnp.uint32)
+    for k in range(_SOBOL_BITS):
+        bit = ((idx >> k) & jnp.uint32(1)).astype(jnp.uint32)
+        acc = acc ^ (bit[..., None] * sv[None, :, k])
+    if shift_bits is not None:
+        acc = acc ^ shift_bits.astype(jnp.uint32)
+    return jnp.minimum(
+        acc.astype(jnp.float32) * jnp.float32(2.0 ** -_SOBOL_BITS),
+        1.0 - 1e-7,
+    )
+
+
+def sobol_2d(sample_idx: jnp.ndarray, pixel_uniform: jnp.ndarray) -> jnp.ndarray:
+    """First two Sobol dims at ``sample_idx`` with a per-pixel digital
+    shift derived from ``pixel_uniform`` (N, 2) — the camera-jitter hook
+    (reference sobol.cpp's per-pixel instancing)."""
+    sv = sobol_direction_numbers(2)
+    shift = (pixel_uniform * jnp.float32(2.0**_SOBOL_BITS)).astype(jnp.uint32) & jnp.uint32(
+        (1 << _SOBOL_BITS) - 1
+    )
+    return sobol_point(sample_idx.astype(jnp.uint32), sv, shift)

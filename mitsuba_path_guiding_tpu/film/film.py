@@ -204,3 +204,14 @@ def write_image(path: str, img) -> None:
         write_exr(path, img)
     else:
         raise ValueError(f"unknown image extension: {path}")
+
+
+def splat_raw(acc: jnp.ndarray, film_xy: jnp.ndarray, values: jnp.ndarray,
+              width: int, height: int) -> jnp.ndarray:
+    """Weightless nearest-pixel scatter-add for adjoint splats (the
+    light-image accumulation of ptracer/bdpt — reference bdpt_wr.cpp's
+    ImageBlock with a box filter).  acc: (H*W, 3)."""
+    px = jnp.clip(jnp.floor(film_xy[..., 0]).astype(jnp.int32), 0, width - 1)
+    py = jnp.clip(jnp.floor(film_xy[..., 1]).astype(jnp.int32), 0, height - 1)
+    idx = py * width + px
+    return acc.at[idx].add(values)

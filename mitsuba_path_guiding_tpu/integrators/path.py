@@ -107,12 +107,18 @@ def trace(
     mat_types=bsdf_mod.ALL_TYPES,
     textured: bool = False,
     bumped: bool = False,
+    uniforms=None,
 ):
     """Trace one wavefront to completion.
 
     Returns (L (N,3), PathAux, PathRecord|None).  ``use_nee`` mirrors the
     fork's progressive_volpath ``useNee`` toggle
     (progressive_volpath.cpp:82) — guided-sampling quality isolation.
+
+    ``uniforms``: optional (9*max_depth, N) explicit primary-sample-space
+    coordinates (dim-major to avoid TPU lane padding) replacing the
+    counter-based RNG — the hook PSSMLT's lazy PSS mutations drive
+    (reference pssmlt_sampler.h:34-112).
     """
     n = ray_o.shape[0]
     geo, bvh, mats, em = scene.geo, scene.bvh, scene.mats, scene.emitters
@@ -152,7 +158,12 @@ def trace(
     # 6 guide-selection, 7 guide-lobe, 8 russian roulette
     def bounce(carry, depth):
         o, d, L, T, alive, prev_pdf, prev_delta, t_acc, aux = carry
-        u = bounce_uniform(rkeys, depth, 9)
+        if uniforms is None:
+            u = bounce_uniform(rkeys, depth, 9)
+        else:
+            u = jnp.moveaxis(
+                jax.lax.dynamic_slice_in_dim(uniforms, depth * 9, 9, axis=0), 0, -1
+            )
 
         hit = intersect(o, d)
         escaped = alive & ~hit.valid

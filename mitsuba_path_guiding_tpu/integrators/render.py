@@ -43,6 +43,10 @@ def camera_jitter(cfg, sample_idx, u_cam):
     """Sub-pixel jitter by sampler type (reference sampler plugin family):
     independent (pure random), stratified grid, or Halton(2,3) with
     per-pixel Cranley-Patterson rotation — all counter-based."""
+    if cfg.sampler == "sobol":
+        from mitsuba_path_guiding_tpu.core.qmc import sobol_2d
+
+        return sobol_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
     if cfg.sampler == "halton":
         from mitsuba_path_guiding_tpu.core.qmc import halton_2d
 

@@ -13,9 +13,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from mitsuba_path_guiding_tpu.core.math import dot, normalize
+from mitsuba_path_guiding_tpu.core.math import Frame, dot, normalize
 from mitsuba_path_guiding_tpu.core.warp import (
     INV_FOURPI,
+    square_to_cosine_hemisphere,
+    square_to_uniform_disk_concentric,
     square_to_uniform_sphere,
     square_to_uniform_triangle,
 )
@@ -216,3 +218,137 @@ def eval_env(em: Emitters, wo_world, kinds=None):
 # call boundary steers XLA toward a better fusion/layout decision here
 # (empirically ~2x on the NEE stage)
 sample_direct_jit = _partial(_jax.jit, static_argnames=("kinds",))(sample_direct)
+
+
+class RaySample(NamedTuple):
+    """Emitter-ray sample for adjoint transport (reference
+    Scene::sampleEmitterRay, scene.h:784-889 — the base of ParticleTracer,
+    particleproc.h:128)."""
+
+    o: jnp.ndarray       # (N, 3) ray origin
+    d: jnp.ndarray       # (N, 3) ray direction (away from the emitter)
+    weight: jnp.ndarray  # (N, 3) Le/(pdf_pos pdf_dir pmf) — particle power
+    normal: jnp.ndarray  # (N, 3) emitter normal at o (0 for point-like)
+    valid: jnp.ndarray   # (N,)
+    emit_weight: jnp.ndarray  # (N, 3) Le/(pdf_pos pmf) for direct
+    # emitter->sensor connections (area emitters; 0 for point/infinite)
+
+
+def sample_ray(
+    em: Emitters,
+    aabb_min,
+    aabb_max,
+    u: jnp.ndarray,
+    kinds=ALL_KINDS,
+) -> RaySample:
+    """Sample (position, direction) on the scene's emitters for particle
+    tracing.  ``u``: (N, 5) uniforms (0 emitter pick, 1:3 position,
+    3:5 direction).  Infinite emitters (constant/envmap/directional) emit
+    from a disk covering the scene's bounding sphere (the reference does
+    the same, e.g. src/emitters/constant.cpp sampleRay)."""
+    n = u.shape[0]
+    eid = jnp.clip(
+        jnp.searchsorted(em.cdf, u[..., 0], side="right"), 0, em.kind.shape[0] - 1
+    ).astype(jnp.int32)
+    row = em.packed[eid].T
+    kind = row[0].astype(jnp.int32)
+    pmf = jnp.maximum(row[1], 1e-12)
+    rad = jnp.stack([row[2], row[3], row[4]], axis=-1)
+    u_pos = u[..., 1:3]
+    u_dir = u[..., 3:5]
+
+    center = (aabb_min + aabb_max) * 0.5
+    radius = 0.5 * jnp.linalg.norm(aabb_max - aabb_min) + 1e-3
+    disk_area = jnp.pi * radius * radius
+
+    o = jnp.zeros((n, 3))
+    d = jnp.zeros((n, 3))
+    w = jnp.zeros((n, 3))
+    nrm = jnp.zeros((n, 3))
+    valid = jnp.zeros((n,), dtype=bool)
+    emit_w = jnp.zeros((n, 3))
+
+    def put(sel, o_, d_, w_, n_):
+        nonlocal o, d, w, nrm, valid
+        o = jnp.where(sel[..., None], o_, o)
+        d = jnp.where(sel[..., None], d_, d)
+        w = jnp.where(sel[..., None], w_, w)
+        nrm = jnp.where(sel[..., None], n_, nrm)
+        valid = valid | sel
+
+    def _disk_point(dir_in, u2):
+        """Point on the bounding-sphere disk facing ``dir_in``."""
+        f = Frame.from_normal(dir_in)
+        dxy = square_to_uniform_disk_concentric(u2) * radius
+        off = f.to_world(
+            jnp.concatenate([dxy, jnp.zeros_like(dxy[..., :1])], axis=-1)
+        )
+        return center - dir_in * radius * 1.5 + off
+
+    if EmitterKind.AREA in kinds:
+        b = square_to_uniform_triangle(u_pos)
+        q = jnp.stack(
+            [
+                row[14] + b[..., 0] * row[17] + b[..., 1] * row[20],
+                row[15] + b[..., 0] * row[18] + b[..., 1] * row[21],
+                row[16] + b[..., 0] * row[19] + b[..., 1] * row[22],
+            ],
+            axis=-1,
+        )
+        ng = jnp.stack([row[23], row[24], row[25]], axis=-1)
+        d_local = square_to_cosine_hemisphere(u_dir)
+        d_world = Frame.from_normal(ng).to_world(d_local)
+        area = jnp.maximum(row[13], 1e-12)
+        # Le cos / (pmf/A * cos/pi) = Le * pi * A / pmf
+        w_a = rad * (jnp.pi * area / pmf)[..., None]
+        sel_a = kind == EmitterKind.AREA
+        put(sel_a, q + ng * 1e-4, d_world, w_a, ng)
+        emit_w = jnp.where(sel_a[..., None], rad * (area / pmf)[..., None], emit_w)
+
+    if EmitterKind.POINT in kinds or EmitterKind.SPOT in kinds:
+        pos = jnp.stack([row[5], row[6], row[7]], axis=-1)
+        if EmitterKind.POINT in kinds:
+            d_sph = square_to_uniform_sphere(u_dir)
+            w_p = rad * (4.0 * jnp.pi / pmf)[..., None]
+            put(kind == EmitterKind.POINT, pos, d_sph, w_p, jnp.zeros_like(pos))
+        if EmitterKind.SPOT in kinds:
+            axis = jnp.stack([row[8], row[9], row[10]], axis=-1)
+            cos_total = row[11]
+            cos_beam = row[12]
+            # uniform cone sampling
+            ct = 1.0 - u_dir[..., 0] * (1.0 - cos_total)
+            st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+            ph = 2.0 * jnp.pi * u_dir[..., 1]
+            local = jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph), ct], axis=-1)
+            d_cone = Frame.from_normal(axis).to_world(local)
+            falloff = jnp.clip(
+                (ct - cos_total) / jnp.maximum(cos_beam - cos_total, 1e-6), 0.0, 1.0
+            )
+            solid = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_total, 1e-6)
+            w_s = rad * (falloff * solid / pmf)[..., None]
+            put(kind == EmitterKind.SPOT, pos, d_cone, w_s, jnp.zeros_like(pos))
+
+    if EmitterKind.DIRECTIONAL in kinds:
+        d_dl = jnp.stack([row[5], row[6], row[7]], axis=-1)  # emit direction
+        o_dl = _disk_point(d_dl, u_pos)
+        w_d = rad * (disk_area / pmf)[..., None]
+        put(kind == EmitterKind.DIRECTIONAL, o_dl, d_dl, w_d, d_dl)
+
+    if EmitterKind.CONSTANT in kinds:
+        d_in = -square_to_uniform_sphere(u_dir)  # inward
+        o_c = _disk_point(d_in, u_pos)
+        w_c = rad * (disk_area * 4.0 * jnp.pi / pmf)[..., None]
+        put(kind == EmitterKind.CONSTANT, o_c, d_in, w_c, d_in)
+
+    if EmitterKind.ENVMAP in kinds:
+        from mitsuba_path_guiding_tpu.models.envmap import env_sample
+
+        d_env, pdf_tex, rad_env = env_sample(em, u_dir)
+        d_in_e = -d_env
+        o_e = _disk_point(d_in_e, u_pos)
+        w_e = rad_env * (disk_area / (jnp.maximum(pdf_tex, 1e-12) * pmf))[..., None]
+        put(kind == EmitterKind.ENVMAP, o_e, d_in_e, w_e, d_in_e)
+
+    return RaySample(
+        o=o, d=d, weight=w, normal=nrm, valid=valid, emit_weight=emit_w
+    )

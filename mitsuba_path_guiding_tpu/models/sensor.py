@@ -83,3 +83,42 @@ def generate_rays(
     d_world = normalize(d_cam @ R.T)
     o_world = o_cam @ R.T + t
     return o_world, d_world, film_xy
+
+
+def connect_to_sensor(sensor: Sensor, width: int, height: int, p: jnp.ndarray):
+    """Adjoint sensor query (reference perspective.cpp::sampleDirect — the
+    hook the ptracer/bdpt light-image strategies use): project world
+    points onto the film of a perspective pinhole.
+
+    Returns (film_xy (N,2), dir_to_cam (N,3), dist (N,), importance (N,),
+    valid (N,)).  ``importance`` is We·G/cos_x folded together so a light
+    vertex with throughput alpha splats
+        C = alpha * f_eval(x -> cam) * V * importance
+    at film_xy, where f_eval includes |cos_x| (this build's BSDF eval
+    convention) and the estimator divides by the total particle count:
+        importance = 1 / (A_pix_plane * cos^4(theta) * d^2) * cos(theta)
+                   = 1 / (A_pix_plane * cos^3(theta) * d^2).
+    (one cos^3 from the solid-angle->film-area Jacobian, one cos/d^2 from
+    the geometry term at the camera, 1/cos_x cancelled against f_eval.)
+    """
+    R = sensor.to_world[:3, :3]
+    t = sensor.to_world[:3, 3]
+    w = p - t
+    d_cam = w @ R  # camera-space vector (R^T w)
+    z = d_cam[..., 2]
+    valid = z > sensor.near_clip
+    zs = jnp.where(valid, z, 1.0)
+    aspect = height / width
+    tanx = sensor.tan_half_fov_x
+    ndc_x = d_cam[..., 0] / (zs * tanx)
+    ndc_y = d_cam[..., 1] / (zs * tanx * aspect)
+    fx = (ndc_x + 1.0) * 0.5 * width
+    fy = (1.0 - ndc_y) * 0.5 * height
+    valid = valid & (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+    dist = jnp.linalg.norm(w, axis=-1)
+    dir_to_cam = -w / jnp.maximum(dist, 1e-12)[..., None]
+    cos_t = zs / jnp.maximum(dist, 1e-12)
+    a_pix = (2.0 * tanx / width) * (2.0 * tanx * aspect / height)
+    imp = 1.0 / jnp.maximum(a_pix * cos_t**3 * dist * dist, 1e-12)
+    film_xy = jnp.stack([fx, fy], axis=-1)
+    return film_xy, dir_to_cam, dist, jnp.where(valid, imp, 0.0), valid

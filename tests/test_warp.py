@@ -106,3 +106,42 @@ def test_tent_monotone_and_bounded():
     x = np.asarray(warp.interval_to_tent(jnp.asarray(u)))
     assert np.all(np.diff(x) >= -1e-6)
     assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_sobol_elementary_intervals():
+    """First 2^k unscrambled Sobol points are (0, k, 2)-stratified: every
+    base-2 elementary interval of volume 2^-k holds exactly one point
+    (the property the reference's sampler tests check, test_samplers.cpp)."""
+    import numpy as np
+    from mitsuba_path_guiding_tpu.core.qmc import sobol_direction_numbers, sobol_point
+
+    k = 8
+    n = 1 << k
+    sv = sobol_direction_numbers(2)
+    pts = np.asarray(sobol_point(jnp.arange(n, dtype=jnp.uint32), sv))
+    assert pts.shape == (n, 2)
+    for (a, b) in [(0, k), (k, 0), (4, 4), (2, 6)]:
+        ix = (pts[:, 0] * (1 << a)).astype(int)
+        iy = (pts[:, 1] * (1 << b)).astype(int)
+        counts = np.zeros((1 << a, 1 << b), int)
+        np.add.at(counts, (ix, iy), 1)
+        assert (counts == 1).all(), (a, b)
+
+
+def test_sobol_scramble_preserves_stratification():
+    import numpy as np
+    from mitsuba_path_guiding_tpu.core.qmc import sobol_2d
+
+    n = 256
+    pix_u = jnp.broadcast_to(jnp.asarray([0.37, 0.81], jnp.float32), (n, 2))
+    pts = np.asarray(sobol_2d(jnp.arange(n, dtype=jnp.uint32), pix_u))
+    # digital shift keeps elementary-interval stratification
+    ix = (pts[:, 0] * 16).astype(int)
+    iy = (pts[:, 1] * 16).astype(int)
+    counts = np.zeros((16, 16), int)
+    np.add.at(counts, (ix, iy), 1)
+    assert (counts == 1).all()
+    # different pixels -> different point sets
+    pix_u2 = jnp.broadcast_to(jnp.asarray([0.9, 0.1], jnp.float32), (n, 2))
+    pts2 = np.asarray(sobol_2d(jnp.arange(n, dtype=jnp.uint32), pix_u2))
+    assert np.abs(pts - pts2).max() > 0.1
