@@ -135,3 +135,67 @@ def fit_from_records(grid: GuidingGrid, rec: PathRecord, psum_axis: str | None =
         s_dir = jax.lax.psum(s_dir, psum_axis)
         s_count = jax.lax.psum(s_count, psum_axis)
     return update_grid(grid, s_w, s_dir, s_count)
+
+
+SPLIT_THRESHOLD = 4096.0  # samples before a cell subdivides
+
+
+def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> GuidingGrid:
+    """HOST-side adaptive refinement between progressions (the SD-tree
+    split pass of Practical Path Guiding, re-shaped for fixed-capacity flat
+    tables): leaf cells whose accumulated sample count exceeds
+    ``threshold`` get 8 children appended, seeded with the parent's mixture
+    and 1/8 of its (EMA) statistics.  Topology is frozen again afterwards,
+    so device code never sees a dynamic structure."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.guiding.grid import MAX_REFINE_LEVELS
+
+    child_base = np.asarray(grid.child_base).copy()
+    level = np.asarray(grid.level).copy()
+    count = np.asarray(grid.s_count)
+    n_used = int(grid.n_used)
+    capacity = child_base.shape[0]
+
+    is_leaf = child_base < 0
+    in_use = np.arange(capacity) < n_used
+    want = in_use & is_leaf & (count > threshold) & (level < MAX_REFINE_LEVELS)
+    idx = np.nonzero(want)[0]
+    if idx.size == 0 or n_used >= capacity:
+        return grid
+    # split highest-count cells first while capacity lasts
+    idx = idx[np.argsort(-count[idx])]
+    n_fit = min(idx.size, (capacity - n_used) // 8)
+    if n_fit == 0:
+        return grid
+    idx = idx[:n_fit]
+
+    mu = np.asarray(grid.mu).copy()
+    kappa = np.asarray(grid.kappa).copy()
+    logw = np.asarray(grid.log_weight).copy()
+    valid = np.asarray(grid.valid).copy()
+    s_w = np.asarray(grid.s_w).copy()
+    s_dir = np.asarray(grid.s_dir).copy()
+    s_count = np.asarray(grid.s_count).copy()
+
+    for parent in idx:
+        base = n_used
+        child_base[parent] = base
+        rows = slice(base, base + 8)
+        child_base[rows] = -1
+        level[rows] = level[parent] + 1
+        mu[rows] = mu[parent]
+        kappa[rows] = kappa[parent]
+        logw[rows] = logw[parent]
+        valid[rows] = valid[parent]
+        s_w[rows] = s_w[parent] / 8.0
+        s_dir[rows] = s_dir[parent] / 8.0
+        s_count[rows] = s_count[parent] / 8.0
+        n_used += 8
+
+    return grid._replace(
+        mu=jnp.asarray(mu), kappa=jnp.asarray(kappa), log_weight=jnp.asarray(logw),
+        valid=jnp.asarray(valid), s_w=jnp.asarray(s_w), s_dir=jnp.asarray(s_dir),
+        s_count=jnp.asarray(s_count), child_base=jnp.asarray(child_base),
+        level=jnp.asarray(level), n_used=jnp.int32(n_used),
+    )

@@ -24,8 +24,21 @@ from mitsuba_path_guiding_tpu.core.vmf import vmf_pdf, vmf_sample
 from mitsuba_path_guiding_tpu.core.warp import INV_FOURPI
 
 
+MAX_REFINE_LEVELS = 3  # static octree walk depth below the root grid
+
+
 class GuidingGrid(NamedTuple):
-    """Mixture parameters per cell (C = res^3 cells, K lobes)."""
+    """Mixture parameters per cell (C rows = res0^3 root cells + refined
+    children, K lobes).
+
+    Adaptive spatial refinement (NEXT.md item 13; the SD-tree of
+    "Practical Path Guiding" / OpenPGL's spatial structure): the root is a
+    dense res0^3 grid; cells with enough samples split into 8 children
+    appended to the same flat tables (``child_base`` >= 0 marks interior
+    cells), up to MAX_REFINE_LEVELS deep.  Topology changes happen
+    HOST-side between progressions (refine_grid); device lookups are a
+    static-depth gather walk — fixed topology within a progression, the
+    shape OpenPGL's per-iteration rebuild has."""
 
     mu: jnp.ndarray        # (C, K, 3) lobe directions
     kappa: jnp.ndarray     # (C, K)
@@ -37,11 +50,19 @@ class GuidingGrid(NamedTuple):
     s_count: jnp.ndarray   # (C,) raw sample counts
     aabb_min: jnp.ndarray  # (3,)
     aabb_max: jnp.ndarray  # (3,)
+    child_base: jnp.ndarray  # (C,) int32: base row of 8 children, -1 leaf
+    level: jnp.ndarray       # (C,) int32 refinement level (root = 0)
+    res0: jnp.ndarray        # () int32 root resolution
+    n_used: jnp.ndarray      # () int32 rows in use
 
 
-def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0) -> GuidingGrid:
-    """Cold-start grid: lobes spread quasi-uniformly, small kappa."""
-    c = res**3
+def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0,
+              capacity: int | None = None) -> GuidingGrid:
+    """Cold-start grid: lobes spread quasi-uniformly, small kappa.
+    ``capacity`` reserves rows for adaptive refinement (default 2x root)."""
+    c0 = res**3
+    c = capacity if capacity is not None else c0
+    c = max(c, c0)
     key = jax.random.PRNGKey(seed)
     mu = normalize(jax.random.normal(key, (c, n_lobes, 3)))
     return GuidingGrid(
@@ -54,20 +75,28 @@ def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0
         s_count=jnp.zeros((c,)),
         aabb_min=jnp.asarray(aabb_min),
         aabb_max=jnp.asarray(aabb_max),
+        child_base=jnp.full((c,), -1, jnp.int32),
+        level=jnp.zeros((c,), jnp.int32),
+        res0=jnp.int32(res),
+        n_used=jnp.int32(c0),
     )
 
 
-def grid_res(grid: GuidingGrid) -> int:
-    return round(grid.mu.shape[0] ** (1.0 / 3.0))
-
-
 def cell_index(grid: GuidingGrid, p: jnp.ndarray) -> jnp.ndarray:
-    """(N,3) world positions -> (N,) cell ids."""
-    res = grid_res(grid)
+    """(N,3) world positions -> (N,) cell row ids (leaf of the octree walk)."""
+    res = grid.res0
     extent = jnp.maximum(grid.aabb_max - grid.aabb_min, 1e-6)
-    q = (p - grid.aabb_min) / extent
-    ijk = jnp.clip((q * res).astype(jnp.int32), 0, res - 1)
-    return (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    q = jnp.clip((p - grid.aabb_min) / extent, 0.0, 1.0 - 1e-6) * res
+    ijk = q.astype(jnp.int32)
+    cid = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    frac = q - ijk  # position inside the current cell, in [0,1)^3
+    for _ in range(MAX_REFINE_LEVELS):
+        base = grid.child_base[cid]
+        hi = (frac >= 0.5).astype(jnp.int32)
+        octant = (hi[..., 0] * 2 + hi[..., 1]) * 2 + hi[..., 2]
+        cid = jnp.where(base >= 0, base + octant, cid)
+        frac = jnp.where((base >= 0)[..., None], frac * 2.0 - hi, frac)
+    return cid
 
 
 def mixture_weights(grid: GuidingGrid, cid: jnp.ndarray) -> jnp.ndarray:
@@ -164,3 +193,39 @@ def guide_sample_pdf(grid: GuidingGrid, cid: jnp.ndarray, u_lobe, u2, d_other):
     pdf_d = _mixture_pdf(params, d)
     pdf_other = _mixture_pdf(params, d_other)
     return d, pdf_d, pdf_other
+
+
+# cosine-lobe vMF approximation: mean cosine of cos(theta)/pi over the
+# hemisphere is 2/3 -> kappa ~ 2.25 (core/vmf.py mean_cosine_to_kappa)
+KAPPA_COSINE = 2.25
+
+
+def product_params(params, n_world: jnp.ndarray, kappa_b: float = KAPPA_COSINE):
+    """Product of the cell mixture with a vMF(n, kappa_b) cosine proxy.
+
+    The product of two vMFs is an unnormalized vMF (core/vmf.py
+    vmf_product_kappa_mu); per lobe the integral factor is
+    Lambda = N(ka) N(kb) / N(kc) * exp(kc - ka - kb) with the
+    exp-normalized N from _vmf_pdf_kn, so the product mixture is again a
+    proper mixture — sampling AND pdf use the same parameters, keeping the
+    one-sample-MIS estimator exact (product importance sampling per
+    NEXT.md item 13 / the parallax-aware paper's product extension)."""
+    w, mux, muy, muz, kappa, valid = params
+    nx, ny, nz = n_world[..., 0][None], n_world[..., 1][None], n_world[..., 2][None]
+    vx = kappa * mux + kappa_b * nx
+    vy = kappa * muy + kappa_b * ny
+    vz = kappa * muz + kappa_b * nz
+    kc = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    kc_safe = jnp.maximum(kc, 1e-9)
+    muxc, muyc, muzc = vx / kc_safe, vy / kc_safe, vz / kc_safe
+
+    def _logN(k):
+        kk = jnp.clip(k, 1e-6, 1e4)
+        return jnp.log(kk) - jnp.log(2.0 * jnp.pi) - jnp.log(-jnp.expm1(-2.0 * kk))
+
+    log_lambda = _logN(kappa) + _logN(jnp.full_like(kappa, kappa_b)) - _logN(kc) + (
+        kc - kappa - kappa_b
+    )
+    w_new = w * jnp.exp(jnp.clip(log_lambda, -60.0, 60.0))
+    w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=0, keepdims=True), 1e-30)
+    return (w_new, muxc, muyc, muzc, kc, valid)

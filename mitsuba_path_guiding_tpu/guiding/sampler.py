@@ -36,7 +36,7 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
+def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: bool = False):
     """Returns the ``guide`` callback consumed by integrators.path.trace.
     ``mat_types`` (static) restricts BSDF compilation to families present.
 
@@ -55,6 +55,13 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES):
 
         cid = cell_index(grid, p)
         params = _gather_cells(grid, cid)  # one packed gather pass
+        if product:
+            # product importance sampling: mixture x cosine-lobe vMF proxy
+            # around the shading normal (exact pdf for the distribution
+            # actually sampled -> estimator stays unbiased)
+            from mitsuba_path_guiding_tpu.guiding.grid import product_params
+
+            params = product_params(params, frame.n)
         valid = params[-1]
         usable = valid & ~_is_delta_material(mats, mid)
         a = jnp.where(usable, alpha, 0.0)

@@ -26,6 +26,10 @@ def _trivial_arrays():
         s_count=jnp.zeros((1,)),
         aabb_min=jnp.zeros(3),
         aabb_max=jnp.ones(3),
+        child_base=jnp.full((1,), -1, jnp.int32),
+        level=jnp.zeros((1,), jnp.int32),
+        res0=jnp.int32(1),
+        n_used=jnp.int32(1),
     )
 
 

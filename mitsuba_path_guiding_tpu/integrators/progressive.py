@@ -45,6 +45,11 @@ class ProgressiveConfig:
     guide_alpha: float = 0.5
     grid_res: int = 16
     n_lobes: int = 8
+    # adaptive spatial refinement (SD-tree splits between progressions);
+    # capacity_factor reserves rows for children
+    adaptive_refine: bool = False
+    refine_threshold: float = 4096.0
+    capacity_factor: int = 4
     train_progressions: int = 0       # 0 = train on all progressions
     on_preprogression: Optional[Callable] = None
     on_postprogression: Optional[Callable] = None
@@ -62,7 +67,10 @@ class ProgressiveRenderer:
         self.grid: Optional[GuidingGrid] = None
         if cfg.guiding:
             self.grid = make_grid(
-                scene.aabb_min, scene.aabb_max, res=cfg.grid_res, n_lobes=cfg.n_lobes
+                scene.aabb_min, scene.aabb_max, res=cfg.grid_res,
+                n_lobes=cfg.n_lobes,
+                capacity=(cfg.capacity_factor if cfg.adaptive_refine else 1)
+                * cfg.grid_res**3,
             )
         self.guide_fn = None  # built after mat_types below
         self.progression = 0
@@ -188,6 +196,10 @@ class ProgressiveRenderer:
                 s_dir = dvec if s_dir is None else s_dir + dvec
                 s_count = cnt if s_count is None else s_count + cnt
             self.grid = update_grid(self.grid, s_w, s_dir, s_count)
+            if cfg.adaptive_refine:
+                from mitsuba_path_guiding_tpu.guiding.fit import refine_grid
+
+                self.grid = refine_grid(self.grid, cfg.refine_threshold)
 
         self.progression += 1
         if cfg.on_postprogression is not None:

@@ -155,3 +155,143 @@ def test_guided_matches_unguided_cornell():
     assert abs(img_g.mean() - img_u.mean()) / img_u.mean() < 0.05
     # and the cache actually learned something
     assert int(np.asarray(pr.grid.valid).sum()) > 0
+
+
+def test_cell_index_octree_walk():
+    """Adaptive refinement: split a root cell, check lookups route to the
+    right child and unrefined cells still hit the root rows."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.guiding.fit import refine_grid
+    from mitsuba_path_guiding_tpu.guiding.grid import cell_index
+
+    g = make_grid(jnp.zeros(3), jnp.ones(3), res=2, n_lobes=2, capacity=64)
+    # force cell 0 (x,y,z < 0.5) over the threshold
+    g = g._replace(s_count=g.s_count.at[0].set(1e6))
+    g2 = refine_grid(g, threshold=100.0)
+    assert int(g2.n_used) == 8 + 8
+    assert int(g2.child_base[0]) == 8
+    # point in root cell 0, octant (1,0,1) -> child row 8 + 1*4+0*2+1 = 13
+    cid = cell_index(g2, jnp.asarray([[0.3, 0.1, 0.45]]))
+    assert int(cid[0]) == 8 + 5
+    # unrefined root cell keeps its row
+    cid2 = cell_index(g2, jnp.asarray([[0.9, 0.9, 0.9]]))
+    assert int(cid2[0]) == 7
+    # nested split: refine the child too
+    g3 = g2._replace(s_count=g2.s_count.at[13].set(1e6))
+    g4 = refine_grid(g3, threshold=100.0)
+    assert int(g4.child_base[13]) == 16
+    cid3 = cell_index(g4, jnp.asarray([[0.3, 0.1, 0.45]]))
+    # inside child 13 (x in [.25,.5), y in [0,.25), z in [.25,.5)):
+    # fractional pos (0.2, 0.4, 0.8) -> octant (0,0,1) -> row 16+1
+    assert int(cid3[0]) == 17
+
+
+def test_adaptive_progressive_render_improves():
+    """End-to-end: adaptive refinement stays finite and the guided render
+    still matches the unguided one in expectation."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.integrators.progressive import (
+        ProgressiveConfig,
+        ProgressiveRenderer,
+    )
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    scene = build_scene(cornell_box())
+    r = RenderConfig(width=16, height=16, spp=16, max_depth=4, seed=0)
+    cfg = ProgressiveConfig(
+        render=r, samples_per_progression=4, n_progressions=4,
+        guiding=True, grid_res=4, n_lobes=4,
+        adaptive_refine=True, refine_threshold=30.0, capacity_factor=8,
+    )
+    ren = ProgressiveRenderer(scene, cfg)
+    img = np.asarray(ren.render())
+    assert np.isfinite(img).all()
+    assert int(ren.grid.n_used) > 4**3  # refinement actually happened
+    ref = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=64, max_depth=4, seed=3)))
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.1)
+
+
+def test_product_params_chi2():
+    """Product mixture (guide x cosine vMF proxy): samples drawn from
+    product_params must match its own pdf (exactness of the one-sample-MIS
+    density; NEXT.md item 13 product sampling)."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.core import chi2
+    from mitsuba_path_guiding_tpu.guiding.fit import update_grid
+    from mitsuba_path_guiding_tpu.guiding.grid import (
+        _gather_cells,
+        _mixture_pdf,
+        _mixture_sample,
+        product_params,
+    )
+
+    g = make_grid(jnp.zeros(3), jnp.ones(3), res=1, n_lobes=4, seed=2)
+    # fit to a couple of directions so the mixture is non-trivial
+    rng_np = np.random.RandomState(0)
+    dirs = np.concatenate([
+        rng_np.normal([3, 0, 1], 0.15, (4000, 3)),
+        rng_np.normal([0, 2, 2], 0.3, (4000, 3)),
+    ])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    from mitsuba_path_guiding_tpu.integrators.path import PathRecord
+
+    rec = PathRecord(
+        pos=jnp.full((1, 3, 8000), 0.5),
+        dir=jnp.asarray(dirs.T[None]),
+        li=jnp.ones((1, 8000)),
+        pdf=jnp.ones((1, 8000)),
+        valid=jnp.ones((1, 8000), bool),
+    )
+    from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats
+
+    g = update_grid(g, *accumulate_stats(g, rec))
+
+    n = 120_000
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    cid = jnp.zeros((n,), jnp.int32)
+    params = _gather_cells(g, cid)
+    pp = product_params(params, normal)
+    import jax
+
+    u = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+    d = np.asarray(_mixture_sample(pp, u[:, 2], u[:, 0:2]))
+
+    def pdf_fn(dirs_q):
+        m = dirs_q.shape[0]
+        pq = _gather_cells(g, jnp.zeros((m,), jnp.int32))
+        ppq = product_params(pq, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3)))
+        return np.asarray(_mixture_pdf(ppq, jnp.asarray(dirs_q)))
+
+    passed, p, msg = chi2.chi2_test_sphere(d, pdf_fn)
+    assert passed, msg
+
+
+def test_product_guided_render_unbiased():
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.integrators.progressive import (
+        ProgressiveConfig,
+        ProgressiveRenderer,
+    )
+    from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    scene = build_scene(cornell_box())
+    r = RenderConfig(width=16, height=16, spp=16, max_depth=4, seed=0)
+    cfg = ProgressiveConfig(render=r, samples_per_progression=4, n_progressions=4,
+                            guiding=True, grid_res=4, n_lobes=4)
+    ren = ProgressiveRenderer(scene, cfg)
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+
+    ren.guide_fn = make_guide_fn(0.5, mat_types=ren.mat_types, product=True)
+    img = np.asarray(ren.render())
+    ref = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=64, max_depth=4, seed=3)))
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.1)
