@@ -211,6 +211,36 @@ def intersect_bvh(geo: Geometry, bvh: BVH, o, d, tmax=None, any_hit: bool = Fals
     return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
 
 
+def _tri_pack_rows(geo: Geometry) -> jnp.ndarray:
+    """(12, Tpad) triangle layout for the Pallas tiled intersector
+    (ops/intersect_pallas.py) built inside jit — loop-invariant, XLA
+    hoists it out of the bounce scan."""
+    from mitsuba_path_guiding_tpu.ops.intersect_pallas import TRI_TILE
+
+    t = geo.p0.shape[0]
+    tpad = ((t + TRI_TILE - 1) // TRI_TILE) * TRI_TILE
+    ids = jnp.arange(t, dtype=jnp.float32)
+    rows = jnp.concatenate(
+        [geo.p0.T, geo.e1.T, geo.e2.T, ids[None], jnp.zeros((2, t))], axis=0
+    )
+    pack = jnp.pad(rows, ((0, 0), (0, tpad - t)))
+    if tpad > t:
+        pack = pack.at[9, t:].set(-1.0)
+    return pack
+
+
+def intersect_pallas(geo: Geometry, o, d, tmax=None) -> Hit:
+    """Closest hit via the VMEM-tiled Pallas kernel (TPU hot path)."""
+    from mitsuba_path_guiding_tpu.ops.intersect_pallas import intersect_tiled
+
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INF)
+    pack = _tri_pack_rows(geo)
+    t, prim, u, v, valid = intersect_tiled(pack, o, d, tmax)
+    return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
+
+
 def occluded(geo: Geometry, bvh: BVH, o, d, tmax, use_bvh: bool = True) -> jnp.ndarray:
     """Shadow-ray visibility: True if any hit before tmax."""
     if use_bvh:

@@ -23,6 +23,7 @@ from mitsuba_path_guiding_tpu.accel.traverse import (
     EPS_T,
     intersect_brute,
     intersect_bvh,
+    intersect_pallas,
     occluded,
 )
 from mitsuba_path_guiding_tpu.core.math import (
@@ -89,6 +90,7 @@ def _offset_ray(p, ng, d):
         "mat_types",
         "textured",
         "bumped",
+        "accel",
     ),
 )
 def trace(
@@ -108,6 +110,7 @@ def trace(
     textured: bool = False,
     bumped: bool = False,
     uniforms=None,
+    accel: str = "auto",  # "auto" (use_bvh flag) | "brute" | "bvh" | "pallas"
 ):
     """Trace one wavefront to completion.
 
@@ -124,7 +127,9 @@ def trace(
     geo, bvh, mats, em = scene.geo, scene.bvh, scene.mats, scene.emitters
 
     def intersect(o, d):
-        if use_bvh:
+        if accel == "pallas":
+            return intersect_pallas(geo, o, d)
+        if use_bvh or accel == "bvh":
             return intersect_bvh(geo, bvh, o, d)
         return intersect_brute(geo, o, d)
 
@@ -140,6 +145,9 @@ def trace(
             return shadow_transmittance(
                 geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
             )
+        if accel == "pallas":
+            h = intersect_pallas(geo, o, d, tmax)
+            return 1.0 - h.valid.astype(jnp.float32)
         return 1.0 - occluded(geo, bvh, o, d, tmax, use_bvh=use_bvh)
 
     L0 = jnp.zeros((n, 3))

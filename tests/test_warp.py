@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import zlib
 
 from mitsuba_path_guiding_tpu.core import chi2, vmf, warp
 
@@ -40,7 +41,7 @@ def _uniforms(seed, n=N):
     ],
 )
 def test_warp_chi2(name, sample_fn, pdf_fn):
-    u = _uniforms(hash(name) % (2**31))
+    u = _uniforms(zlib.crc32(name.encode()) % (2**31))
     dirs = np.asarray(sample_fn(jnp.asarray(u)))
     # discontinuous pdfs (cone boundary) need finer per-bin quadrature
     quad_res = 32 if "cone" in name else 8
