@@ -34,7 +34,7 @@ def main():
 
     from mitsuba_path_guiding_tpu.core import rng
     from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
-    from mitsuba_path_guiding_tpu.film.film import splat
+    from mitsuba_path_guiding_tpu.film.film import splat, splat_box_aligned
     from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
     from mitsuba_path_guiding_tpu.guiding.grid import make_grid
     from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
@@ -57,8 +57,12 @@ def main():
     cfg = RenderConfig(width=W, height=H, spp=1, max_depth=MAX_DEPTH, seed=0)
     em_kinds = kinds_present(scene.emitters)
     mat_types = types_present(scene.mats)
-    guide = make_guide_fn(0.5, mat_types)
     grid = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8)
+    # grid has no refinement capacity -> octree walk depth 0 (static)
+    from mitsuba_path_guiding_tpu.guiding.grid import active_levels
+
+    levels = active_levels(grid)
+    guide = make_guide_fn(0.5, mat_types, levels=levels)
 
     n_pix = W * H
     base_pix = jnp.arange(n_pix, dtype=jnp.int32)
@@ -99,9 +103,9 @@ def main():
                 guide=guide, guide_state=grid, record_paths=fit,
                 em_kinds=em_kinds, mat_types=mat_types,
             )
-            rgbw = splat(rgbw, film_xy, L, W, H, "box")
+            rgbw = splat_box_aligned(rgbw, L, n_pix)
             if fit:
-                grid = update_grid(grid, *accumulate_stats(grid, rec))
+                grid = update_grid(grid, *accumulate_stats(grid, rec, levels=levels))
             return rgbw, grid, jnp.sum(aux.n_bounces)
 
         def wave(rgbw, grid, wave_idx, fit=True):

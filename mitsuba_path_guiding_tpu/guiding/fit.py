@@ -13,6 +13,8 @@ and lobe-weight floors to avoid lobe death.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -34,8 +36,8 @@ WEIGHT_FLOOR = 1e-3  # mixture weight floor (lobe-death guard)
 KAPPA_FIT_MAX = 5e3
 
 
-@jax.jit
-def accumulate_stats(grid: GuidingGrid, rec: PathRecord):
+@partial(jax.jit, static_argnames=("levels",))
+def accumulate_stats(grid: GuidingGrid, rec: PathRecord, levels: int | None = None):
     """One E-step + local statistics accumulation from a PathRecord batch.
 
     Returns (s_w (C,K), s_dir (C,K,3), s_count (C,)) — linear, psum-able.
@@ -57,7 +59,9 @@ def accumulate_stats(grid: GuidingGrid, rec: PathRecord):
     w_sample = jnp.where(valid, li / jnp.maximum(pdf, 1e-3), 0.0)
     w_sample = jnp.minimum(w_sample, 1e4)  # firefly guard for the fit
     pos = jnp.stack([px, py, pz], axis=-1)
-    cid = cell_index(grid, pos)
+    from mitsuba_path_guiding_tpu.guiding.grid import MAX_REFINE_LEVELS
+
+    cid = cell_index(grid, pos, levels=MAX_REFINE_LEVELS if levels is None else levels)
 
     # E-step responsibilities under current mixture, all (K, M)
     from mitsuba_path_guiding_tpu.guiding.grid import _gather_cells, _vmf_pdf_kn

@@ -82,21 +82,34 @@ def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0
     )
 
 
-def cell_index(grid: GuidingGrid, p: jnp.ndarray) -> jnp.ndarray:
-    """(N,3) world positions -> (N,) cell row ids (leaf of the octree walk)."""
+def cell_index(grid: GuidingGrid, p: jnp.ndarray, levels: int = MAX_REFINE_LEVELS) -> jnp.ndarray:
+    """(N,3) world positions -> (N,) cell row ids (leaf of the octree walk).
+
+    ``levels`` (static) is the number of walk iterations; pass
+    ``active_levels(grid)`` to skip the per-level ``child_base`` gathers
+    entirely while the grid has no refined cells (each s32 gather costs
+    ~3.7 ms at 512k lanes on v5e — the single hottest op in the profile)."""
     res = grid.res0
     extent = jnp.maximum(grid.aabb_max - grid.aabb_min, 1e-6)
     q = jnp.clip((p - grid.aabb_min) / extent, 0.0, 1.0 - 1e-6) * res
     ijk = q.astype(jnp.int32)
     cid = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
     frac = q - ijk  # position inside the current cell, in [0,1)^3
-    for _ in range(MAX_REFINE_LEVELS):
+    for _ in range(levels):
         base = grid.child_base[cid]
         hi = (frac >= 0.5).astype(jnp.int32)
         octant = (hi[..., 0] * 2 + hi[..., 1]) * 2 + hi[..., 2]
         cid = jnp.where(base >= 0, base + octant, cid)
         frac = jnp.where((base >= 0)[..., None], frac * 2.0 - hi, frac)
     return cid
+
+
+def active_levels(grid: GuidingGrid) -> int:
+    """Host-side: octree walk depth actually needed by this grid's topology
+    (0 until refinement creates children — recompiles once when it does)."""
+    import numpy as np
+
+    return MAX_REFINE_LEVELS if bool((np.asarray(grid.child_base) >= 0).any()) else 0
 
 
 def mixture_weights(grid: GuidingGrid, cid: jnp.ndarray) -> jnp.ndarray:

@@ -36,7 +36,8 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: bool = False):
+def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: bool = False,
+                  levels: int | None = None):
     """Returns the ``guide`` callback consumed by integrators.path.trace.
     ``mat_types`` (static) restricts BSDF compilation to families present.
 
@@ -53,7 +54,9 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
             _mixture_sample,
         )
 
-        cid = cell_index(grid, p)
+        from mitsuba_path_guiding_tpu.guiding.grid import MAX_REFINE_LEVELS
+
+        cid = cell_index(grid, p, levels=MAX_REFINE_LEVELS if levels is None else levels)
         params = _gather_cells(grid, cid)  # one packed gather pass
         if product:
             # product importance sampling: mixture x cosine-lobe vMF proxy

@@ -23,6 +23,7 @@ from mitsuba_path_guiding_tpu.core.warp import square_to_cosine_hemisphere
 from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render_wave
 from mitsuba_path_guiding_tpu.models.sensor import generate_rays
 from mitsuba_path_guiding_tpu.scene.types import SceneData
+from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
 
 def render_direct(scene: SceneData, cfg: RenderConfig):
@@ -52,7 +53,7 @@ def render_ao(scene: SceneData, cfg: RenderConfig, ray_length: float = 0.0):
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p = o + t_hit[..., None] * d
         prim = jnp.maximum(hit.prim, 0)
-        row = scene.geo.shade_packed[prim].T
+        row = gather_rows_t(scene.geo.shade_packed, prim)
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         ng = jnp.where(dot(ng, -d)[..., None] < 0.0, -ng, ng)
         u = rng.bounce_uniform(rkeys, 0, 2)
@@ -80,7 +81,7 @@ def render_field(scene: SceneData, cfg: RenderConfig, field: str = "position"):
     t_hit = jnp.where(hit.valid, hit.t, 0.0)
     p = o + t_hit[..., None] * d
     prim = jnp.maximum(hit.prim, 0)
-    row = scene.geo.shade_packed[prim].T
+    row = gather_rows_t(scene.geo.shade_packed, prim)
     valid3 = hit.valid[..., None]
 
     if field == "position":

@@ -197,7 +197,9 @@ def trace(
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p = o + t_hit[..., None] * d
         # ONE packed row gather for all per-hit data (see Geometry layout)
-        row = geo.shade_packed[prim].T  # (32, N)
+        from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
+
+        row = gather_rows_t(geo.shade_packed, prim)  # (32, N)
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(

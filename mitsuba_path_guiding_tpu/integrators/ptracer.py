@@ -29,6 +29,7 @@ from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
 from mitsuba_path_guiding_tpu.models import emitter as em_mod
 from mitsuba_path_guiding_tpu.models.sensor import connect_to_sensor
 from mitsuba_path_guiding_tpu.scene.types import SceneData
+from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
 TAG_EMITTER_RAY = 4 << 20
 
@@ -83,7 +84,7 @@ def trace_light(
 
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p = o + t_hit[..., None] * d
-        row = geo.shade_packed[jnp.maximum(hit.prim, 0)].T
+        row = gather_rows_t(geo.shade_packed, jnp.maximum(hit.prim, 0))
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(

@@ -37,6 +37,7 @@ from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
 from mitsuba_path_guiding_tpu.models import emitter as em_mod
 from mitsuba_path_guiding_tpu.models.sensor import generate_rays
 from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
+from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
 MAX_CELL_TAPS = 32  # photons examined per cell (x8 cells per hitpoint)
 GRID_MAX = 512      # cells per axis cap (key fits int32)
@@ -76,7 +77,7 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
         )
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p = s["o"] + t_hit[..., None] * s["d"]
-        row = geo.shade_packed[jnp.maximum(hit.prim, 0)].T
+        row = gather_rows_t(geo.shade_packed, jnp.maximum(hit.prim, 0))
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(jnp.stack([
@@ -142,7 +143,7 @@ def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
         act = alive & hit.valid
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p = o + t_hit[..., None] * d
-        row = geo.shade_packed[jnp.maximum(hit.prim, 0)].T
+        row = gather_rows_t(geo.shade_packed, jnp.maximum(hit.prim, 0))
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(jnp.stack([

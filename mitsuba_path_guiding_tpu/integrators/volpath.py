@@ -39,6 +39,7 @@ from mitsuba_path_guiding_tpu.models.medium import (
 )
 from mitsuba_path_guiding_tpu.models.phase import phase_eval_kind, phase_sample_kind
 from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
+from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
 # rng fold-in salts for the tracking loops (distinct from bounce tags,
 # core/rng.py TAG_* space)
@@ -201,7 +202,7 @@ def trace_vol(
         # sanitized hit distance (miss lanes: INF would NaN-poison AD)
         t_hit = jnp.where(hit.valid, hit.t, 1.0)
         p_surf = o + t_hit[..., None] * d
-        row = geo.shade_packed[prim].T  # (32, N)
+        row = gather_rows_t(geo.shade_packed, prim)  # (32, N)
         ng = jnp.stack([row[0], row[1], row[2]], axis=-1)
         b0 = 1.0 - hit.u - hit.v
         ns = normalize(

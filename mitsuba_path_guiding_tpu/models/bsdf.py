@@ -82,7 +82,9 @@ def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
     field gathers materialize lane-padded (N,3) arrays on TPU.
     ``tex``: optional (rgb (N,3), mask (N,)) reflectance override from the
     texture atlas (reference Texture::eval at the shading point)."""
-    row = mats.packed[mid].T  # (32, N)
+    from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
+
+    row = gather_rows_t(mats.packed, mid)  # (32, N)
     v3 = lambda a: jnp.stack([row[a], row[a + 1], row[a + 2]], axis=-1)
     refl = v3(1)
     if tex is not None:

@@ -72,7 +72,9 @@ def sample_direct(
     ).astype(jnp.int32)
     # single packed row gather (Emitters.packed layout) — separate field
     # gathers materialize lane-padded (N,3) arrays on TPU
-    row = em.packed[eid].T  # (32, N)
+    from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
+
+    row = gather_rows_t(em.packed, eid)  # (32, N)
     kind = row[0].astype(jnp.int32)
     pmf = row[1]
     rad = jnp.stack([row[2], row[3], row[4]], axis=-1)
