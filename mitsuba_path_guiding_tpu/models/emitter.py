@@ -36,6 +36,10 @@ class DirectSample(NamedTuple):
                             # for delta emitters: discrete prob (MIS treats as delta)
     is_delta: jnp.ndarray   # (N,) bool — point/directional/spot can't be MIS'd
     emitter_id: jnp.ndarray # (N,) int32
+    # bidirectional-MIS extras (VCM-style; zero for kinds BDPT doesn't cover):
+    cos_light: jnp.ndarray = None       # (N,) |cos| at the emitter toward p (1 for point-like)
+    emission_pdf_w: jnp.ndarray = None  # (N,) pdf of EMITTING this (point, dir):
+                                        # pick * pdf_pos_A * pdf_dir_W
 
 
 from functools import partial as _partial
@@ -86,6 +90,8 @@ def sample_direct(
     radiance = jnp.zeros((n, 3))
     pdf = pmf
     is_delta = jnp.zeros((n,), dtype=bool)
+    cos_light = jnp.zeros((n,))
+    emission_pdf_w = jnp.zeros((n,))
 
     def put(sel, d_, dist_, rad_, pdf_, delta_):
         nonlocal direction, distance, radiance, pdf, is_delta
@@ -119,7 +125,12 @@ def sample_direct(
         area = jnp.maximum(row[13], 1e-12)
         pdf_a = pmf * dist2 / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
         rad_a = jnp.where((cos_l > 0.0)[..., None], rad, 0.0)
-        put(kind == EmitterKind.AREA, dir_a, dist, rad_a, pdf_a, false)
+        sel_area = kind == EmitterKind.AREA
+        put(sel_area, dir_a, dist, rad_a, pdf_a, false)
+        cos_light = jnp.where(sel_area, jnp.maximum(cos_l, 0.0), cos_light)
+        emission_pdf_w = jnp.where(
+            sel_area, pmf / area * jnp.maximum(cos_l, 0.0) / jnp.pi, emission_pdf_w
+        )
 
     if EmitterKind.POINT in kinds or EmitterKind.SPOT in kinds:
         pos = jnp.stack([row[5], row[6], row[7]], axis=-1)
@@ -128,7 +139,10 @@ def sample_direct(
         distp = jnp.sqrt(d2p)
         dir_p = to_l / distp[..., None]
         if EmitterKind.POINT in kinds:
-            put(kind == EmitterKind.POINT, dir_p, distp, rad / d2p[..., None], pmf, true)
+            sel_pt = kind == EmitterKind.POINT
+            put(sel_pt, dir_p, distp, rad / d2p[..., None], pmf, true)
+            cos_light = jnp.where(sel_pt, 1.0, cos_light)
+            emission_pdf_w = jnp.where(sel_pt, pmf * INV_FOURPI, emission_pdf_w)
         if EmitterKind.SPOT in kinds:
             axis = jnp.stack([row[8], row[9], row[10]], axis=-1)
             cos_total = row[11]
@@ -138,7 +152,14 @@ def sample_direct(
                 (cd - cos_total) / jnp.maximum(cos_beam - cos_total, 1e-6), 0.0, 1.0
             )
             rad_s = rad / d2p[..., None] * jnp.where(cd > cos_total, falloff, 0.0)[..., None]
-            put(kind == EmitterKind.SPOT, dir_p, distp, rad_s, pmf, true)
+            sel_sp = kind == EmitterKind.SPOT
+            put(sel_sp, dir_p, distp, rad_s, pmf, true)
+            cos_light = jnp.where(sel_sp, 1.0, cos_light)
+            emission_pdf_w = jnp.where(
+                sel_sp,
+                pmf / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_total, 1e-6)),
+                emission_pdf_w,
+            )
 
     if EmitterKind.CONSTANT in kinds:
         dir_e = square_to_uniform_sphere(u2)
@@ -168,6 +189,8 @@ def sample_direct(
         pdf=jnp.maximum(pdf, 1e-12),
         is_delta=is_delta,
         emitter_id=eid,
+        cos_light=cos_light,
+        emission_pdf_w=emission_pdf_w,
     )
 
 
@@ -234,6 +257,10 @@ class RaySample(NamedTuple):
     valid: jnp.ndarray   # (N,)
     emit_weight: jnp.ndarray  # (N, 3) Le/(pdf_pos pmf) for direct
     # emitter->sensor connections (area emitters; 0 for point/infinite)
+    # bidirectional-MIS extras (VCM-style; zero where BDPT does not apply):
+    emission_pdf_w: jnp.ndarray = None  # pick * pdf_pos_A * pdf_dir_W
+    direct_pdf_a: jnp.ndarray = None    # pick * pdf_pos_A (NEE pdf of the point)
+    cos_light: jnp.ndarray = None       # |cos| between emitter normal and d
 
 
 def sample_ray(
@@ -269,6 +296,9 @@ def sample_ray(
     nrm = jnp.zeros((n, 3))
     valid = jnp.zeros((n,), dtype=bool)
     emit_w = jnp.zeros((n, 3))
+    emission_pdf_w = jnp.zeros((n,))
+    direct_pdf_a = jnp.zeros((n,))
+    cos_light = jnp.zeros((n,))
 
     def put(sel, o_, d_, w_, n_):
         nonlocal o, d, w, nrm, valid
@@ -306,13 +336,21 @@ def sample_ray(
         sel_a = kind == EmitterKind.AREA
         put(sel_a, q + ng * 1e-4, d_world, w_a, ng)
         emit_w = jnp.where(sel_a[..., None], rad * (area / pmf)[..., None], emit_w)
+        cos_a = jnp.maximum(d_local[..., 2], 0.0)
+        emission_pdf_w = jnp.where(sel_a, pmf / area * cos_a / jnp.pi, emission_pdf_w)
+        direct_pdf_a = jnp.where(sel_a, pmf / area, direct_pdf_a)
+        cos_light = jnp.where(sel_a, cos_a, cos_light)
 
     if EmitterKind.POINT in kinds or EmitterKind.SPOT in kinds:
         pos = jnp.stack([row[5], row[6], row[7]], axis=-1)
         if EmitterKind.POINT in kinds:
             d_sph = square_to_uniform_sphere(u_dir)
             w_p = rad * (4.0 * jnp.pi / pmf)[..., None]
-            put(kind == EmitterKind.POINT, pos, d_sph, w_p, jnp.zeros_like(pos))
+            sel_p = kind == EmitterKind.POINT
+            put(sel_p, pos, d_sph, w_p, jnp.zeros_like(pos))
+            emission_pdf_w = jnp.where(sel_p, pmf * INV_FOURPI, emission_pdf_w)
+            direct_pdf_a = jnp.where(sel_p, pmf, direct_pdf_a)
+            cos_light = jnp.where(sel_p, 1.0, cos_light)
         if EmitterKind.SPOT in kinds:
             axis = jnp.stack([row[8], row[9], row[10]], axis=-1)
             cos_total = row[11]
@@ -328,7 +366,11 @@ def sample_ray(
             )
             solid = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_total, 1e-6)
             w_s = rad * (falloff * solid / pmf)[..., None]
-            put(kind == EmitterKind.SPOT, pos, d_cone, w_s, jnp.zeros_like(pos))
+            sel_s = kind == EmitterKind.SPOT
+            put(sel_s, pos, d_cone, w_s, jnp.zeros_like(pos))
+            emission_pdf_w = jnp.where(sel_s, pmf / solid, emission_pdf_w)
+            direct_pdf_a = jnp.where(sel_s, pmf, direct_pdf_a)
+            cos_light = jnp.where(sel_s, 1.0, cos_light)
 
     if EmitterKind.DIRECTIONAL in kinds:
         d_dl = jnp.stack([row[5], row[6], row[7]], axis=-1)  # emit direction
@@ -352,5 +394,7 @@ def sample_ray(
         put(kind == EmitterKind.ENVMAP, o_e, d_in_e, w_e, d_in_e)
 
     return RaySample(
-        o=o, d=d, weight=w, normal=nrm, valid=valid, emit_weight=emit_w
+        o=o, d=d, weight=w, normal=nrm, valid=valid, emit_weight=emit_w,
+        emission_pdf_w=emission_pdf_w, direct_pdf_a=direct_pdf_a,
+        cos_light=cos_light,
     )

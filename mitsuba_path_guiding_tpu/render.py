@@ -44,6 +44,13 @@ def main(argv=None):
     ap.add_argument("-c", "--checkpoint", default=None)
     ap.add_argument("-x", "--skip-existing", action="store_true")
     ap.add_argument("-q", "--quiet", action="store_true")
+    ap.add_argument(
+        "-I", "--integrator", default="guided",
+        choices=["guided", "path", "bdpt", "pssmlt", "erpt", "sppm", "vpl",
+                 "ptracer", "direct", "ao"],
+        help="rendering algorithm (reference: integrator element in the XML; "
+        "'guided' is the progressive guided path tracer)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nee", dest="nee", action="store_true", default=True)
     ap.add_argument("--no-nee", dest="nee", action="store_false")
@@ -92,6 +99,51 @@ def main(argv=None):
     log(f"scene compiled in {time.time() - t0:.1f}s: "
         f"{int(scene.geo.p0.shape[0])} triangles, "
         f"{int(scene.emitters.kind.shape[0])} emitters")
+
+    if args.integrator != "guided":
+        # one-shot integrators (reference: the scene's integrator plugin)
+        rcfg = RenderConfig(
+            width=width, height=height, spp=spp, max_depth=max_depth,
+            rr_depth=settings.get("rr_depth", 5), seed=args.seed,
+            use_nee=args.nee,
+        )
+        t0 = time.time()
+        if args.integrator == "path":
+            from mitsuba_path_guiding_tpu.integrators.render import render as _r
+            img = _r(scene, rcfg)
+        elif args.integrator == "bdpt":
+            from mitsuba_path_guiding_tpu.integrators.bdpt import render_bdpt
+            img = render_bdpt(scene, rcfg)
+        elif args.integrator == "pssmlt":
+            from mitsuba_path_guiding_tpu.integrators.pssmlt import render_pssmlt
+            img = render_pssmlt(scene, rcfg)
+        elif args.integrator == "erpt":
+            from mitsuba_path_guiding_tpu.integrators.erpt import render_erpt
+            img = render_erpt(scene, rcfg)
+        elif args.integrator == "sppm":
+            from mitsuba_path_guiding_tpu.integrators.sppm import render_sppm
+            img = render_sppm(scene, rcfg)
+        elif args.integrator == "vpl":
+            from mitsuba_path_guiding_tpu.integrators.vpl import render_vpl
+            img = render_vpl(scene, rcfg)
+        elif args.integrator == "ptracer":
+            from mitsuba_path_guiding_tpu.integrators.ptracer import render_ptracer
+            img = render_ptracer(scene, rcfg)
+        elif args.integrator == "direct":
+            from mitsuba_path_guiding_tpu.integrators.aux_integrators import render_direct
+            img = render_direct(scene, rcfg)
+        else:  # ao
+            from mitsuba_path_guiding_tpu.integrators.aux_integrators import render_ao
+            img = render_ao(scene, rcfg)
+        log(f"render time ({args.integrator}): {time.time() - t0:.1f}s")
+        import numpy as np
+
+        from mitsuba_path_guiding_tpu.film.film import write_image
+
+        img_np = np.asarray(img)
+        write_image(out, img_np)
+        log(f"wrote {out}  (mean {img_np.mean():.4f})")
+        return 0
 
     from mitsuba_path_guiding_tpu.integrators.progressive import (
         ProgressiveConfig,

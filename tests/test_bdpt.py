@@ -1,0 +1,71 @@
+"""BDPT consistency: bidirectional estimates must agree with the forward
+path tracer in expectation (the reference validates bdpt the same way —
+integrator-vs-integrator image agreement, SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from mitsuba_path_guiding_tpu.integrators.bdpt import render_bdpt
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return build_scene(cornell_box())
+
+
+@pytest.fixture(scope="module")
+def cornell_point():
+    sc = cornell_box()
+    sc["shapes"] = [s for s in sc["shapes"] if not s.get("emitter")]
+    sc["emitters"] = [
+        {"type": "point", "position": [0.0, 0.9, 0.0], "intensity": [1.0, 0.9, 0.7]}
+    ]
+    return build_scene(sc)
+
+
+def test_bdpt_matches_pt_area_light(cornell):
+    img_pt = np.asarray(
+        render(cornell, RenderConfig(width=20, height=20, spp=256, max_depth=5, seed=3))
+    )
+    img_b = np.asarray(
+        render_bdpt(cornell, RenderConfig(width=20, height=20, spp=96, max_depth=5, seed=5))
+    )
+    ratio = img_b.mean() / img_pt.mean()
+    assert abs(ratio - 1.0) < 0.03, ratio
+    rel = np.abs(img_b - img_pt).mean() / img_pt.mean()
+    assert rel < 0.12, rel
+
+
+def test_bdpt_matches_pt_point_light_depth2(cornell_point):
+    # depth 2: s=1, t=1 and (a=2,b=1) are the complete strategy set for a
+    # delta light — agreement here pins the VCM MIS bookkeeping exactly
+    img_pt = np.asarray(
+        render(cornell_point, RenderConfig(width=20, height=20, spp=192, max_depth=2, seed=3))
+    )
+    img_b = np.asarray(
+        render_bdpt(cornell_point, RenderConfig(width=20, height=20, spp=96, max_depth=2, seed=5))
+    )
+    ratio = img_b.mean() / img_pt.mean()
+    assert abs(ratio - 1.0) < 0.03, ratio
+
+
+def test_bdpt_matches_pt_point_light_depth5(cornell_point):
+    img_pt = np.asarray(
+        render(cornell_point, RenderConfig(width=20, height=20, spp=192, max_depth=5, seed=3))
+    )
+    img_b = np.asarray(
+        render_bdpt(cornell_point, RenderConfig(width=20, height=20, spp=96, max_depth=5, seed=5))
+    )
+    ratio = img_b.mean() / img_pt.mean()
+    assert abs(ratio - 1.0) < 0.035, ratio
+
+
+def test_bdpt_light_image_carries_energy(cornell):
+    """The t=1 (light-tracing) strategies must contribute: disabling the
+    light image loses the energy the MIS weights allocated to it."""
+    cfg = RenderConfig(width=16, height=16, spp=64, max_depth=5, seed=7)
+    full = np.asarray(render_bdpt(cornell, cfg)).mean()
+    no_li = np.asarray(render_bdpt(cornell, cfg, light_image=False)).mean()
+    assert no_li < full * 0.995
