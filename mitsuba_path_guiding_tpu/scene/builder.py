@@ -415,6 +415,7 @@ def build_scene(desc: dict) -> SceneData:
             # directional delta light.
             from mitsuba_path_guiding_tpu.models.envmap import build_env_tables
             from mitsuba_path_guiding_tpu.models.sunsky import (
+                hosek_sky_image,
                 preetham_sky_image,
                 preetham_sun_irradiance,
                 sun_direction_from_angles,
@@ -433,7 +434,14 @@ def build_scene(desc: dict) -> SceneData:
             if t in ("sky", "sunsky"):
                 if env_id >= 0:
                     raise ValueError("only one environment emitter allowed")
-                img = preetham_sky_image(
+                # Hosek-Wilkie 2012 by default (the reference's sky.cpp
+                # model); Preetham 1999 selectable via model="preetham"
+                sky_fn = (
+                    preetham_sky_image
+                    if str(espec.get("model", "hosek")).lower() == "preetham"
+                    else hosek_sky_image
+                )
+                img = sky_fn(
                     sdir, turb, resolution=int(espec.get("resolution", 128)),
                     scale=sc_f * float(espec.get("sky_scale", 1.0)),
                 )

@@ -4,6 +4,7 @@ import numpy as np
 
 from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
 from mitsuba_path_guiding_tpu.models.sunsky import (
+    hosek_sky_image,
     preetham_sky_image,
     preetham_sun_irradiance,
     sun_direction_from_angles,
@@ -29,6 +30,31 @@ def test_sky_image_properties():
     r3 = lum.max() / lum.mean()
     r7 = (img7.mean(-1)).max() / (img7.mean(-1)).mean()
     assert r7 < r3
+
+
+def test_hosek_sky_properties():
+    sd = sun_direction_from_angles(35.0, 40.0)
+    img = hosek_sky_image(sd, turbidity=3.0, resolution=64)
+    assert img.shape == (64, 128, 3)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # brightest texel near the sun (the model's forward-scattering peak)
+    H, W = img.shape[:2]
+    lum = img.mean(-1)
+    iy, ix = np.unravel_index(np.argmax(lum), lum.shape)
+    th = (iy + 0.5) / H * np.pi
+    ph = ((ix + 0.5) / W - 0.5) * 2 * np.pi
+    d = np.array([np.sin(th) * np.sin(ph), np.cos(th), -np.sin(th) * np.cos(ph)])
+    assert d @ sd > 0.85, d @ sd
+    # clear sky is blue at the zenith patch away from the sun
+    zen = img[2, 3 * W // 4]
+    assert zen[2] > zen[0], zen
+    # hazier sky concentrates radiance in the circumsolar region (Mie
+    # forward peak grows with turbidity in the Hosek model)
+    img7 = hosek_sky_image(sd, turbidity=7.0, resolution=64)
+    assert img7.mean(-1).max() / img7.mean(-1).mean() > lum.max() / lum.mean()
+    # same default range as Preetham (shared `scale` semantics in builder)
+    pre = preetham_sky_image(sd, turbidity=3.0, resolution=64)
+    assert 0.2 < img.mean() / pre.mean() < 5.0
 
 
 def test_sun_irradiance_behavior():
