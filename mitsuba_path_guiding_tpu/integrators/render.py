@@ -183,4 +183,9 @@ def render(scene: SceneData, cfg: RenderConfig, guide=None, guide_state=None):
                 rgbw, film_xy, L, cfg.width, cfg.height, cfg.filter_name
             )
     film = Film(rgb_weight=rgbw, width=cfg.width, height=cfg.height)
-    return develop(film)
+    img = develop(film)
+    if scene.sensor.meas_scale is not None:
+        # measurement sensors (irradiance/fluence meters) fold their
+        # importance-sampling constant into the developed image
+        img = img * scene.sensor.meas_scale
+    return img

@@ -121,6 +121,20 @@ def _flip_two_sided(p: _P, wi):
     ), s
 
 
+def _coat_refract(w, eta_ratio):
+    """Hemisphere-preserving refraction across the coating interface
+    (coating.cpp refractIn/refractOut): tangential component scaled by
+    1/eta_ratio, z keeps its sign.  Returns (w_t, R) with R = 1 on TIR."""
+    inv = 1.0 / eta_ratio
+    cz = w[..., 2]
+    st2 = jnp.maximum(0.0, 1.0 - cz * cz) * inv * inv
+    tir = st2 >= 1.0
+    ct = safe_sqrt(1.0 - st2)
+    w_t = jnp.stack([w[..., 0] * inv, w[..., 1] * inv, jnp.sign(cz) * ct], axis=-1)
+    R = fresnel_dielectric(jnp.abs(cz), eta_ratio)
+    return w_t, jnp.where(tir, jnp.ones_like(R), R)
+
+
 def _fdr_int(eta):
     """Average internal Fresnel reflectance approximation (reference
     util.cpp fresnelDiffuseReflectance, d'Eon fit) for plastic."""

@@ -52,6 +52,7 @@ ALL_KINDS = (
     EmitterKind.CONSTANT,
     EmitterKind.DIRECTIONAL,
     EmitterKind.SPOT,
+    EmitterKind.COLLIMATED,
 )
 
 
@@ -377,6 +378,18 @@ def sample_ray(
         o_dl = _disk_point(d_dl, u_pos)
         w_d = rad * (disk_area / pmf)[..., None]
         put(kind == EmitterKind.DIRECTIONAL, o_dl, d_dl, w_d, d_dl)
+
+    if EmitterKind.COLLIMATED in kinds:
+        # single delta ray (collimated.cpp sampleRay): origin + axis fixed,
+        # weight = power / pmf; NEE/camera connections never reach it
+        pos_c = jnp.stack([row[5], row[6], row[7]], axis=-1)
+        axis_c = jnp.stack([row[8], row[9], row[10]], axis=-1)
+        w_cl = rad / pmf[..., None]
+        sel_cl = kind == EmitterKind.COLLIMATED
+        put(sel_cl, pos_c, axis_c, w_cl, jnp.zeros_like(pos_c))
+        emission_pdf_w = jnp.where(sel_cl, pmf, emission_pdf_w)
+        direct_pdf_a = jnp.where(sel_cl, 0.0, direct_pdf_a)
+        cos_light = jnp.where(sel_cl, 1.0, cos_light)
 
     if EmitterKind.CONSTANT in kinds:
         d_in = -square_to_uniform_sphere(u_dir)  # inward

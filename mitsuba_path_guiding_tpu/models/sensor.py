@@ -9,7 +9,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.core.math import normalize
-from mitsuba_path_guiding_tpu.core.warp import square_to_uniform_disk_concentric
+from mitsuba_path_guiding_tpu.core.warp import (
+    square_to_cosine_hemisphere,
+    square_to_uniform_disk_concentric,
+    square_to_uniform_sphere,
+)
 from mitsuba_path_guiding_tpu.scene.types import Sensor, SensorKind
 
 
@@ -63,6 +67,44 @@ def generate_rays(
         o_world = jnp.broadcast_to(t, d_cam.shape)
         return o_world, normalize(d_cam @ R.T), film_xy
 
+    if kind == SensorKind.TELECENTRIC:
+        # orthographic view focused on a plane at focus_distance; points off
+        # that plane blur by the aperture (reference telecentric.cpp)
+        o_cam = jnp.stack(
+            [
+                ndc_x * sensor.tan_half_fov_x,
+                ndc_y * sensor.tan_half_fov_x * aspect,
+                jnp.zeros_like(ndc_x),
+            ],
+            axis=-1,
+        )
+        if u_lens is None:
+            u_lens = u_pos[..., ::-1] * 0.0 + 0.5  # degenerate: pinhole center
+        lens = square_to_uniform_disk_concentric(u_lens) * sensor.aperture_radius
+        focus_p = o_cam + jnp.asarray([0.0, 0.0, 1.0]) * sensor.focus_distance
+        o_cam = o_cam + jnp.concatenate(
+            [lens, jnp.zeros_like(lens[..., :1])], axis=-1
+        )
+        d_cam = focus_p - o_cam
+        return o_cam @ R.T + t, normalize(d_cam @ R.T), film_xy
+
+    if kind == SensorKind.RADIANCEMETER:
+        # one fixed look direction (+z); every sample measures the same ray
+        d_cam = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (fx.shape[0], 3))
+        return jnp.broadcast_to(t, d_cam.shape), normalize(d_cam @ R.T), film_xy
+
+    if kind == SensorKind.FLUENCEMETER:
+        # fluence probe: uniform sphere directions from a point; the image
+        # mean is the fluence / 4pi (meas_scale carries the 4pi)
+        d_cam = square_to_uniform_sphere(u_pos)
+        return jnp.broadcast_to(t, d_cam.shape), normalize(d_cam @ R.T), film_xy
+
+    if kind == SensorKind.IRRADIANCEMETER:
+        # cosine-hemisphere importance sampling around +z: irradiance
+        # E = pi * mean(L); meas_scale = pi is applied at develop time
+        d_cam = square_to_cosine_hemisphere(u_pos)
+        return jnp.broadcast_to(t, d_cam.shape), normalize(d_cam @ R.T), film_xy
+
     d_cam = jnp.stack(
         [
             ndc_x * sensor.tan_half_fov_x,
@@ -71,6 +113,14 @@ def generate_rays(
         ],
         axis=-1,
     )
+    if sensor.kc is not None:
+        # radial distortion (perspective_rdist.cpp): scale the image-plane
+        # offset by the kc polynomial in r^2
+        r2 = d_cam[..., 0] ** 2 + d_cam[..., 1] ** 2
+        f = 1.0 + sensor.kc[0] * r2 + sensor.kc[1] * r2 * r2
+        d_cam = jnp.stack(
+            [d_cam[..., 0] * f, d_cam[..., 1] * f, d_cam[..., 2]], axis=-1
+        )
     o_cam = jnp.zeros_like(d_cam)
     if u_lens is not None:
         # thin lens: offset origin on the aperture disk, refocus

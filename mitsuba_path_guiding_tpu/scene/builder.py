@@ -61,6 +61,10 @@ _BSDF_TYPES = {
     "blendbsdf": BSDFType.BLEND,
     "mixturebsdf": BSDFType.BLEND,
     "mask": BSDFType.MASK,
+    "coating": BSDFType.COATING,
+    # roughcoating approximated by the smooth layer (interface roughness
+    # mainly blurs the delta lobe; reference src/bsdfs/roughcoating.cpp)
+    "roughcoating": BSDFType.COATING,
 }
 
 # named conductor IOR presets (reference data/ior/*.spd, RGB-averaged)
@@ -118,6 +122,16 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
         "bump_tex_id": -1,
         "bump_scale": 1.0,
     }
+    if t in ("coating", "roughcoating"):
+        if register_sub is None:
+            raise ValueError(f"{t} may not be nested inside another wrapper")
+        int_ior = float(spec.get("int_ior", 1.5046))
+        ext_ior = float(spec.get("ext_ior", 1.000277))
+        row["eta"] = np.full(3, int_ior / ext_ior)
+        row["weight"] = float(spec.get("thickness", 1.0))
+        row["reflectance"] = _rgb(spec.get("sigma_a"), [0.0, 0.0, 0.0])
+        row["sub_a"] = register_sub(spec.get("bsdf") or {"type": "diffuse"})
+        return row
     if t in ("blendbsdf", "mixturebsdf", "mask"):
         if register_sub is None:
             raise ValueError(f"{t} may not be nested inside another wrapper")
@@ -408,6 +422,21 @@ def build_scene(desc: dict) -> SceneData:
                 EmitterKind.DIRECTIONAL, irr, position=d,
                 power=float(np.dot(irr, np.asarray(LUM_WEIGHTS))),
             )
+        elif t == "collimated":
+            # delta position + delta direction beam (collimated.cpp):
+            # radiates `power` along a single ray; NEE never samples it
+            pw = _rgb(espec.get("power"), [1.0, 1.0, 1.0])
+            tw = _to_world(espec)
+            pos = np.asarray(espec.get("position", tw[:3, 3]), dtype=np.float64)
+            if "direction" in espec:
+                axis = np.asarray(espec["direction"], dtype=np.float64)
+            else:
+                axis = tw[:3, 2]
+            axis = axis / np.linalg.norm(axis)
+            add_emitter(
+                EmitterKind.COLLIMATED, pw, position=pos, aux=axis,
+                power=float(np.dot(pw, np.asarray(LUM_WEIGHTS))),
+            )
         elif t in ("sky", "sun", "sunsky"):
             # procedural clear sky (reference sky.cpp/sun.cpp/sunsky.cpp;
             # Preetham model — see models/sunsky.py for the substitution
@@ -606,15 +635,23 @@ def build_scene(desc: dict) -> SceneData:
     skind = {
         "perspective": SensorKind.PERSPECTIVE,
         "thinlens": SensorKind.PERSPECTIVE,
+        "perspective_rdist": SensorKind.PERSPECTIVE,
         "orthographic": SensorKind.ORTHOGRAPHIC,
         "spherical": SensorKind.SPHERICAL,
+        "telecentric": SensorKind.TELECENTRIC,
+        "irradiancemeter": SensorKind.IRRADIANCEMETER,
+        "radiancemeter": SensorKind.RADIANCEMETER,
+        "fluencemeter": SensorKind.FLUENCEMETER,
     }.get(sspec.get("type", "perspective"), SensorKind.PERSPECTIVE)
     fov = float(sspec.get("fov", 45.0))
     # fov is along the x (width) axis unless fov_axis says otherwise;
     # the y tan is filled in at render time from the aspect ratio.
     tan_half = np.tan(np.deg2rad(fov) / 2)
-    if skind == SensorKind.ORTHOGRAPHIC:
+    if skind in (SensorKind.ORTHOGRAPHIC, SensorKind.TELECENTRIC):
         tan_half = float(sspec.get("ortho_width", 1.0))  # half-width
+    kc = sspec.get("kc", None)  # perspective_rdist distortion polynomial
+    # measurement constants (see models/sensor.py meter branches)
+    meas = {SensorKind.IRRADIANCEMETER: np.pi, SensorKind.FLUENCEMETER: 4 * np.pi}
     sensor = Sensor(
         to_world=jnp.asarray(np.asarray(sspec.get("to_world", look_at([0, 0, -5], [0, 0, 0]))).astype(np.float32)),
         tan_half_fov_x=jnp.float32(tan_half),
@@ -623,6 +660,10 @@ def build_scene(desc: dict) -> SceneData:
         focus_distance=jnp.float32(sspec.get("focus_distance", 1.0)),
         near_clip=jnp.float32(sspec.get("near_clip", 1e-3)),
         kind=jnp.int32(skind),
+        kc=None if kc is None else jnp.asarray(np.asarray(kc, dtype=np.float32)),
+        meas_scale=(
+            jnp.float32(meas[skind]) if skind in meas else None
+        ),
     )
 
     medium = _compile_medium(desc.get("medium", None))

@@ -32,7 +32,9 @@ class BSDFType:
     WARD = 12            # bsdfs/ward.cpp — anisotropic Ward-Duer
     DIFFTRANS = 13       # bsdfs/difftrans.cpp — diffuse transmission
     BLEND = 14           # bsdfs/blendbsdf.cpp + mixturebsdf.cpp (2 lobes)
-    N_TYPES = 15
+    COATING = 15         # bsdfs/coating.cpp — smooth dielectric layer over a
+    #                      nested BSDF (Fresnel transmittances + absorption)
+    N_TYPES = 16
 
 
 class EmitterKind:
@@ -42,6 +44,9 @@ class EmitterKind:
     DIRECTIONAL = 3  # emitters/directional.cpp
     SPOT = 4         # emitters/spot.cpp
     ENVMAP = 5       # emitters/envmap.cpp — importance-sampled lat-long
+    COLLIMATED = 6   # emitters/collimated.cpp — delta position + direction
+    #   (NEE always fails, collimated.cpp sampleDirect pdf=0; the beam only
+    #   contributes through particle/bidirectional strategies' sample_ray)
 
 
 class Geometry(NamedTuple):
@@ -145,23 +150,34 @@ class Emitters(NamedTuple):
 
 
 class SensorKind:
-    PERSPECTIVE = 0   # src/sensors/perspective.cpp (+thinlens via aperture)
+    PERSPECTIVE = 0   # src/sensors/perspective.cpp (+thinlens via aperture,
+    #                   +perspective_rdist via the kc distortion coefficients)
     ORTHOGRAPHIC = 1  # src/sensors/orthographic.cpp
     SPHERICAL = 2     # src/sensors/spherical.cpp (lat-long 360)
+    TELECENTRIC = 3   # src/sensors/telecentric.cpp (ortho + aperture blur)
+    IRRADIANCEMETER = 4  # src/sensors/irradiancemeter.cpp (cosine hemisphere)
+    RADIANCEMETER = 5    # src/sensors/radiancemeter.cpp (single direction)
+    FLUENCEMETER = 6     # src/sensors/fluencemeter.cpp (uniform sphere)
 
 
 class Sensor(NamedTuple):
-    """Perspective/thinlens/orthographic/spherical camera (reference
-    src/sensors/).  ``kind`` is also readable host-side (int()) to pick the
-    static ray-gen branch."""
+    """Perspective/thinlens/orthographic/spherical/telecentric camera and
+    the measurement-probe sensors (reference src/sensors/).  ``kind`` is
+    also readable host-side (int()) to pick the static ray-gen branch."""
 
     to_world: jnp.ndarray    # (4, 4) camera-to-world
-    tan_half_fov_x: jnp.ndarray  # scalar (ortho: half-width in world units)
+    tan_half_fov_x: jnp.ndarray  # scalar (ortho/telecentric: half-width)
     tan_half_fov_y: jnp.ndarray
     aperture_radius: jnp.ndarray  # scalar; 0 = pinhole
     focus_distance: jnp.ndarray
     near_clip: jnp.ndarray
     kind: jnp.ndarray        # () int32 SensorKind
+    # radial lens distortion (perspective_rdist.cpp kc polynomial):
+    # image-plane coords scaled by 1 + kc0 r^2 + kc1 r^4
+    kc: jnp.ndarray = None
+    # constant measurement weight folded into the developed image
+    # (irradiancemeter: pi, from cosine-hemisphere importance sampling)
+    meas_scale: jnp.ndarray = None
 
 
 class MediumData(NamedTuple):

@@ -35,7 +35,11 @@ _SUPPORTED_BSDFS = {
     "null", "twosided", "mask", "bumpmap", "normalmap", "coating", "ward",
     "mixturebsdf", "blendbsdf",
 }
-_WRAPPER_BSDFS = {"twosided", "mask", "bumpmap", "normalmap", "coating"}
+# unwrapped adapters: two-sided is the default here; bump/normal maps need
+# their texture element wired through (round-2 TODO) so they unwrap too
+_WRAPPER_BSDFS = {"twosided", "bumpmap", "normalmap"}
+# wrappers that KEEP their semantics as builder dicts with a nested bsdf
+_NESTED_BSDFS = {"mask", "coating", "roughcoating"}
 _SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk"}
 
 
@@ -120,15 +124,26 @@ def _props(el, defaults):
 
 def _parse_bsdf(el, defaults, bsdf_registry):
     t = el.get("type", "diffuse")
-    if t in _WRAPPER_BSDFS:
-        # unwrap adapters: materials here are two-sided by default and the
-        # nested BSDF carries the scattering model (reference twosided.cpp)
+    if t in _WRAPPER_BSDFS or t in _NESTED_BSDFS:
         inner = el.find("bsdf")
         if inner is not None:
             b = _parse_bsdf(inner, defaults, bsdf_registry)
         else:
             ref = el.find("ref")
             b = bsdf_registry.get(ref.get("id"), {"type": "diffuse"}) if ref is not None else {"type": "diffuse"}
+        if t in _NESTED_BSDFS:
+            # keep the wrapper semantics as a builder dict with nested bsdf
+            p = _props(el, defaults)
+            w = {"type": "coating" if t == "roughcoating" else t, "bsdf": b}
+            for src, dst in (
+                ("opacity", "opacity"), ("thickness", "thickness"),
+                ("sigmaA", "sigma_a"), ("sigma_a", "sigma_a"),
+                ("intIOR", "int_ior"), ("extIOR", "ext_ior"),
+                ("int_ior", "int_ior"), ("ext_ior", "ext_ior"),
+            ):
+                if src in p:
+                    w[dst] = p[src]
+            b = w
         if el.get("id"):
             bsdf_registry[el.get("id")] = b
         return b
