@@ -183,21 +183,24 @@ def write_png(path: str, img, gamma_encode: bool = True) -> None:
         f.write(png)
 
 
-def write_exr(path: str, img) -> None:
-    """Minimal uncompressed scanline OpenEXR (FLOAT RGB) writer — enough for
-    the reference's primary output format (hdrfilm EXR) without external deps."""
+def write_exr_channels(path: str, channels: dict) -> None:
+    """Minimal uncompressed scanline OpenEXR writer for arbitrary named
+    FLOAT channels (reference hdrfilm multichannel EXR output,
+    bitmap.cpp EXR path).  ``channels``: {name: (H, W) float32}."""
     import struct
 
-    img = np.asarray(img, dtype=np.float32)
-    h, w, _ = img.shape
+    names = sorted(channels)  # EXR requires alphabetical channel order
+    planes = [np.asarray(channels[n], dtype=np.float32) for n in names]
+    h, w = planes[0].shape
+    for p in planes:
+        assert p.shape == (h, w), "all channels must share the resolution"
 
     def attr(name, type_, data):
         return name.encode() + b"\x00" + type_.encode() + b"\x00" + struct.pack("<I", len(data)) + data
 
-    # channel list: B, G, R (alphabetical), FLOAT (type 2)
     ch = b""
-    for cname in (b"B", b"G", b"R"):
-        ch += cname + b"\x00" + struct.pack("<IiII", 2, 0, 1, 1)
+    for cname in names:
+        ch += cname.encode() + b"\x00" + struct.pack("<IiII", 2, 0, 1, 1)
     ch += b"\x00"
 
     header = b""
@@ -213,18 +216,27 @@ def write_exr(path: str, img) -> None:
 
     magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
     offset_table_pos = len(magic) + len(header)
-    scanline_size = 8 + w * 4 * 3  # y + size prefix per scanline chunk
+    nc = len(names)
+    scanline_size = 8 + w * 4 * nc  # y + size prefix per scanline chunk
     first_data = offset_table_pos + 8 * h
     offsets = b"".join(
         struct.pack("<Q", first_data + i * scanline_size) for i in range(h)
     )
     body = b""
     for y in range(h):
-        row = img[y]
-        data = row[:, 2].tobytes() + row[:, 1].tobytes() + row[:, 0].tobytes()
+        data = b"".join(p[y].tobytes() for p in planes)
         body += struct.pack("<iI", y, len(data)) + data
     with open(path, "wb") as f:
         f.write(magic + header + offsets + body)
+
+
+def write_exr(path: str, img) -> None:
+    """Uncompressed scanline OpenEXR (FLOAT RGB) — the reference's primary
+    output format (hdrfilm EXR) without external deps."""
+    img = np.asarray(img, dtype=np.float32)
+    write_exr_channels(
+        path, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]}
+    )
 
 
 def write_image(path: str, img) -> None:

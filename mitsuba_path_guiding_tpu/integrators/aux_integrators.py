@@ -120,6 +120,52 @@ def render_field(scene: SceneData, cfg: RenderConfig, field: str = "position"):
     return out.reshape(cfg.height, cfg.width, 3)
 
 
+_FIELD_NAMES = (
+    "position", "distance", "geo_normal", "sh_normal", "uv", "albedo",
+    "prim_index",
+)
+
+
+def render_multichannel(scene: SceneData, cfg: RenderConfig, channels=None):
+    """Meta-integrator running several sub-integrators into one named
+    channel set (reference misc/multichannel.cpp: N sub-integrators ->
+    one multichannel EXR).  ``channels``: list of "path" / "direct" /
+    "ao" / any render_field name.  Returns {name: (H, W, 3)}; write with
+    film.write_exr_channels (keys become "<name>.R/G/B")."""
+    from mitsuba_path_guiding_tpu.integrators.render import render
+
+    channels = list(channels or ["path", "albedo", "sh_normal", "distance"])
+    out = {}
+    for ch in channels:
+        if ch in ("path", "radiance"):
+            out[ch] = render(scene, cfg)
+        elif ch == "direct":
+            out[ch] = render_direct(scene, cfg)
+        elif ch == "ao":
+            out[ch] = render_ao(scene, cfg)
+        elif ch in _FIELD_NAMES:
+            out[ch] = render_field(scene, cfg, field=ch)
+        else:
+            raise ValueError(f"multichannel: unknown sub-integrator {ch}")
+    return out
+
+
+def write_multichannel_exr(path: str, images: dict) -> None:
+    """{name: (H, W, 3)} -> one EXR with name.R/name.G/name.B channels
+    (the primary "path" group keeps plain R/G/B like hdrfilm)."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.film.film import write_exr_channels
+
+    chans = {}
+    for name, img in images.items():
+        img = np.asarray(img, dtype=np.float32)
+        prefix = "" if name in ("path", "radiance") else name + "."
+        for i, c in enumerate("RGB"):
+            chans[prefix + c] = img[..., i]
+    write_exr_channels(path, chans)
+
+
 def render_adaptive(
     scene: SceneData,
     cfg: RenderConfig,

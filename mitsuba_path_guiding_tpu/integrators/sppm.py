@@ -127,7 +127,10 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
 def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
                 em_kinds=em_mod.ALL_KINDS, mat_types=bsdf_mod.ALL_TYPES):
     """Shoot one wavefront of photons; returns per-deposit arrays
-    (pos (D*M, 3), wi (D*M, 3) incident dir, power (D*M, 3), valid)."""
+    (pos (D*M, 3), wi (D*M, 3) incident dir, power (D*M, 3), valid,
+    caustic (D*M,) — deposit reached through >= 1 all-specular chain,
+    the classic photonmapper's caustic-map membership test
+    (photonmapper.cpp's separate caustic GatherPhotonProcess)."""
     geo, bvh, mats, em = scene.geo, scene.bvh, scene.mats, scene.emitters
 
     def intersect(o_, d_):
@@ -137,7 +140,7 @@ def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
     rs = em_mod.sample_ray(em, scene.aabb_min, scene.aabb_max, u0, kinds=em_kinds)
 
     def bounce(carry, depth):
-        o, d, T, alive = carry
+        o, d, T, alive, all_spec = carry
         u = bounce_uniform(rkeys, depth, 9)
         hit = intersect(o, d)
         act = alive & hit.valid
@@ -160,7 +163,7 @@ def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
         )
         # deposit on smooth surfaces (photonmap stores at diffuse hits)
         deposit = act & ~is_delta_mat
-        out = (p, -d, T, deposit)
+        out = (p, -d, T, deposit, all_spec & (depth > 0))
 
         frame = Frame.from_normal(ns)
         wi_local = frame.to_local(-d)
@@ -177,15 +180,17 @@ def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
             jnp.where(cont[..., None], wo_world, d),
             jnp.where(cont[..., None], T_new, T),
             cont,
+            all_spec & bs.is_delta,
         )
         return carry_new, out
 
-    carry0 = (rs.o, rs.d, jnp.where(rs.valid[..., None], rs.weight, 0.0), rs.valid)
+    carry0 = (rs.o, rs.d, jnp.where(rs.valid[..., None], rs.weight, 0.0),
+              rs.valid, jnp.ones_like(rs.valid))
     _, outs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
-    pos, wi, pw, ok = outs
+    pos, wi, pw, ok, caus = outs
     D, M = ok.shape
     return (pos.reshape(D * M, 3), wi.reshape(D * M, 3),
-            pw.reshape(D * M, 3), ok.reshape(D * M))
+            pw.reshape(D * M, 3), ok.reshape(D * M), caus.reshape(D * M))
 
 
 def _cell_coords(p, lo, inv_cell, G):
@@ -310,7 +315,7 @@ def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
             jnp.arange(photons_per_iter, dtype=jnp.int32) + (1 << 24),
             jnp.full((photons_per_iter,), it, jnp.int32),
         )
-        ph_pos, ph_wi, ph_pw, ph_ok = photon_pass(
+        ph_pos, ph_wi, ph_pw, ph_ok, _ = photon_pass(
             scene, rk_ph, max_depth=cfg.max_depth, use_bvh=use_bvh,
             em_kinds=em_kinds, mat_types=mat_types,
         )

@@ -37,7 +37,7 @@ from mitsuba_path_guiding_tpu.models.medium import (
     sample_free_flight,
     transmittance_ratio,
 )
-from mitsuba_path_guiding_tpu.models.phase import phase_eval_kind, phase_sample_kind
+from mitsuba_path_guiding_tpu.models.phase import phase_eval_kind, phase_sample_kind_w
 from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
 from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
@@ -265,7 +265,7 @@ def trace_vol(
         if use_nee:
             ds = em_mod.sample_direct_jit(em, geo, p_event, u[..., 0:3], kinds=em_kinds)
             # phase / bsdf value toward the light
-            ph = phase_eval_kind(d, ds.direction, g_hg, phase_kind)
+            ph = phase_eval_kind(-d, ds.direction, g_hg, phase_kind, med)
             wo_local_nee = frame.to_local(ds.direction)
             f_surf, pdf_b_surf = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types)
             f_nee = jnp.where(
@@ -288,13 +288,15 @@ def trace_vol(
         # both optionally mixed with the spatio-directional guiding cache
         # (config 4: guided directional sampling in media; distance
         # sampling stays analytic in round 1)
-        wo_phase, pdf_phase = phase_sample_kind(d, g_hg, u[..., 3:5], phase_kind)
+        wo_phase, pdf_phase, w_phase = phase_sample_kind_w(
+            -d, g_hg, u[..., 3:5], phase_kind, med
+        )
         if guide is None:
             bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types)
             wo_surf_world = frame.to_world(bs.wo)
             surf_pdf, surf_w, surf_delta = bs.pdf, bs.weight, bs.is_delta
             wo_med, pdf_med = wo_phase, pdf_phase
-            w_med = jnp.ones((n, 3))
+            w_med = w_phase[..., None] * jnp.ones((1, 3))
         else:
             wo_surf_world, surf_pdf, surf_w, surf_delta = guide(
                 guide_state, mats, mid, p_surf, frame, wi_local,
@@ -315,7 +317,7 @@ def trace_vol(
             d_gm = _mixture_sample(params_m, u[..., 7], u[..., 3:5])
             take_gm = u[..., 6] < a_m
             wo_med = jnp.where(take_gm[..., None], d_gm, wo_phase)
-            ph_val = phase_eval_kind(d, wo_med, g_hg, phase_kind)
+            ph_val = phase_eval_kind(-d, wo_med, g_hg, phase_kind, med)
             pdf_med = a_m * _mixture_pdf(params_m, wo_med) + (1.0 - a_m) * ph_val
             w_med = (ph_val / jnp.maximum(pdf_med, 1e-8))[..., None] * jnp.ones((1, 3))
 

@@ -442,6 +442,35 @@ def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
             is_m = p.type == BSDFType.MASK
             f = jnp.where(is_m[..., None], p.weight[..., None] * fa, f)
             pdf = jnp.where(is_m, p.weight * pdfa, pdf)
+    if BSDFType.COATING in types:
+        # smooth dielectric layer over sub_a (coating.cpp eval/pdf): refract
+        # both directions into the layer, evaluate the nested lobe there,
+        # attenuate by the two Fresnel transmittances + Beer absorption,
+        # convert the measure back out (invEta^2 * cos ratio)
+        pc = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
+        eta_c = jnp.maximum(p.eta[..., 0], 1e-3)
+        wi_in, R12 = _coat_refract(wi2, eta_c)
+        wo_in, R21 = _coat_refract(wo2, eta_c)
+        f_n, pdf_n = _eval_smooth(pc, wi_in, wo_in, types)
+        inv_eta2 = 1.0 / (eta_c * eta_c)
+        czo_in = jnp.where(jnp.abs(wo_in[..., 2]) < 1e-6, 1e-6, wo_in[..., 2])
+        cos_ratio = wo2[..., 2] / czo_in
+        sa = p.refl * p.weight[..., None]  # sigmaA * thickness
+        absorb = jnp.exp(
+            -sa
+            * (
+                1.0 / jnp.maximum(jnp.abs(wi_in[..., 2]), 1e-6)
+                + 1.0 / jnp.maximum(jnp.abs(wo_in[..., 2]), 1e-6)
+            )[..., None]
+        )
+        # specular sampling weight 0.5 -> probSpecular = R12 (see sample)
+        trans = (1.0 - R12) * (1.0 - R21) * inv_eta2 * cos_ratio
+        ok = (R12 < 1.0) & (R21 < 1.0)
+        f_c = jnp.where(ok[..., None], f_n * absorb * trans[..., None], 0.0)
+        pdf_c = jnp.where(ok, (1.0 - R12) * pdf_n * inv_eta2 * cos_ratio, 0.0)
+        is_c = p.type == BSDFType.COATING
+        f = jnp.where(is_c[..., None], f_c, f)
+        pdf = jnp.where(is_c, pdf_c, pdf)
     return f, pdf
 
 
@@ -468,6 +497,8 @@ def albedo_raw(mats: Materials, mid):
     w = p.weight[..., None]
     a = jnp.where((p.type == BSDFType.BLEND)[..., None], (1.0 - w) * aa + w * ab, a)
     a = jnp.where((p.type == BSDFType.MASK)[..., None], w * aa, a)
+    # coating: nested albedo (coating.cpp getAlbedo ignores the layer too)
+    a = jnp.where((p.type == BSDFType.COATING)[..., None], aa, a)
     return a
 
 
@@ -715,6 +746,67 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
     return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
 
 
+def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample) -> BSDFSample:
+    """COATING lanes of the wavefront (coating.cpp sample): choose the
+    delta reflection with probability R12 (specularSamplingWeight = 1/2),
+    otherwise refract in, sample the nested lobe, attenuate and refract
+    back out.  Overrides ``res`` where the lane's material is COATING."""
+    is_coat = p.type == BSDFType.COATING
+    eta_c = jnp.maximum(p.eta[..., 0], 1e-3)
+    wi2, s = _flip_two_sided(p, wi)
+    wi_in, R12 = _coat_refract(wi2, eta_c)
+    p_spec = R12
+    choose_spec = ul < p_spec
+
+    # nested lobe with the refracted incident direction
+    ul_n = jnp.clip(
+        (ul - p_spec) / jnp.maximum(1.0 - p_spec, 1e-9), 0.0, 1.0 - 1e-7
+    )
+    pc = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
+    sub = _sample_families(pc, wi_in, u2, ul_n, types)
+    wo_in = sub.wo
+    sa = p.refl * p.weight[..., None]
+    absorb = jnp.exp(
+        -sa
+        * (
+            1.0 / jnp.maximum(jnp.abs(wi_in[..., 2]), 1e-6)
+            + 1.0 / jnp.maximum(jnp.abs(wo_in[..., 2]), 1e-6)
+        )[..., None]
+    )
+    wo_out, R21 = _coat_refract(wo_in, 1.0 / eta_c)  # refract OUT of the layer
+    tir = (R21 >= 1.0) | (R12 >= 1.0)
+    inv_eta2 = 1.0 / (eta_c * eta_c)
+    czo_in = jnp.where(jnp.abs(wo_in[..., 2]) < 1e-6, 1e-6, wo_in[..., 2])
+    cos_ratio = wo_out[..., 2] / czo_in
+    # measure-compression factors cancel inside the weight; only the
+    # transmittances, absorption, and the 1/(1-probSpecular) survive
+    w_n = (
+        sub.weight
+        * absorb
+        * ((1.0 - R12) * (1.0 - R21) / jnp.maximum(1.0 - p_spec, 1e-9))[..., None]
+    )
+    pdf_n = sub.pdf * (1.0 - p_spec) * jnp.where(
+        sub.is_delta, 1.0, inv_eta2 * cos_ratio
+    )
+    ok_n = ~tir & (sub.pdf > 0.0)
+    wo_spec = reflect_local(wi2)
+    wo_c = jnp.where(choose_spec[..., None], wo_spec, wo_out)
+    w_c = jnp.where(
+        choose_spec[..., None], p.spec, jnp.where(ok_n[..., None], w_n, 0.0)
+    )
+    pdf_c = jnp.where(choose_spec, jnp.maximum(p_spec, 1e-9), jnp.where(ok_n, pdf_n, 0.0))
+    delta_c = jnp.where(choose_spec, True, sub.is_delta)
+    wo_c = jnp.stack(
+        [wo_c[..., 0], wo_c[..., 1], wo_c[..., 2] * s], axis=-1
+    )  # un-flip the two-sided mirror
+    return BSDFSample(
+        wo=jnp.where(is_coat[..., None], wo_c, res.wo),
+        weight=jnp.where(is_coat[..., None], w_c, res.weight),
+        pdf=jnp.where(is_coat, pdf_c, res.pdf),
+        is_delta=jnp.where(is_coat, delta_c, res.is_delta),
+    )
+
+
 def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSample:
     """Wavefront BSDF sampling with one level of nesting resolved.
 
@@ -730,8 +822,12 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     u2 = u[..., 0:2]
     ul = u[..., 2]
     nested = (BSDFType.BLEND in types) or (BSDFType.MASK in types)
+    has_coat = BSDFType.COATING in types
     if not nested:
-        return _sample_families(p, wi, u2, ul, types)
+        res = _sample_families(p, wi, u2, ul, types)
+        if has_coat:
+            res = _coat_sample(mats, p, wi, u2, ul, types, tex, res)
+        return res
 
     is_blend = p.type == BSDFType.BLEND
     is_mask = p.type == BSDFType.MASK
@@ -779,7 +875,10 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     delta_sub = use_sub & is_delta
     p_pick = jnp.where(is_mask, w_sel, jnp.where(pick_b, w_sel, 1.0 - w_sel))
     pdf = jnp.where(delta_sub, pdf * p_pick, pdf)
-    return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
+    res = BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
+    if has_coat:
+        res = _coat_sample(mats, p, wi, u2, ul, types, tex, res)
+    return res
 
 
 # jitted public entry points (tests / direct use); integrators call the

@@ -18,8 +18,13 @@ from mitsuba_path_guiding_tpu.core.warp import INV_FOURPI, square_to_uniform_sph
 
 
 class PhaseKind:
-    HG = 0         # hg.cpp (g == 0 degenerates to isotropic.cpp)
-    RAYLEIGH = 1   # rayleigh.cpp
+    HG = 0          # hg.cpp (g == 0 degenerates to isotropic.cpp)
+    RAYLEIGH = 1    # rayleigh.cpp
+    KKAY = 2        # kkay.cpp — Kajiya-Kay fiber phase (uniform sampling)
+    MICROFLAKE = 3  # microflake.cpp — specular flakes, Gaussian fiber
+    #                 distribution (microflake_fiber.h); phase-only parity,
+    #                 the directional sigma_t coupling is approximated (the
+    #                 medium keeps an isotropic extinction)
 
 
 def hg_pdf(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
@@ -81,14 +86,184 @@ def rayleigh_sample(wi: jnp.ndarray, u: jnp.ndarray):
     return wo, rayleigh_eval(wi, wo)
 
 
-def phase_eval_kind(wi, wo, g, kind: int = PhaseKind.HG):
-    """Static-kind dispatch used by the volumetric integrator."""
+# ---------------------------------------------------------------------------
+# Kajiya-Kay (reference src/phase/kkay.cpp): fiber phase with a diffuse
+# floor and a cos^e specular cone about the mirrored polar angle; sampled
+# uniformly over the sphere exactly like the reference.
+# ---------------------------------------------------------------------------
+
+def kkay_normalization(exponent: float) -> float:
+    """1 / (2 pi * int_0^pi sin^(e+1) theta dtheta) — the perpendicular-
+    illumination normalization the reference computes by Simpson quadrature
+    (kkay.cpp configure), here in closed form via the Wallis integral."""
+    import math
+
+    e = float(exponent)
+    integral = math.sqrt(math.pi) * math.gamma(e / 2 + 1.0) / math.gamma(e / 2 + 1.5)
+    return 1.0 / (2.0 * math.pi * integral)
+
+
+def kkay_eval(wi, wo, axis, aux):
+    """aux = (ks, kd, exponent, normalization); axis = fiber orientation.
+    ``wi`` toward the previous vertex (kkay.cpp eval)."""
+    ks, kd, e, norm = aux[0], aux[1], aux[2], aux[3]
+    frame = Frame.from_normal(jnp.broadcast_to(axis, wo.shape))
+    rl = frame.to_local(wo)
+    z = -dot(wi, jnp.broadcast_to(axis, wi.shape))
+    a = jnp.sqrt(
+        jnp.maximum(1.0 - z * z, 0.0)
+        / jnp.maximum(rl[..., 0] ** 2 + rl[..., 1] ** 2, 1e-12)
+    )
+    R = frame.to_world(jnp.stack([rl[..., 0] * a, rl[..., 1] * a, z], axis=-1))
+    spec = jnp.maximum(dot(R, wo), 0.0) ** e
+    return spec * norm * ks + kd * INV_FOURPI
+
+
+def kkay_sample(wi, axis, aux, u):
+    """Uniform-sphere proposal with weight eval*4pi (kkay.cpp sample);
+    returns (wo, pdf=1/4pi, weight)."""
+    wo = square_to_uniform_sphere(u)
+    val = kkay_eval(wi, wo, axis, aux)
+    return wo, jnp.full(wo.shape[:-1], INV_FOURPI), val * (4.0 * jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# Microflake fiber phase (reference src/phase/microflake.cpp +
+# microflake_fiber.h GaussianFiberDistribution): specular flakes whose
+# normals follow D(m) ∝ exp(-cos^2 theta_m / (2 sigma^2)) about the fiber.
+# eval = 0.5 D(h) / sigma_t(cos theta_wi); the sampler draws flake normals
+# by exact truncated-Gaussian inversion (erfinv replaces the reference's
+# Brent solve) and accepts with |wi.m| — K fixed vectorized rounds instead
+# of the reference's unbounded rejection loop (TPU-friendly control flow).
+# ---------------------------------------------------------------------------
+
+_MF_K = 16  # vectorized rejection rounds; failure mass < (1 - E|wi.m|)^K
+
+
+def microflake_tables(stddev: float, n: int = 64):
+    """Host-side numeric sigma_t table (microflake_fiber.h precomputes a
+    polynomial expansion; a direct quadrature table is simpler and exact):
+    sigma_t(cos theta_w) = int_sphere |w.m| D(m) dm over n values of
+    cos theta_w in [0, 1].  Returns (aux (4,), table (n,)) float32."""
+    import math
+
+    import numpy as np
+
+    s = float(stddev)
+    norm = 1.0 / ((2.0 * math.pi) ** 1.5 * s * math.erf(1.0 / (math.sqrt(2.0) * s)))
+    # quadrature grid over the flake normal sphere
+    nt, np_ = 256, 64
+    ct_m = np.linspace(-1.0, 1.0, nt)  # cos theta_m
+    phi = np.linspace(0.0, 2.0 * np.pi, np_, endpoint=False)
+    st_m = np.sqrt(np.maximum(1.0 - ct_m**2, 0.0))
+    D = np.exp(-(ct_m**2) / (2 * s * s)) * norm  # (nt,)
+    ct_w = np.linspace(0.0, 1.0, n)
+    st_w = np.sqrt(np.maximum(1.0 - ct_w**2, 0.0))
+    # |w.m| = |ct_w ct_m + st_w st_m cos(phi)|
+    dots = np.abs(
+        ct_w[:, None, None] * ct_m[None, :, None]
+        + st_w[:, None, None] * st_m[None, :, None] * np.cos(phi)[None, None, :]
+    )
+    sig = (dots.mean(-1) * D[None, :]).sum(-1) * (2.0 / nt) * (2.0 * np.pi)
+    aux = np.array(
+        [s, norm, math.erf(1.0 / (math.sqrt(2.0) * s)), 0.0], dtype=np.float32
+    )
+    return aux, sig.astype(np.float32)
+
+
+def _mf_sigma_t(table, cos_w):
+    n = table.shape[0]
+    x = jnp.abs(cos_w) * (n - 1)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+    f = x - i0
+    return table[i0] * (1.0 - f) + table[i0 + 1] * f
+
+
+def microflake_eval(wi, wo, axis, aux, table):
+    s, norm = aux[0], aux[1]
+    frame = Frame.from_normal(jnp.broadcast_to(axis, wo.shape))
+    wi_l = frame.to_local(wi)
+    wo_l = frame.to_local(wo)
+    h = wi_l + wo_l
+    hl = jnp.linalg.norm(h, axis=-1)
+    ct_h = jnp.where(hl > 1e-9, h[..., 2] / jnp.maximum(hl, 1e-9), 0.0)
+    D = jnp.exp(-ct_h * ct_h / (2.0 * s * s)) * norm
+    sig = _mf_sigma_t(table, wi_l[..., 2])
+    val = 0.5 * D / jnp.maximum(sig, 1e-9)
+    return jnp.where(hl > 1e-9, val, 0.0)
+
+
+def microflake_sample(wi, axis, aux, table, u):
+    """K-round vectorized flake rejection; returns (wo, pdf=eval, weight~1).
+    Lanes where all K rounds reject keep weight 0 (the reference returns 0
+    after its iteration cap too)."""
+    s, c1 = aux[0], aux[2]
+    frame = Frame.from_normal(jnp.broadcast_to(axis, wi.shape))
+    wi_l = frame.to_local(wi)
+    # independent per-round streams derived by hashing the two uniforms
+    # into counter-based keys (correlated Cranley-Patterson rotations bias
+    # the acceptance test against the proposal — chi2-detectable)
+    import jax
+
+    bits = (u * jnp.float32(1 << 23)).astype(jnp.uint32)
+    seed = (bits[..., 0] ^ (bits[..., 1] << jnp.uint32(9))).astype(jnp.uint32)
+    r = jax.vmap(
+        lambda s: jax.random.uniform(jax.random.PRNGKey(s), (_MF_K, 3))
+    )(seed.reshape(-1)).reshape(u.shape[:-1] + (_MF_K, 3))
+    u1, u2, u3 = r[..., 0], r[..., 1], r[..., 2]
+    # exact truncated-Gaussian inversion of the flake polar angle
+    from jax.scipy.special import erfinv
+
+    ct = jnp.sqrt(2.0) * s * erfinv(jnp.clip((2.0 * u1 - 1.0) * c1, -1.0 + 1e-7, 1.0 - 1e-7))
+    ct = jnp.clip(ct, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    ph = 2.0 * jnp.pi * u2
+    m = jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph), ct], axis=-1)  # (..., K, 3)
+    dp = jnp.sum(wi_l[..., None, :] * m, axis=-1)
+    accept = u3 < jnp.abs(dp)
+    # first accepted round (argmax of the boolean sequence)
+    idx = jnp.argmax(accept, axis=-1)
+    any_ok = jnp.any(accept, axis=-1)
+    m_sel = jnp.take_along_axis(m, idx[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    dp_sel = jnp.take_along_axis(dp, idx[..., None], axis=-1)[..., 0]
+    wo_l = 2.0 * dp_sel[..., None] * m_sel - wi_l
+    wo = frame.to_world(wo_l)
+    pdf = microflake_eval(wi, wo, axis, aux, table)
+    w = jnp.where(any_ok, 1.0, 0.0)
+    return wo, jnp.where(any_ok, pdf, 0.0), w
+
+
+def phase_eval_kind(wi, wo, g, kind: int = PhaseKind.HG, med=None):
+    """Static-kind dispatch used by the volumetric integrator.  ``wi``
+    points toward the previous vertex.  ``med`` supplies the fiber
+    orientation + parameters for the KKAY/MICROFLAKE families."""
     if kind == PhaseKind.RAYLEIGH:
         return rayleigh_eval(wi, wo)
+    if kind == PhaseKind.KKAY:
+        return kkay_eval(wi, wo, med.orientation, med.phase_aux)
+    if kind == PhaseKind.MICROFLAKE:
+        return microflake_eval(wi, wo, med.orientation, med.phase_aux, med.sigt_table)
     return phase_eval(wi, wo, g)
 
 
-def phase_sample_kind(wi, g, u, kind: int = PhaseKind.HG):
+def phase_sample_kind(wi, g, u, kind: int = PhaseKind.HG, med=None):
+    """Returns (wo, pdf).  KKAY/MICROFLAKE are not perfectly importance
+    sampled — use phase_sample_kind_w to get the weight as well; this
+    wrapper folds the weight into nothing (callers that assume
+    weight == 1 should migrate)."""
+    wo, pdf, _ = phase_sample_kind_w(wi, g, u, kind, med)
+    return wo, pdf
+
+
+def phase_sample_kind_w(wi, g, u, kind: int = PhaseKind.HG, med=None):
+    """(wo, pdf, weight): weight = eval/pdf (1 for the perfectly-sampled
+    HG/isotropic/Rayleigh families)."""
     if kind == PhaseKind.RAYLEIGH:
-        return rayleigh_sample(wi, u)
-    return phase_sample(wi, g, u)
+        wo, pdf = rayleigh_sample(wi, u)
+        return wo, pdf, jnp.ones_like(pdf)
+    if kind == PhaseKind.KKAY:
+        return kkay_sample(wi, med.orientation, med.phase_aux, u)
+    if kind == PhaseKind.MICROFLAKE:
+        return microflake_sample(wi, med.orientation, med.phase_aux, med.sigt_table, u)
+    wo, pdf = phase_sample(wi, g, u)
+    return wo, pdf, jnp.ones_like(pdf)

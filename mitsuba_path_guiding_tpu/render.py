@@ -47,7 +47,7 @@ def main(argv=None):
     ap.add_argument(
         "-I", "--integrator", default="guided",
         choices=["guided", "path", "bdpt", "pssmlt", "erpt", "sppm", "vpl",
-                 "ptracer", "direct", "ao"],
+                 "ptracer", "photonmapper", "direct", "ao"],
         help="rendering algorithm (reference: integrator element in the XML; "
         "'guided' is the progressive guided path tracer)",
     )
@@ -123,6 +123,9 @@ def main(argv=None):
         elif args.integrator == "sppm":
             from mitsuba_path_guiding_tpu.integrators.sppm import render_sppm
             img = render_sppm(scene, rcfg)
+        elif args.integrator == "photonmapper":
+            from mitsuba_path_guiding_tpu.integrators.photonmapper import render_photonmapper
+            img = render_photonmapper(scene, rcfg)
         elif args.integrator == "vpl":
             from mitsuba_path_guiding_tpu.integrators.vpl import render_vpl
             img = render_vpl(scene, rcfg)

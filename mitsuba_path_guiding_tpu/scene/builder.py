@@ -247,15 +247,45 @@ def _compile_medium(med: dict | None) -> MediumData:
     sigma_a = np.asarray(med.get("sigma_a", [0.0] * 3), dtype=np.float32) * scale_f
     sigma_s = np.asarray(med.get("sigma_s", [0.0] * 3), dtype=np.float32) * scale_f
     phase_name = med.get("phase", "hg")
-    pk = PhaseKind.RAYLEIGH if phase_name == "rayleigh" else PhaseKind.HG
+    pk = {
+        "rayleigh": PhaseKind.RAYLEIGH,
+        "kkay": PhaseKind.KKAY,
+        "microflake": PhaseKind.MICROFLAKE,
+    }.get(phase_name, PhaseKind.HG)
     g = 0.0 if phase_name in ("isotropic", "rayleigh") else float(med.get("g", 0.0))
+    fiber_kw = {}
+    if pk in (PhaseKind.KKAY, PhaseKind.MICROFLAKE):
+        axis = np.asarray(med.get("orientation", [0.0, 0.0, 1.0]), dtype=np.float32)
+        axis = axis / max(np.linalg.norm(axis), 1e-9)
+        fiber_kw["orientation"] = jnp.asarray(axis)
+        if pk == PhaseKind.KKAY:
+            from mitsuba_path_guiding_tpu.models.phase import kkay_normalization
+
+            e = float(med.get("exponent", 4.0))
+            fiber_kw["phase_aux"] = jnp.asarray(
+                np.array(
+                    [
+                        float(med.get("ks", 0.4)),
+                        float(med.get("kd", 0.2)),
+                        e,
+                        kkay_normalization(e),
+                    ],
+                    dtype=np.float32,
+                )
+            )
+        else:
+            from mitsuba_path_guiding_tpu.models.phase import microflake_tables
+
+            aux, table = microflake_tables(float(med.get("stddev", 0.3)))
+            fiber_kw["phase_aux"] = jnp.asarray(aux)
+            fiber_kw["sigt_table"] = jnp.asarray(table)
     dens_spec = med.get("density", None)
     if dens_spec is None:
         return MediumData(
             sigma_a=jnp.asarray(sigma_a), sigma_s=jnp.asarray(sigma_s),
             phase_g=jnp.float32(g), enabled=True, density=jnp.asarray(ones),
             world_to_grid=jnp.asarray(eye), majorant=jnp.float32(np.max(sigma_a + sigma_s)),
-            heterogeneous=False, phase_kind=pk,
+            heterogeneous=False, phase_kind=pk, **fiber_kw,
         )
     from mitsuba_path_guiding_tpu.scene.volume import load_volume_spec
 
@@ -275,7 +305,7 @@ def _compile_medium(med: dict | None) -> MediumData:
         phase_g=jnp.float32(g), enabled=True,
         density=jnp.asarray(grid.astype(np.float32)),
         world_to_grid=jnp.asarray(w2g), majorant=jnp.float32(majorant),
-        heterogeneous=True, phase_kind=pk,
+        heterogeneous=True, phase_kind=pk, **fiber_kw,
     )
 
 

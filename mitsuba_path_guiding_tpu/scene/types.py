@@ -198,6 +198,11 @@ class MediumData(NamedTuple):
     majorant: jnp.ndarray      # () max density * max channel of sigma_t
     heterogeneous: bool        # static (host-side branch)
     phase_kind: int = 0        # static PhaseKind (models/phase.py dispatch)
+    # fiber-phase extras (kkay/microflake; None for the classic families):
+    orientation: jnp.ndarray = None  # (3,) constant fiber axis
+    phase_aux: jnp.ndarray = None    # (4,) kkay: ks,kd,exponent,norm;
+    #                                  microflake: stddev,norm,erf-c1,0
+    sigt_table: jnp.ndarray = None   # (64,) microflake sigma_t(cos) table
 
 
 class SceneData(NamedTuple):

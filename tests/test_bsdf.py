@@ -258,3 +258,67 @@ def test_ward_furnace_bounded():
     u = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
     bs = B.sample(mats, mid, wi, u)
     assert float(np.asarray(bs.weight).max(axis=-1).mean()) < 1.1
+
+
+# ---------------------------------------------------------------------------
+# coating (reference coating.cpp: smooth dielectric layer over a nested BSDF)
+# ---------------------------------------------------------------------------
+
+def _coating_mats(thickness=1.0, sigma_a=(0.1, 0.2, 0.3), eta=1.5):
+    rows = [
+        _row(BSDFType.COATING, sigma_a, (1, 1, 1), eta, 0.0, 0.1,
+             sub_a=1, weight=thickness),
+        _row(BSDFType.DIFFUSE, (0.8, 0.6, 0.4), (1, 1, 1), 1.5, 0.0, 0.1),
+    ]
+    return mats_from_rows(rows)
+
+
+@pytest.mark.parametrize("theta", [25, 60])
+def test_coating_chi2(theta):
+    passed, msg, _ = run_chi2(_coating_mats(), theta, seed=1234 + theta)
+    assert passed, f"coating_{theta}: {msg}"
+
+
+def test_coating_weight_consistency():
+    mats = _coating_mats(thickness=0.5, sigma_a=(0.3, 0.1, 0.05))
+    n = 4096
+    wi = jnp.broadcast_to(jnp.asarray([np.sin(0.7), 0.0, np.cos(0.7)], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(12), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    f, pdf = B.eval_pdf(mats, mid, wi, bs.wo)
+    ok = (
+        (~np.asarray(bs.is_delta))
+        & (np.asarray(bs.pdf) > 1e-4)
+        & (np.asarray(bs.weight).max(axis=-1) > 0)
+        & (np.asarray(pdf) > 1e-4)
+    )
+    assert ok.sum() > n // 4
+    np.testing.assert_allclose(
+        np.asarray(bs.weight)[ok],
+        np.asarray(f)[ok] / np.asarray(pdf)[ok][:, None],
+        rtol=5e-3, atol=5e-4,
+    )
+
+
+def test_coating_limits():
+    """A clear coat with eta ~ 1 degenerates to the nested diffuse; thick
+    absorbing layers darken (coating.cpp thickness renders)."""
+    n = 50_000
+    wi = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.945], jnp.float32), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+
+    def mean_reflected(mats):
+        bs = B.sample(mats, mid, wi, u)
+        return float(np.asarray(bs.weight / jnp.maximum(1, 1)).mean())
+
+    clear = _coating_mats(thickness=0.0, sigma_a=(0, 0, 0), eta=1.0 + 1e-4)
+    plain = make_mats(BSDFType.DIFFUSE, refl=(0.8, 0.6, 0.4))
+    m_clear = mean_reflected(clear)
+    m_plain = mean_reflected(plain)
+    assert abs(m_clear - m_plain) / m_plain < 0.02, (m_clear, m_plain)
+    thin = _coating_mats(thickness=0.5, sigma_a=(0.5, 0.5, 0.5))
+    thick = _coating_mats(thickness=4.0, sigma_a=(0.5, 0.5, 0.5))
+    assert mean_reflected(thick) < mean_reflected(thin) < m_plain

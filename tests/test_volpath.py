@@ -140,3 +140,104 @@ def test_rayleigh_chi2():
 
     passed, p, msg = chi2.chi2_test_sphere(np.asarray(wo), pdf_fn)
     assert passed, msg
+
+
+# ---------------------------------------------------------------------------
+# fiber phases: Kajiya-Kay + microflake (reference kkay.cpp, microflake.cpp)
+# ---------------------------------------------------------------------------
+
+def _fiber_medium(phase, **kw):
+    from mitsuba_path_guiding_tpu.scene.builder import _compile_medium
+
+    spec = {"sigma_a": [0.1] * 3, "sigma_s": [0.5] * 3, "phase": phase,
+            "orientation": [0.3, 0.5, 0.81], **kw}
+    return _compile_medium(spec)
+
+
+def test_kkay_normalized_and_weighted():
+    """kd-only kkay integrates to kd (not 1 — the reference's kd/ks are
+    direct scaling factors); sampling weight = eval*4pi matches eval/pdf."""
+    from mitsuba_path_guiding_tpu.models.phase import (
+        PhaseKind, phase_eval_kind, phase_sample_kind_w,
+    )
+
+    med = _fiber_medium("kkay", ks=0.4, kd=0.2, exponent=4.0)
+    nt, nh = 256, 512
+    t = (np.arange(nt) + 0.5) / nt * np.pi
+    h = (np.arange(nh) + 0.5) / nh * 2 * np.pi
+    TT, HH = np.meshgrid(t, h, indexing="ij")
+    d = np.stack([np.sin(TT) * np.cos(HH), np.sin(TT) * np.sin(HH), np.cos(TT)], -1)
+    dA = (np.pi / nt) * (2 * np.pi / nh) * np.sin(TT)
+    m = d.size // 3
+    wi = jnp.broadcast_to(jnp.asarray([0.8, 0.0, 0.6]), (m, 3))
+    pv = np.asarray(
+        phase_eval_kind(wi, jnp.asarray(d.reshape(-1, 3), jnp.float32), 0.0,
+                        PhaseKind.KKAY, med)
+    ).reshape(TT.shape)
+    total = (pv * dA).sum()
+    # ks cos^e cone (normalized for perpendicular wi) + kd floor: for this
+    # oblique wi the specular part integrates close to ks
+    assert 0.45 < total < 0.75, total
+    # sampled weight consistency: weight == eval / pdf
+    n = 8192
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n, 2))
+    wi_s = jnp.broadcast_to(jnp.asarray([0.8, 0.0, 0.6]), (n, 3))
+    wo, pdf, w = phase_sample_kind_w(wi_s, 0.0, u, PhaseKind.KKAY, med)
+    ev = phase_eval_kind(wi_s, wo, 0.0, PhaseKind.KKAY, med)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ev / pdf), rtol=1e-4)
+
+
+def test_microflake_chi2():
+    from mitsuba_path_guiding_tpu.models.phase import (
+        PhaseKind, phase_eval_kind, phase_sample_kind_w,
+    )
+
+    med = _fiber_medium("microflake", stddev=0.25)
+    wi = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (N, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(7), (N, 2))
+    wo, pdf, w = phase_sample_kind_w(wi, 0.0, u, PhaseKind.MICROFLAKE, med)
+    ok = np.asarray(w) > 0
+    assert ok.mean() > 0.98, ok.mean()  # K-round rejection rarely fails
+
+    def pdf_fn(dirs):
+        m = dirs.shape[0]
+        wi_m = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (m, 3))
+        return np.asarray(
+            phase_eval_kind(wi_m, jnp.asarray(dirs), 0.0, PhaseKind.MICROFLAKE, med)
+        )
+
+    passed, p, msg = chi2.chi2_test_sphere(
+        np.asarray(wo)[ok], pdf_fn, sample_count=N
+    )
+    assert passed, msg
+
+
+def test_microflake_normalization():
+    """The phase function must integrate to 1 over the sphere (flake
+    conservation: 0.5 D/sigma_t construction, Jakob et al. 2010)."""
+    from mitsuba_path_guiding_tpu.models.phase import PhaseKind, phase_eval_kind
+
+    med = _fiber_medium("microflake", stddev=0.3)
+    nt, nh = 512, 512
+    t = (np.arange(nt) + 0.5) / nt * np.pi
+    h = (np.arange(nh) + 0.5) / nh * 2 * np.pi
+    TT, HH = np.meshgrid(t, h, indexing="ij")
+    d = np.stack([np.sin(TT) * np.cos(HH), np.sin(TT) * np.sin(HH), np.cos(TT)], -1)
+    dA = (np.pi / nt) * (2 * np.pi / nh) * np.sin(TT)
+    m = d.size // 3
+    wi = jnp.broadcast_to(jnp.asarray([0.6, 0.0, 0.8]), (m, 3))
+    pv = np.asarray(
+        phase_eval_kind(wi, jnp.asarray(d.reshape(-1, 3), jnp.float32), 0.0,
+                        PhaseKind.MICROFLAKE, med)
+    ).reshape(TT.shape)
+    assert abs((pv * dA).sum() - 1.0) < 0.02, (pv * dA).sum()
+
+
+def test_hg_forward_peak_convention():
+    """Regression: g > 0 must scatter FORWARD along the propagation
+    direction as volpath calls it (wi = -ray.d, the reference's pRec.wi)."""
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (20000, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(0), (20000, 2))
+    wo, _ = phase_sample(-d, jnp.full((20000,), 0.9), u)  # wi = -d
+    mean_fwd = float(jnp.mean(jnp.sum(wo * d, -1)))
+    assert mean_fwd > 0.85, mean_fwd
