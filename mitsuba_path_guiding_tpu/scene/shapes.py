@@ -324,6 +324,156 @@ def save_serialized(path, meshes):
         f.write(out)
 
 
+def make_cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0, res=32):
+    """Open-ended cylinder from p0 to p1 (reference src/shapes/cylinder.cpp
+    canonical shape), tessellated with exact per-vertex shading normals —
+    every analytic primitive becomes triangles for the single wavefront
+    intersector (the TPU-native analogue of per-shape rayIntersect)."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    axis = axis / max(length, 1e-12)
+    # build an orthonormal frame around the axis
+    up = np.array([1.0, 0.0, 0.0]) if abs(axis[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, axis)
+    x /= np.linalg.norm(x)
+    y = np.cross(axis, x)
+    phi = np.arange(res) / res * 2.0 * np.pi
+    ring = (np.cos(phi)[:, None] * x + np.sin(phi)[:, None] * y) * radius
+    v = np.concatenate([p0 + ring, p1 + ring], axis=0)
+    n = np.concatenate([ring, ring], axis=0) / radius
+    uv = np.stack(
+        [np.concatenate([phi, phi]) / (2 * np.pi),
+         np.concatenate([np.zeros(res), np.ones(res)])], axis=-1
+    )
+    f = []
+    for i in range(res):
+        j = (i + 1) % res
+        f.append([i, j, res + j])
+        f.append([i, res + j, res + i])
+    return Mesh(v, np.asarray(f), n, uv)
+
+
+def make_heightfield(heights, scale=1.0, shading_normals=True):
+    """Height field over [-1,1]^2 (reference src/shapes/heightfield.cpp:
+    z = scale * h(x, y) on a regular grid; the 2D quadtree accelerator is
+    unnecessary once the field is triangulated into the global BVH)."""
+    hmap = np.asarray(heights, dtype=np.float64) * scale
+    H, W = hmap.shape
+    xs = np.linspace(-1.0, 1.0, W)
+    ys = np.linspace(-1.0, 1.0, H)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    v = np.stack([X, Y, hmap], axis=-1).reshape(-1, 3)
+    uv = np.stack(
+        [np.tile((xs + 1) / 2, H), np.repeat((ys + 1) / 2, W)], axis=-1
+    )
+    f = []
+    for r in range(H - 1):
+        for c in range(W - 1):
+            i = r * W + c
+            f.append([i, i + 1, i + W + 1])
+            f.append([i, i + W + 1, i + W])
+    n = None
+    if shading_normals:
+        gy, gx = np.gradient(hmap, ys, xs)
+        n = np.stack([-gx, -gy, np.ones_like(hmap)], axis=-1).reshape(-1, 3)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return Mesh(v, np.asarray(f), n, uv)
+
+
+def load_hair(path):
+    """Read the reference's .hair formats (src/shapes/hair.cpp:76-108):
+    ASCII lines of vertex coordinates with blank lines separating fibers,
+    or "BINARY_HAIR" + uint32 count + float32 xyz stream where a +inf x
+    marks a new fiber.  Returns (vertices list-of-arrays per fiber)."""
+    with open(path, "rb") as fh:
+        head = fh.read(11)
+    fibers, cur = [], []
+    if head == b"BINARY_HAIR":
+        import struct
+
+        with open(path, "rb") as fh:
+            fh.read(11)
+            (count,) = struct.unpack("<I", fh.read(4))
+            data = np.frombuffer(fh.read(), dtype="<f4")
+        i = 0
+        while i + 2 < len(data):
+            if not np.isfinite(data[i]):
+                if cur:
+                    fibers.append(np.asarray(cur))
+                cur = []
+                i += 1
+                continue
+            cur.append(data[i : i + 3].astype(np.float64))
+            i += 3
+    else:
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                if cur:
+                    fibers.append(np.asarray(cur))
+                cur = []
+                continue
+            cur.append(np.array([float(x) for x in line.split()]))
+    if cur:
+        fibers.append(np.asarray(cur))
+    return [f for f in fibers if len(f) >= 2]
+
+
+def make_hair(props):
+    """Hair plugin (src/shapes/hair.cpp): fibers -> per-segment tubes.
+
+    The reference intersects analytic capsule segments through a custom
+    kd-tree; here each segment becomes a ``sides``-gon tube so hair rides
+    the same wavefront BVH as everything else.  ``reduction`` keeps a
+    random subset of fibers with enlarged radius (hair.cpp Cook et al.
+    fast-preview trick)."""
+    if "fibers" in props:
+        fibers = [np.asarray(f, dtype=np.float64) for f in props["fibers"]]
+    else:
+        fibers = load_hair(props["filename"])
+    radius = float(props.get("radius", 0.025))
+    reduction = float(props.get("reduction", 0.0))
+    sides = int(props.get("sides", 4))
+    if reduction > 0.0 and len(fibers) > 1:
+        rng = np.random.default_rng(int(props.get("seed", 0)))
+        keep = max(1, int(len(fibers) * (1.0 - reduction)))
+        idx = rng.choice(len(fibers), size=keep, replace=False)
+        fibers = [fibers[i] for i in sorted(idx)]
+        radius = radius / np.sqrt(max(1.0 - reduction, 1e-3))
+    vs, fs, ns = [], [], []
+    base = 0
+    phi = np.arange(sides) / sides * 2.0 * np.pi
+    cphi, sphi = np.cos(phi), np.sin(phi)
+    for fib in fibers:
+        # one ring per vertex, oriented by the averaged segment tangent
+        t = np.diff(fib, axis=0)
+        t = t / np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        tv = np.concatenate([t[:1], 0.5 * (t[1:] + t[:-1]), t[-1:]], axis=0)
+        tv /= np.maximum(np.linalg.norm(tv, axis=-1, keepdims=True), 1e-12)
+        up = np.where(np.abs(tv[:, :1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]])
+        x = np.cross(up, tv)
+        x /= np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        y = np.cross(tv, x)
+        ring_n = cphi[None, :, None] * x[:, None] + sphi[None, :, None] * y[:, None]
+        ring = fib[:, None] + ring_n * radius
+        V = len(fib)
+        vs.append(ring.reshape(-1, 3))
+        ns.append(ring_n.reshape(-1, 3))
+        for s in range(V - 1):
+            for i in range(sides):
+                j = (i + 1) % sides
+                a = base + s * sides + i
+                b = base + s * sides + j
+                c = base + (s + 1) * sides + j
+                d = base + (s + 1) * sides + i
+                fs.append([a, b, c])
+                fs.append([a, c, d])
+        base += V * sides
+    return Mesh(np.concatenate(vs), np.asarray(fs), np.concatenate(ns), None)
+
+
 SHAPE_BUILDERS = {
     "rectangle": lambda props: make_rectangle(),
     "cube": lambda props: make_cube(),
@@ -339,4 +489,22 @@ SHAPE_BUILDERS = {
     "serialized": lambda props: load_serialized(
         props["filename"], int(props.get("shape_index", 0))
     ),
+    "cylinder": lambda props: make_cylinder(
+        props.get("p0", (0, 0, 0)), props.get("p1", (0, 0, 1)),
+        float(props.get("radius", 1.0)), int(props.get("cyl_res", 32)),
+    ),
+    "heightfield": lambda props: make_heightfield(
+        _heightfield_data(props), float(props.get("scale", 1.0)),
+        bool(props.get("shading_normals", True)),
+    ),
+    "hair": make_hair,
 }
+
+
+def _heightfield_data(props):
+    if "heights" in props:
+        return np.asarray(props["heights"], dtype=np.float64)
+    from mitsuba_path_guiding_tpu.util import _read
+
+    img = _read(props["filename"])
+    return img.mean(axis=-1) if img.ndim == 3 else img

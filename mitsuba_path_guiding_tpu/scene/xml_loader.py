@@ -40,7 +40,7 @@ _SUPPORTED_BSDFS = {
 _WRAPPER_BSDFS = {"twosided", "bumpmap", "normalmap"}
 # wrappers that KEEP their semantics as builder dicts with a nested bsdf
 _NESTED_BSDFS = {"mask", "coating", "roughcoating"}
-_SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk"}
+_SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk", "serialized", "cylinder", "heightfield", "hair"}
 
 
 def _subst(text: str, defaults: dict) -> str:
