@@ -1,0 +1,213 @@
+"""Irradiance caching meta-integrator.
+
+Counterpart of the reference's irrcache plugin + core infrastructure
+(/root/reference/src/integrators/misc/irrcache.cpp:389, irrcache_proc.cpp,
+include/mitsuba/render/irrcache.h:24-190): hemispherical irradiance is
+computed at sparse cache records and interpolated with Ward's weights
+w_i = 1 / (|x-x_i|/R_i + sqrt(1 - n.n_i)) elsewhere; direct lighting stays
+exact per pixel (the cache holds INDIRECT irradiance only).
+
+TPU-native re-design (no octree, no lazy insertion):
+- the overture pass (irrcache.cpp's "overture" preprocess) drops records
+  at a low-res grid of camera first-hits and evaluates each record's
+  indirect irradiance as one wavefront: records x rays_per_record cosine
+  rays traced by the standard path tracer, minus an exact NEE direct
+  irradiance estimate (full - direct = indirect, unbiased);
+- R_i is the harmonic mean of the gather-ray hit distances (irrcache.h's
+  record validity radius);
+- interpolation is a chunked dense sweep over the record table (records
+  are few thousand — brute-force beats pointer-chasing octrees on TPU).
+Rotational/translational gradients: PARITY.md (round 2+).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_path_guiding_tpu.accel.traverse import occluded
+from mitsuba_path_guiding_tpu.core import rng
+from mitsuba_path_guiding_tpu.core.math import Frame, dot
+from mitsuba_path_guiding_tpu.core.rng import event_uniform
+from mitsuba_path_guiding_tpu.core.warp import square_to_cosine_hemisphere
+from mitsuba_path_guiding_tpu.integrators.path import INFD, _offset_ray, trace
+from mitsuba_path_guiding_tpu.integrators.sppm import camera_pass
+from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+from mitsuba_path_guiding_tpu.models import emitter as em_mod
+from mitsuba_path_guiding_tpu.scene.types import SceneData
+
+
+class IrradianceCache(NamedTuple):
+    pos: jnp.ndarray     # (R, 3)
+    normal: jnp.ndarray  # (R, 3)
+    E: jnp.ndarray       # (R, 3) indirect irradiance
+    R_harm: jnp.ndarray  # (R,) harmonic mean gather distance
+    valid: jnp.ndarray   # (R,)
+
+
+def build_irradiance_cache(
+    scene: SceneData, cfg, n_records: int = 1024, rays_per_record: int = 64,
+) -> IrradianceCache:
+    """Overture pass: records at a sqrt(n) x sqrt(n) camera grid."""
+    from mitsuba_path_guiding_tpu.integrators.render import BRUTE_FORCE_MAX_TRIS
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+
+    use_bvh = cfg.use_bvh
+    if use_bvh is None:
+        use_bvh = int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
+    em_kinds = kinds_present(scene.emitters)
+    mat_types = types_present(scene.mats)
+
+    res = int(np.ceil(np.sqrt(n_records)))
+    n_rec = res * res
+    pix = jnp.arange(n_rec, dtype=jnp.int32)
+    key = rng.base_key(cfg.seed + 77)
+    rk = rng.ray_keys(key, pix, jnp.zeros_like(pix))
+    u_pos = event_uniform(rk, 1 << 20, 2)
+    hp_pos, hp_ns, _, _, hp_valid, _ = camera_pass(
+        scene, rk, res, res, u_pos, pix,
+        max_depth=cfg.max_depth, use_bvh=use_bvh,
+        em_kinds=em_kinds, mat_types=mat_types,
+        sensor_kind=int(scene.sensor.kind),
+    )
+
+    # full hemispherical irradiance: K cosine rays per record in one wave
+    K = rays_per_record
+    rpos = jnp.repeat(hp_pos, K, axis=0)
+    rns = jnp.repeat(hp_ns, K, axis=0)
+    lane = jnp.arange(n_rec * K, dtype=jnp.int32)
+    rk_g = rng.ray_keys(key, lane + (1 << 22), jnp.zeros_like(lane))
+    u_g = event_uniform(rk_g, 3 << 20, 2)
+    d_g = Frame.from_normal(rns).to_world(square_to_cosine_hemisphere(u_g))
+    o_g = _offset_ray(rpos, rns, d_g)
+    # camera segment + gather segment already used 2 of the path budget
+    L, aux, _ = trace(
+        scene, o_g, d_g, rk_g, max_depth=max(cfg.max_depth - 2, 1),
+        rr_depth=cfg.rr_depth, use_nee=True, use_bvh=use_bvh,
+        em_kinds=em_kinds, mat_types=mat_types,
+    )
+    # cosine-weighted pdf cancels the cos: E_full = pi * mean(L)
+    E_full = jnp.pi * L.reshape(n_rec, K, 3).mean(axis=1)
+    # harmonic-mean distance of gather hits (misses contribute nothing)
+    t_hit = aux.depth_t.reshape(n_rec, K)
+    hit_ok = (t_hit > 0.0) & (t_hit < INFD)
+    inv_sum = jnp.sum(jnp.where(hit_ok, 1.0 / jnp.maximum(t_hit, 1e-6), 0.0), axis=1)
+    n_hit = jnp.maximum(jnp.sum(hit_ok, axis=1), 1)
+    R_harm = jnp.where(inv_sum > 0, n_hit / jnp.maximum(inv_sum, 1e-9), 1e6)
+
+    # exact direct irradiance (M NEE samples) -> E_ind = E_full - E_dir
+    M = 32
+    dpos = jnp.repeat(hp_pos, M, axis=0)
+    dns = jnp.repeat(hp_ns, M, axis=0)
+    lane_d = jnp.arange(n_rec * M, dtype=jnp.int32)
+    rk_d = rng.ray_keys(key, lane_d + (1 << 23), jnp.zeros_like(lane_d))
+    u_d = event_uniform(rk_d, 5 << 20, 3)
+    ds = em_mod.sample_direct_jit(scene.emitters, scene.geo, dpos, u_d)
+    cos_r = jnp.maximum(dot(dns, ds.direction), 0.0)
+    t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
+    occ = occluded(scene.geo, scene.bvh, _offset_ray(dpos, dns, ds.direction),
+                   ds.direction, t_sh, use_bvh=use_bvh)
+    e_d = jnp.where(
+        (~occ & (ds.pdf > 0))[..., None],
+        ds.radiance * (cos_r / jnp.maximum(ds.pdf, 1e-12))[..., None], 0.0,
+    )
+    E_dir = e_d.reshape(n_rec, M, 3).mean(axis=1)
+
+    E_ind = jnp.maximum(E_full - E_dir, 0.0)
+    return IrradianceCache(
+        pos=hp_pos, normal=hp_ns, E=E_ind, R_harm=R_harm, valid=hp_valid
+    )
+
+
+@jax.jit
+def _interp_chunk(cache: IrradianceCache, p, ns, max_error: float = 0.25):
+    """Ward-weighted interpolation (irrcache.h weight + error cutoff) as
+    MXU matmuls: distances via |p|^2 + |x_i|^2 - 2 p.x_i and the weighted
+    sum as one (N, R) @ (R, 3) product — no (N, R, 3) intermediate."""
+    d2 = (
+        jnp.sum(p * p, axis=-1)[:, None]
+        + jnp.sum(cache.pos * cache.pos, axis=-1)[None, :]
+        - 2.0 * (p @ cache.pos.T)
+    )
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    ndot = jnp.clip(ns @ cache.normal.T, -1.0, 1.0)
+    w = 1.0 / (d / jnp.maximum(cache.R_harm[None, :], 1e-6)
+               + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
+    w = jnp.where(cache.valid[None, :] & (w > 1.0 / max_error), w, 0.0)
+    wsum = w.sum(axis=1)
+    E = (w @ cache.E) / jnp.maximum(wsum, 1e-9)[..., None]
+    # no usable record: fall back to the nearest valid one (the reference
+    # would insert a new record; a static wavefront reuses the closest)
+    d_v = jnp.where(cache.valid[None, :], d, jnp.inf)
+    nearest = jnp.argmin(d_v, axis=1)
+    E = jnp.where((wsum > 0)[..., None], E, cache.E[nearest])
+    return E
+
+
+def interpolate_irradiance(cache: IrradianceCache, p, ns, max_error: float = 0.25,
+                           chunk: int = 16384):
+    """Pixel-chunked wrapper keeping the (N, R) working set bounded."""
+    n = p.shape[0]
+    if n <= chunk:
+        return _interp_chunk(cache, p, ns, max_error)
+    outs = [
+        _interp_chunk(cache, p[i : i + chunk], ns[i : i + chunk], max_error)
+        for i in range(0, n, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+def render_irrcache(
+    scene: SceneData, cfg, n_records: int = 1024, rays_per_record: int = 64,
+    max_error: float = 0.25, cache: IrradianceCache | None = None,
+):
+    """Meta-integrator: exact emission + NEE direct + interpolated indirect
+    irradiance on the diffuse lobe.  Returns (H, W, 3)."""
+    from mitsuba_path_guiding_tpu.integrators.render import BRUTE_FORCE_MAX_TRIS
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    use_bvh = cfg.use_bvh
+    if use_bvh is None:
+        use_bvh = int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
+    em_kinds = kinds_present(scene.emitters)
+    mat_types = types_present(scene.mats)
+    if cache is None:
+        cache = build_irradiance_cache(scene, cfg, n_records, rays_per_record)
+
+    key = rng.base_key(cfg.seed)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    acc = jnp.zeros((n_pix, 3))
+    spp = max(cfg.spp, 1)
+    for s in range(spp):
+        rk = rng.ray_keys(key, pix, jnp.full((n_pix,), s, jnp.int32))
+        u_pos = event_uniform(rk, 1 << 20, 2)
+        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em = camera_pass(
+            scene, rk, w, h, u_pos, pix,
+            max_depth=cfg.max_depth, use_bvh=use_bvh,
+            em_kinds=em_kinds, mat_types=mat_types,
+            sensor_kind=int(scene.sensor.kind),
+        )
+        u_nee = event_uniform(rk, 9 << 20, 3)
+        ds = em_mod.sample_direct_jit(scene.emitters, scene.geo, hp_pos, u_nee,
+                                      kinds=em_kinds)
+        cos_x = jnp.maximum(dot(hp_ns, ds.direction), 0.0)
+        t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
+        occ = occluded(scene.geo, scene.bvh,
+                       _offset_ray(hp_pos, hp_ns, ds.direction),
+                       ds.direction, t_sh, use_bvh=use_bvh)
+        L_dir = jnp.where(
+            (hp_valid & ~occ & (ds.pdf > 0))[..., None],
+            hp_alb / jnp.pi * ds.radiance
+            * (cos_x / jnp.maximum(ds.pdf, 1e-12))[..., None],
+            0.0,
+        )
+        E = interpolate_irradiance(cache, hp_pos, hp_ns, max_error)
+        L_ind = jnp.where(hp_valid[..., None], hp_alb / jnp.pi * E, 0.0)
+        acc = acc + L_em + hp_T * (L_dir + L_ind)
+    return (acc / jnp.float32(spp)).reshape(h, w, 3)
