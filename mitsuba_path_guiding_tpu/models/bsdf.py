@@ -40,6 +40,7 @@ from mitsuba_path_guiding_tpu.core.math import (
     safe_sqrt,
 )
 from mitsuba_path_guiding_tpu.core.warp import (
+    INV_FOURPI,
     INV_PI,
     square_to_cosine_hemisphere,
     square_to_cosine_hemisphere_pdf,
@@ -114,6 +115,7 @@ def _flip_two_sided(p: _P, wi):
         (p.type == BSDFType.DIELECTRIC)
         | (p.type == BSDFType.ROUGH_DIELECTRIC)
         | (p.type == BSDFType.NULL)
+        | (p.type == BSDFType.HK)
     )
     s = jnp.where(transmissive | (cos_theta(wi) >= 0.0), 1.0, -1.0)
     return jnp.stack(
@@ -374,7 +376,62 @@ def _difftrans_eval_pdf(p: _P, wi, wo):
 # dispatch tables
 # ---------------------------------------------------------------------------
 
+def _hk_params(p: _P):
+    """sigmaS = refl, sigmaA = k, thickness = weight, HG g = eta[...,0]."""
+    sigma_s = p.refl
+    sigma_t = p.refl + p.k
+    tau_d = sigma_t * p.weight[..., None]
+    albedo = sigma_s / jnp.maximum(sigma_t, 1e-9)
+    g = p.eta[..., 0]
+    return tau_d, albedo, g
+
+
+def _hk_prob_delta(tau_d, cos_i):
+    """Mean attenuated transmittance = pick probability of the delta lobe
+    (hk.cpp pdf: probSpecularTransmission)."""
+    return jnp.mean(
+        jnp.exp(-tau_d / jnp.maximum(jnp.abs(cos_i), 1e-6)[..., None]), axis=-1
+    )
+
+
+def _hk_eval_pdf(p: _P, wi, wo):
+    """Hanrahan-Krueger single-scattering slab, smooth lobes (hk.cpp eval:
+    Hanrahan et al. 93 reflection/transmission terms x |cos_o|; the delta
+    transmission lobe is invisible to smooth eval)."""
+    from mitsuba_path_guiding_tpu.models.phase import hg_pdf
+
+    tau_d, albedo, g = _hk_params(p)
+    ci, co = cos_theta(wi), cos_theta(wo)
+    aci, aco = jnp.maximum(jnp.abs(ci), 1e-6), jnp.maximum(jnp.abs(co), 1e-6)
+    ph = jnp.where(jnp.abs(g) < 1e-4, INV_FOURPI, hg_pdf(dot(-wi, wo), g))
+    # reflection term
+    f_r = (
+        albedo
+        * (ph * ci / jnp.maximum(ci + co, 1e-6))[..., None]
+        * (1.0 - jnp.exp((-1.0 / aci - 1.0 / aco)[..., None] * tau_d))
+    )
+    # transmission term (grazing-equal case folded into the general one
+    # with a clamped denominator)
+    same = jnp.abs(aci - aco) < 1e-5
+    t_gen = (
+        (ph * aci)[..., None]
+        / jnp.where(same, 1.0, aci - aco)[..., None]
+        * (jnp.exp(-tau_d / aci[..., None]) - jnp.exp(-tau_d / aco[..., None]))
+    )
+    t_same = (ph * 1.0)[..., None] * tau_d / aco[..., None] * jnp.exp(
+        -tau_d / aco[..., None]
+    )
+    f_t = albedo * jnp.where(same[..., None], t_same, t_gen)
+    refl = ci * co > 0
+    f = jnp.where(refl[..., None], f_r, f_t) * aco[..., None]
+    # pdf: phase-function pdf re-weighted by the delta pick probability
+    p_delta = _hk_prob_delta(tau_d, ci)
+    pdf = ph * (1.0 - p_delta)
+    return jnp.maximum(f, 0.0), jnp.maximum(pdf, 0.0)
+
+
 _SMOOTH_EVALS = {
+    BSDFType.HK: _hk_eval_pdf,
     BSDFType.DIFFUSE: _diffuse_eval_pdf,
     BSDFType.ROUGH_DIFFUSE: _orennayar_eval_pdf,
     BSDFType.ROUGH_CONDUCTOR: _rough_conductor_eval_pdf,
@@ -533,6 +590,31 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
 
     if has(T.DIFFUSE):
         put(p.type == T.DIFFUSE, wo_cos, p.refl, pdf_cos, jnp.zeros_like(sel))
+
+    if has(T.HK):
+        # hk.cpp sample: pick the attenuated delta transmission with its
+        # mean transmittance, else draw the internal HG phase direction
+        from mitsuba_path_guiding_tpu.models.phase import phase_sample
+
+        tau_d, _, g_hk = _hk_params(p)
+        ci_hk = cos_theta(wi2)
+        p_delta = _hk_prob_delta(tau_d, ci_hk)
+        take_delta = ul < p_delta
+        w_delta = jnp.exp(
+            -tau_d / jnp.maximum(jnp.abs(ci_hk), 1e-6)[..., None]
+        ) / jnp.maximum(p_delta, 1e-9)[..., None]
+        wo_ph, _ = phase_sample(wi2, g_hk, u2)
+        f_hk, pdf_hk = _hk_eval_pdf(p, wi2, wo_ph)
+        w_s = f_hk / jnp.maximum(pdf_hk, 1e-9)[..., None]
+        ok_s = pdf_hk > 1e-9
+        put(
+            p.type == T.HK,
+            jnp.where(take_delta[..., None], -wi2, wo_ph),
+            jnp.where(take_delta[..., None], w_delta,
+                      jnp.where(ok_s[..., None], w_s, 0.0)),
+            jnp.where(take_delta, jnp.maximum(p_delta, 1e-9), pdf_hk),
+            take_delta,
+        )
 
     if has(T.ROUGH_DIFFUSE):
         f_on, _ = _orennayar_eval_pdf(p, wi2, wo_cos)

@@ -57,6 +57,7 @@ _BSDF_TYPES = {
     "null": BSDFType.NULL,
     "ward": BSDFType.WARD,
     "difftrans": BSDFType.DIFFTRANS,
+    "hk": BSDFType.HK,
     # nested wrappers (one level deep; see Materials docstring):
     "blendbsdf": BSDFType.BLEND,
     "mixturebsdf": BSDFType.BLEND,
@@ -131,6 +132,22 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
         row["weight"] = float(spec.get("thickness", 1.0))
         row["reflectance"] = _rgb(spec.get("sigma_a"), [0.0, 0.0, 0.0])
         row["sub_a"] = register_sub(spec.get("bsdf") or {"type": "diffuse"})
+        return row
+    if t == "hk":
+        # Hanrahan-Krueger slab (hk.cpp): sigmaS/sigmaA or sigmaT+albedo,
+        # thickness, HG g; packed as refl=sigmaS, k=sigmaA, weight=thickness,
+        # eta[0]=g (models/bsdf.py _hk_params)
+        ss = spec.get("sigma_s")
+        sa = spec.get("sigma_a")
+        if "sigma_t" in spec:
+            st = _rgb(spec["sigma_t"], [1.0] * 3)
+            al = _rgb(spec.get("albedo"), [0.8] * 3)
+            ss, sa = st * al, st * (1.0 - al)
+        row["reflectance"] = _rgb(ss, [1.0] * 3)
+        row["k"] = _rgb(sa, [0.05] * 3)
+        row["weight"] = float(spec.get("thickness", 1.0))
+        g = float(spec.get("g", 0.0))
+        row["eta"] = np.full(3, g)
         return row
     if t in ("blendbsdf", "mixturebsdf", "mask"):
         if register_sub is None:

@@ -34,7 +34,9 @@ class BSDFType:
     BLEND = 14           # bsdfs/blendbsdf.cpp + mixturebsdf.cpp (2 lobes)
     COATING = 15         # bsdfs/coating.cpp — smooth dielectric layer over a
     #                      nested BSDF (Fresnel transmittances + absorption)
-    N_TYPES = 16
+    HK = 16              # bsdfs/hk.cpp — Hanrahan-Krueger thin single-
+    #                      scattering slab (glossy refl/trans + delta trans)
+    N_TYPES = 17
 
 
 class EmitterKind:

@@ -322,3 +322,61 @@ def test_coating_limits():
     thin = _coating_mats(thickness=0.5, sigma_a=(0.5, 0.5, 0.5))
     thick = _coating_mats(thickness=4.0, sigma_a=(0.5, 0.5, 0.5))
     assert mean_reflected(thick) < mean_reflected(thin) < m_plain
+
+
+# ---------------------------------------------------------------------------
+# Hanrahan-Krueger thin slab (reference hk.cpp)
+# ---------------------------------------------------------------------------
+
+def _hk_mats(sigma_s=(1.0, 0.8, 0.6), sigma_a=(0.05, 0.1, 0.2), thickness=1.0, g=0.3):
+    return mats_from_rows([
+        _row(BSDFType.HK, sigma_s, (1, 1, 1), g, sigma_a, 0.1, weight=thickness)
+    ])
+
+
+@pytest.mark.parametrize("theta", [30, 65])
+def test_hk_chi2(theta):
+    passed, msg, _ = run_chi2(_hk_mats(), theta, seed=4321 + theta)
+    assert passed, f"hk_{theta}: {msg}"
+
+
+def test_hk_weight_consistency():
+    mats = _hk_mats(g=0.0)
+    n = 4096
+    wi = jnp.broadcast_to(jnp.asarray([np.sin(0.8), 0.0, np.cos(0.8)], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(21), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    f, pdf = B.eval_pdf(mats, mid, wi, bs.wo)
+    ok = (
+        (~np.asarray(bs.is_delta))
+        & (np.asarray(bs.pdf) > 1e-4)
+        & (np.asarray(bs.weight).max(axis=-1) > 0)
+        & (np.asarray(pdf) > 1e-4)
+    )
+    assert ok.sum() > n // 4
+    np.testing.assert_allclose(
+        np.asarray(bs.weight)[ok],
+        np.asarray(f)[ok] / np.asarray(pdf)[ok][:, None],
+        rtol=5e-3, atol=5e-4,
+    )
+
+
+def test_hk_delta_transmission_behavior():
+    """Thin clear slab: mostly attenuated straight-through transmission;
+    thick slab: the delta fraction collapses (hk.cpp probSpecular)."""
+    n = 50_000
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(6), (n, 3))
+    thin = B.sample(_hk_mats(sigma_s=(0.1,) * 3, sigma_a=(0.01,) * 3,
+                             thickness=0.1), mid, wi, u)
+    frac_thin = float(np.asarray(thin.is_delta).mean())
+    assert frac_thin > 0.95, frac_thin
+    wo_d = np.asarray(thin.wo)[np.asarray(thin.is_delta)]
+    np.testing.assert_allclose(
+        wo_d, np.broadcast_to([0.0, 0.0, -1.0], wo_d.shape), atol=1e-6
+    )
+    thick = B.sample(_hk_mats(sigma_s=(3.0,) * 3, sigma_a=(1.0,) * 3,
+                              thickness=2.0), mid, wi, u)
+    assert float(np.asarray(thick.is_delta).mean()) < 0.05
