@@ -91,6 +91,7 @@ def _offset_ray(p, ng, d):
         "textured",
         "bumped",
         "accel",
+        "cone_angle",
     ),
 )
 def trace(
@@ -111,6 +112,8 @@ def trace(
     bumped: bool = False,
     uniforms=None,
     accel: str = "auto",  # "auto" (use_bvh flag) | "brute" | "bvh" | "pallas"
+    cone_angle: float = 0.0,  # per-ray footprint half-angle; > 0 enables
+    #                           ray-cone trilinear mip filtering (mipmap.h)
 ):
     """Trace one wavefront to completion.
 
@@ -226,11 +229,26 @@ def trace(
                 ],
                 axis=-1,
             )
+        def _lod(tid_):
+            if cone_angle <= 0.0:
+                return None
+            # ray-cone footprint: distance x cone x (UV per world unit) x
+            # texels per UV; diffuse/glossy scatters widen the cone
+            cone_eff = jnp.where(prev_delta, cone_angle, 0.15)
+            res = jnp.maximum(
+                scene.texture_sizes[jnp.maximum(tid_, 0), 0],
+                scene.texture_sizes[jnp.maximum(tid_, 0), 1],
+            )
+            fp = (t_acc + t_hit) * cone_eff * row[26] * res
+            return jnp.log2(jnp.maximum(fp, 1.0))
+
         if textured:
-            # bilinear reflectance override from the atlas (textures/bitmap.cpp)
+            # reflectance override from the atlas (textures/bitmap.cpp),
+            # trilinear mip filtered when the caller supplies a cone angle
             tid = scene.mats.texture_id[mid]
             tex = (
-                sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit),
+                sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit,
+                             lod=_lod(tid)),
                 tid >= 0,
             )
         else:

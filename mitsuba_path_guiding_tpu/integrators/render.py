@@ -39,6 +39,21 @@ def _has_bump(scene) -> bool:
         return False
 
 
+def _cone_angle(scene, cfg) -> float:
+    """Primary-ray footprint half-angle ~ fov_x / width for perspective
+    sensors on textured scenes (enables trilinear mip filtering); 0 under
+    shard_map tracing where the sensor fields are tracers."""
+    try:
+        if (
+            int(scene.textures.shape[0] * scene.textures.shape[1]) > 1
+            and int(scene.sensor.kind) == 0
+        ):
+            return 2.0 * float(scene.sensor.tan_half_fov_x) / cfg.width
+    except Exception:
+        pass
+    return 0.0
+
+
 def camera_jitter(cfg, sample_idx, u_cam):
     """Sub-pixel jitter by sampler type (reference sampler plugin family):
     independent (pure random), stratified grid, or Halton(2,3) with
@@ -159,6 +174,7 @@ def render_wave(
             em_kinds=em_kinds,
             mat_types=mat_types,
             textured=int(scene.textures.shape[0] * scene.textures.shape[1]) > 1,
+            cone_angle=_cone_angle(scene, cfg),
             bumped=_has_bump(scene),
         )
     if cfg.max_component_value > 0.0:

@@ -38,28 +38,46 @@ def rasterize_procedural(spec: dict, res: int = 256) -> np.ndarray:
     return img.astype(np.float32)
 
 
+MAX_MIP_LEVELS = 8
+
+
+def _downsample(im: np.ndarray) -> np.ndarray:
+    h, w = im.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    im = im[: h2 * 2, : w2 * 2]
+    return 0.25 * (im[0::2, 0::2] + im[1::2, 0::2] + im[0::2, 1::2] + im[1::2, 1::2])
+
+
 def build_atlas(images: list[np.ndarray]):
-    """Pad textures to a common size -> (atlas (NT,TH,TW,3), sizes (NT,2))."""
+    """Pad textures to a common size and bake a box-filtered mip pyramid
+    (reference mipmap.h MIPMap construction) -> (atlas (NT, 2*TH, TW, 3),
+    sizes (NT, 2)).  Level k of texture t lives at rows
+    [2*TH - (2*TH >> k) : ... + (TH >> k)], cols [0 : TW >> k]; level 0
+    sits at the origin so plain bilinear lookups are layout-agnostic."""
     if not images:
-        return jnp.zeros((1, 1, 1, 3), jnp.float32), jnp.ones((1, 2), jnp.float32)
+        return jnp.zeros((1, 2, 1, 3), jnp.float32), jnp.ones((1, 2), jnp.float32)
     th = max(im.shape[0] for im in images)
     tw = max(im.shape[1] for im in images)
-    atlas = np.zeros((len(images), th, tw, 3), dtype=np.float32)
+    atlas = np.zeros((len(images), 2 * th, tw, 3), dtype=np.float32)
     sizes = np.zeros((len(images), 2), dtype=np.float32)
     for i, im in enumerate(images):
-        atlas[i, : im.shape[0], : im.shape[1]] = im[..., :3]
+        cur = np.asarray(im[..., :3], dtype=np.float32)
         sizes[i] = (im.shape[0], im.shape[1])
+        for k in range(MAX_MIP_LEVELS):
+            off = 2 * th - ((2 * th) >> k)
+            atlas[i, off : off + cur.shape[0], : cur.shape[1]] = cur
+            if cur.shape[0] <= 1 and cur.shape[1] <= 1:
+                break
+            cur = _downsample(cur)
     return jnp.asarray(atlas), jnp.asarray(sizes)
 
 
-def sample_atlas(atlas: jnp.ndarray, sizes: jnp.ndarray, tid: jnp.ndarray, uv: jnp.ndarray):
-    """Bilinear fetch: atlas (NT,TH,TW,3), tid (N,), uv (N,2) -> (N,3).
-
-    UV wraps (repeat mode, the reference bitmap default); v flips so v=0 is
-    the bottom of the image (Mitsuba convention)."""
-    t = jnp.maximum(tid, 0)
-    h = sizes[t, 0]
-    w = sizes[t, 1]
+def _bilinear_level(atlas, sizes, t, uv, level):
+    """Bilinear fetch at integer mip level ``level`` (per-lane int32)."""
+    th2 = atlas.shape[1]  # == 2 * TH
+    off = (th2 - (th2 >> level)).astype(jnp.float32) if hasattr(level, "astype") else float(th2 - (th2 >> level))
+    h = jnp.maximum(jnp.floor(sizes[t, 0] / (2.0 ** level)), 1.0)
+    w = jnp.maximum(jnp.floor(sizes[t, 1] / (2.0 ** level)), 1.0)
     u = jnp.mod(uv[..., 0], 1.0) * w - 0.5
     v = jnp.mod(1.0 - uv[..., 1], 1.0) * h - 0.5
     x0 = jnp.floor(u)
@@ -69,7 +87,7 @@ def sample_atlas(atlas: jnp.ndarray, sizes: jnp.ndarray, tid: jnp.ndarray, uv: j
 
     def at(xi, yi):
         xi = jnp.mod(xi, w).astype(jnp.int32)
-        yi = jnp.mod(yi, h).astype(jnp.int32)
+        yi = (jnp.mod(yi, h) + off).astype(jnp.int32)
         return atlas[t, yi, xi]
 
     c00 = at(x0, y0)
@@ -79,3 +97,43 @@ def sample_atlas(atlas: jnp.ndarray, sizes: jnp.ndarray, tid: jnp.ndarray, uv: j
     top = c00 * (1 - fx)[..., None] + c10 * fx[..., None]
     bot = c01 * (1 - fx)[..., None] + c11 * fx[..., None]
     return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+
+def sample_atlas(atlas, sizes, tid, uv, lod=None):
+    """Texture fetch: atlas (NT, 2*TH, TW, 3), tid (N,), uv (N,2) -> (N,3).
+
+    UV wraps (repeat mode, the reference bitmap default); v flips so v=0 is
+    the bottom of the image (Mitsuba convention).  ``lod`` (N,) selects a
+    fractional mip level for TRILINEAR filtering (mipmap.h's ETrilinear;
+    the ray-cone footprint is computed by the integrator); None = plain
+    bilinear at the base level."""
+    t = jnp.maximum(tid, 0)
+    if lod is None:
+        return _bilinear_level(atlas, sizes, t, uv, 0)
+    max_l = MAX_MIP_LEVELS - 1
+    lod = jnp.clip(lod, 0.0, float(max_l))
+    l0 = jnp.floor(lod)
+    f = (lod - l0)[..., None]
+    th2 = atlas.shape[1]
+    # per-lane level offsets need dynamic shifts: compute offsets as float
+    def level_fetch(lv):
+        off = th2 - jnp.floor(th2 / (2.0 ** lv))
+        h = jnp.maximum(jnp.floor(sizes[t, 0] / (2.0 ** lv)), 1.0)
+        w = jnp.maximum(jnp.floor(sizes[t, 1] / (2.0 ** lv)), 1.0)
+        u = jnp.mod(uv[..., 0], 1.0) * w - 0.5
+        v = jnp.mod(1.0 - uv[..., 1], 1.0) * h - 0.5
+        x0 = jnp.floor(u)
+        y0 = jnp.floor(v)
+        fx = (u - x0)[..., None]
+        fy = (v - y0)[..., None]
+
+        def at(xi, yi):
+            xi = jnp.mod(xi, w).astype(jnp.int32)
+            yi = (jnp.mod(yi, h) + off).astype(jnp.int32)
+            return atlas[t, yi, xi]
+
+        top = at(x0, y0) * (1 - fx) + at(x0 + 1, y0) * fx
+        bot = at(x0, y0 + 1) * (1 - fx) + at(x0 + 1, y0 + 1) * fx
+        return top * (1 - fy) + bot * fy
+
+    return level_fetch(l0) * (1 - f) + level_fetch(jnp.minimum(l0 + 1, max_l)) * f

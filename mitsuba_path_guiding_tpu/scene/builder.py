@@ -581,6 +581,13 @@ def build_scene(desc: dict) -> SceneData:
     shade[:, 19] = tri_em_np.astype(np.float32)
     shade[:, 20:23] = tri_emission
     shade[:, 25] = tri_area
+    # per-triangle UV density (UV units per world unit) — the ray-cone
+    # mip-level estimate (mipmap.h's ray differentials re-designed as
+    # cone footprints) multiplies this by the texture resolution
+    uv_e1 = h["uv1"] - h["uv0"]
+    uv_e2 = h["uv2"] - h["uv0"]
+    uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
+    shade[:, 26] = np.sqrt(uv_area / np.maximum(tri_area, 1e-20))
 
     geo = Geometry(
         p0=jnp.asarray(h["p0"]), e1=jnp.asarray(h["e1"]), e2=jnp.asarray(h["e2"]),

@@ -1,0 +1,70 @@
+"""Mip pyramid + trilinear ray-cone filtering (reference mipmap.h)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_path_guiding_tpu.models.texture import build_atlas, sample_atlas
+
+
+def _checker(res=64):
+    img = np.zeros((res, res, 3), np.float32)
+    yy, xx = np.meshgrid(range(res), range(res), indexing="ij")
+    img[((xx // 4 + yy // 4) % 2).astype(bool)] = 1.0
+    return img
+
+
+def test_pyramid_layout_and_means():
+    atlas, sizes = build_atlas([_checker(64)])
+    a = np.asarray(atlas[0])
+    assert a.shape == (128, 64, 3)
+    # level 0 at rows [0:64]; its mean is the checker mean 0.5
+    assert abs(a[:64, :64].mean() - 0.5) < 1e-6
+    # deepest levels converge to the global mean
+    off5 = 128 - (128 >> 5)  # level 5: 2x2
+    lvl5 = a[off5 : off5 + 2, :2]
+    np.testing.assert_allclose(lvl5, 0.5, atol=1e-6)
+
+
+def test_trilinear_lod_blends_to_mean():
+    atlas, sizes = build_atlas([_checker(64)])
+    tid = jnp.zeros((64,), jnp.int32)
+    # off the texel-row midlines: at deep levels the checker alternates
+    # per texel and a v exactly between rows averages to 0.5 bilinearly
+    uv = jnp.stack(
+        [jnp.linspace(0.01, 0.99, 64), jnp.linspace(0.07, 0.93, 64)], axis=-1
+    )
+    sharp = np.asarray(sample_atlas(atlas, sizes, tid, uv, lod=jnp.zeros((64,))))
+    base = np.asarray(sample_atlas(atlas, sizes, tid, uv))
+    np.testing.assert_allclose(sharp, base, atol=1e-6)  # lod 0 == bilinear
+    blurred = np.asarray(
+        sample_atlas(atlas, sizes, tid, uv, lod=jnp.full((64,), 5.0))
+    )
+    assert blurred.std() < 0.05 and abs(blurred.mean() - 0.5) < 0.05
+    mid = np.asarray(sample_atlas(atlas, sizes, tid, uv, lod=jnp.full((64,), 2.5)))
+    assert sharp.std() > mid.std() > blurred.std()
+
+
+def test_textured_render_with_cone_filtering():
+    """A textured floor renders finite and keeps its mean with mip
+    filtering on (energy preservation of the box pyramid)."""
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import look_at
+
+    sc = {
+        "sensor": {"type": "perspective", "fov": 60.0,
+                   "to_world": look_at([0, 1.0, -3], [0, 0, 2])},
+        "shapes": [
+            {"type": "rectangle",
+             "to_world": np.array([[8, 0, 0, 0], [0, 0, 8, 0],
+                                   [0, -8, 0, 0], [0, 0, 0, 1.0]]),
+             "bsdf": {"type": "diffuse",
+                      "texture": {"type": "checkerboard", "uscale": 32,
+                                  "vscale": 32}}},
+        ],
+        "emitters": [{"type": "constant", "radiance": [1.0] * 3}],
+    }
+    scene = build_scene(sc)
+    img = np.asarray(
+        render(scene, RenderConfig(width=24, height=24, spp=8, max_depth=2, seed=1))
+    )
+    assert np.isfinite(img).all() and 0.05 < img.mean() < 1.5
