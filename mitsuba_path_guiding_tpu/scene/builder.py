@@ -403,6 +403,8 @@ def build_scene(desc: dict) -> SceneData:
             continue
         flat_shapes.append(sh)
 
+    sss_rows: list[np.ndarray] = []
+    tri_sss: list[int] = []
     for sh in flat_shapes:
         mesh = SHAPE_BUILDERS[sh["type"]](sh).transformed(_to_world(sh))
         p0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = mesh.face_arrays()
@@ -412,6 +414,20 @@ def build_scene(desc: dict) -> SceneData:
             tris[k].append(v)
         nf = len(p0)
         tri_mat.extend([mid] * nf)
+        # subsurface spec (dipole.cpp parameters) -> per-triangle sss row
+        if sh.get("subsurface") is not None:
+            ss = sh["subsurface"]
+            g_ss = float(ss.get("g", 0.0))
+            row16 = np.zeros(16, dtype=np.float32)
+            row16[0:3] = _rgb(ss.get("sigma_a"), [0.0014, 0.0025, 0.0142])
+            row16[3:6] = _rgb(ss.get("sigma_s"), [0.7, 1.22, 1.9]) * (1.0 - g_ss)
+            row16[6] = float(ss.get("int_ior", 1.5)) / float(ss.get("ext_ior", 1.0)) \
+                if "int_ior" in ss or "ext_ior" in ss else float(ss.get("eta", 1.5))
+            row16[7] = float(ss.get("scale", 1.0))
+            sss_rows.append(row16)
+            tri_sss.extend([len(sss_rows) - 1] * nf)
+        else:
+            tri_sss.extend([-1] * nf)
         if "emitter" in sh and sh["emitter"] is not None:
             rad = _rgb(sh["emitter"].get("radiance"), [1.0, 1.0, 1.0])
             lum = float(np.dot(rad, np.asarray(LUM_WEIGHTS)))
@@ -588,6 +604,7 @@ def build_scene(desc: dict) -> SceneData:
     uv_e2 = h["uv2"] - h["uv0"]
     uv_area = 0.5 * np.abs(uv_e1[:, 0] * uv_e2[:, 1] - uv_e1[:, 1] * uv_e2[:, 0])
     shade[:, 26] = np.sqrt(uv_area / np.maximum(tri_area, 1e-20))
+    shade[:, 27] = np.asarray(tri_sss, dtype=np.float32)  # sss row (-1 none)
 
     geo = Geometry(
         p0=jnp.asarray(h["p0"]), e1=jnp.asarray(h["e1"]), e2=jnp.asarray(h["e2"]),
@@ -737,4 +754,7 @@ def build_scene(desc: dict) -> SceneData:
         aabb_max=jnp.asarray((hi + pad).astype(np.float32)),
         textures=atlas,
         texture_sizes=sizes,
+        sss_packed=(
+            jnp.asarray(np.stack(sss_rows)) if sss_rows else None
+        ),
     )

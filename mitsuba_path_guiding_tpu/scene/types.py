@@ -218,6 +218,10 @@ class SceneData(NamedTuple):
     aabb_max: jnp.ndarray
     textures: jnp.ndarray       # (NT, TH, TW, 3) bitmap atlas ((1,1,1,3) if none)
     texture_sizes: jnp.ndarray  # (NT, 2) actual (h, w) per texture
+    # subsurface scattering parameter table (reference src/subsurface/
+    # dipole.cpp): rows indexed by shade_packed[27]; layout
+    # 0:3 sigma_a, 3:6 sigma_s_prime, 6 eta, 7 scale, 8:16 pad
+    sss_packed: jnp.ndarray = None  # (S, 16) float32 or None
 
 
 def pad_to(arr: np.ndarray, n: int, fill=0):
