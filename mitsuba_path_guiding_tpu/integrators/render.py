@@ -58,7 +58,8 @@ def camera_jitter(cfg, sample_idx, u_cam):
     """Sub-pixel jitter by sampler type (reference sampler plugin family):
     independent (pure random), stratified grid, or Halton(2,3) with
     per-pixel Cranley-Patterson rotation — all counter-based."""
-    if cfg.sampler == "sobol":
+    if cfg.sampler in ("sobol", "ldsampler"):
+        # ldsampler.cpp's (0,2)-sequence IS the first two Sobol dims
         from mitsuba_path_guiding_tpu.core.qmc import sobol_2d
 
         return sobol_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
@@ -66,6 +67,19 @@ def camera_jitter(cfg, sample_idx, u_cam):
         from mitsuba_path_guiding_tpu.core.qmc import halton_2d
 
         return halton_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
+    if cfg.sampler == "hammersley":
+        # hammersley.cpp: (i/N, radicalInverse_2(i)) + per-pixel CP rotation
+        from mitsuba_path_guiding_tpu.core.qmc import cp_rotate, radical_inverse
+
+        n = jnp.float32(max(cfg.spp, 1))
+        pts = jnp.stack(
+            [
+                sample_idx.astype(jnp.float32) / n,
+                radical_inverse(2, sample_idx.astype(jnp.uint32)),
+            ],
+            axis=-1,
+        )
+        return cp_rotate(pts, u_cam[..., 0:2])
     if cfg.sampler == "stratified":
         from mitsuba_path_guiding_tpu.core.qmc import stratified_2d
 

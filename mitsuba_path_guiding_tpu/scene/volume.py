@@ -126,4 +126,44 @@ def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
         if "bounds" in spec:
             aabb = np.asarray(spec["bounds"], dtype=np.float32).reshape(2, 3)
         return data, aabb
+    if t == "hgridvolume":
+        return assemble_hgrid(spec)
     raise ValueError(f"unknown volume type {t}")
+
+
+def assemble_hgrid(spec) -> tuple[np.ndarray, np.ndarray | None]:
+    """Hierarchical grid volume (reference src/volume/hgridvolume.cpp:
+    a coarse grid of dense sub-blocks for sparse media).  TPU-native
+    re-design: the hierarchy is a HOST-side container only — blocks are
+    stitched into one dense HBM-resident grid at compile time (empty
+    cells stay zero); the reference's volcache LRU block cache exists to
+    fit CPU RAM and has no device analogue.
+
+    Spec: {"type": "hgridvolume", "block_res": B,
+           "blocks": [{"offset": (bz, by, bx),
+                       "data": (B,B,B) array | "filename": .vol/.npy}],
+           "bounds": ((lo),(hi)) optional}
+    """
+    B = int(spec["block_res"])
+    blocks = spec["blocks"]
+    if not blocks:
+        raise ValueError("hgridvolume: no blocks")
+    offs = np.asarray([b["offset"] for b in blocks], dtype=np.int64)
+    dims = (offs.max(axis=0) + 1) * B
+    grid = np.zeros(tuple(dims), dtype=np.float32)
+    for b in blocks:
+        if "data" in b:
+            d = np.asarray(b["data"], dtype=np.float32)
+        else:
+            fn = b["filename"]
+            d = (np.load(fn).astype(np.float32) if fn.endswith(".npy")
+                 else load_vol(fn)[0])
+        if d.shape != (B, B, B):
+            raise ValueError(f"hgrid block must be ({B},{B},{B}), got {d.shape}")
+        z, y, x = (int(v) * B for v in b["offset"])
+        grid[z : z + B, y : y + B, x : x + B] = d
+    aabb = (
+        np.asarray(spec["bounds"], dtype=np.float32).reshape(2, 3)
+        if "bounds" in spec else None
+    )
+    return grid, aabb

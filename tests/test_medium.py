@@ -170,3 +170,26 @@ def test_vol_file_roundtrip(tmp_path):
     got, aabb = load_vol(path)
     np.testing.assert_array_equal(got, data)
     np.testing.assert_allclose(aabb, [[-1, -2, -3], [1, 2, 3]])
+
+
+def test_hgrid_assembly():
+    """hgridvolume (reference src/volume/hgridvolume.cpp): sparse block
+    container stitched to a dense grid at compile time."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.scene.volume import load_volume_spec
+
+    b = np.ones((4, 4, 4), np.float32)
+    spec = {
+        "type": "hgridvolume", "block_res": 4,
+        "blocks": [
+            {"offset": (0, 0, 0), "data": b * 1.0},
+            {"offset": (1, 1, 1), "data": b * 2.0},
+        ],
+        "bounds": ((0, 0, 0), (1, 1, 1)),
+    }
+    grid, aabb = load_volume_spec(spec)
+    assert grid.shape == (8, 8, 8)
+    assert grid[0, 0, 0] == 1.0 and grid[7, 7, 7] == 2.0
+    assert grid[0, 7, 7] == 0.0  # empty block stays zero
+    assert aabb.shape == (2, 3)

@@ -126,3 +126,24 @@ def test_instances_and_serialized(tmp_path):
 
     img = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=4, max_depth=3)))
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_sampler_families_render(cornell=None):
+    """ldsampler/hammersley camera jitter (reference src/samplers/): each
+    family must produce a finite, consistent image."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    scene = build_scene(cornell_box())
+    imgs = {}
+    for smp in ("independent", "ldsampler", "hammersley"):
+        cfg = RenderConfig(width=12, height=12, spp=16, max_depth=3, seed=2,
+                           sampler=smp)
+        imgs[smp] = np.asarray(render(scene, cfg))
+        assert np.isfinite(imgs[smp]).all(), smp
+    base = imgs["independent"].mean()
+    for smp in ("ldsampler", "hammersley"):
+        assert abs(imgs[smp].mean() / base - 1.0) < 0.1, smp
