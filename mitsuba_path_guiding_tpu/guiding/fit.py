@@ -76,6 +76,13 @@ def accumulate_stats(grid: GuidingGrid, rec: PathRecord, levels: int | None = No
 
     rw = resp * w_sample[None, :]                      # (K, M)
     c, k = grid.kappa.shape
+    # parallax statistics: harmonic distance responsibilities + weighted
+    # positions for the per-cell fitting origin (Ruppert et al. 2020)
+    if rec.dist is not None:
+        dist = rec.dist.reshape(m)
+        inv_d = jnp.where((dist > 1e-5) & (dist < 1e7), 1.0 / dist, 0.0)
+    else:
+        inv_d = jnp.zeros((m,))
     payload = jnp.concatenate(
         [
             rw.T,                                       # (M, K)
@@ -83,21 +90,30 @@ def accumulate_stats(grid: GuidingGrid, rec: PathRecord, levels: int | None = No
             (rw * dy[None]).T,
             (rw * dz[None]).T,
             valid.astype(jnp.float32)[:, None],
+            (rw * inv_d[None]).T,                       # (M, K)
+            (w_sample * px)[:, None],
+            (w_sample * py)[:, None],
+            (w_sample * pz)[:, None],
+            w_sample[:, None],
         ],
         axis=1,
-    )                                                   # (M, 4K+1)
-    summed = jax.ops.segment_sum(payload, cid, num_segments=c)  # (C, 4K+1)
+    )                                                   # (M, 5K+5)
+    summed = jax.ops.segment_sum(payload, cid, num_segments=c)  # (C, 5K+5)
     s_w = summed[:, 0:k]
     s_dir = jnp.stack(
         [summed[:, k : 2 * k], summed[:, 2 * k : 3 * k], summed[:, 3 * k : 4 * k]],
         axis=-1,
     )                                                   # (C, K, 3)
     s_count = summed[:, 4 * k]
-    return s_w, s_dir, s_count
+    s_rho = summed[:, 4 * k + 1 : 5 * k + 1]
+    s_pos = summed[:, 5 * k + 1 : 5 * k + 4]
+    s_pos_w = summed[:, 5 * k + 4]
+    return s_w, s_dir, s_count, s_rho, s_pos, s_pos_w
 
 
 @jax.jit
-def update_grid(grid: GuidingGrid, s_w, s_dir, s_count) -> GuidingGrid:
+def update_grid(grid: GuidingGrid, s_w, s_dir, s_count,
+                s_rho=None, s_pos=None, s_pos_w=None) -> GuidingGrid:
     """M-step: blend statistics (EMA) and recompute mixture parameters."""
     s_w_t = grid.s_w * EMA + s_w
     s_dir_t = grid.s_dir * EMA + s_dir
@@ -119,6 +135,24 @@ def update_grid(grid: GuidingGrid, s_w, s_dir, s_count) -> GuidingGrid:
     mu = jnp.where(lobe_ok[..., None], new_mu, grid.mu)
     kappa = jnp.where(lobe_ok, new_kappa, grid.kappa)
 
+    extra = {}
+    if s_rho is not None and grid.s_rho is not None:
+        # harmonic mean lobe distance: sum(r w) / sum(r w / d)
+        s_rho_t = grid.s_rho * EMA + s_rho
+        lobe_dist = jnp.where(
+            s_rho_t > 1e-9, s_w_t / jnp.maximum(s_rho_t, 1e-12), 0.0
+        )
+        s_pos_t = grid.s_pos * EMA + s_pos
+        s_pos_w_t = grid.s_pos_w * EMA + s_pos_w
+        origin = jnp.where(
+            (s_pos_w_t > 1e-9)[:, None],
+            s_pos_t / jnp.maximum(s_pos_w_t, 1e-12)[:, None],
+            grid.origin,
+        )
+        extra = dict(
+            s_rho=s_rho_t, s_pos=s_pos_t, s_pos_w=s_pos_w_t,
+            origin=origin, lobe_dist=lobe_dist,
+        )
     return grid._replace(
         mu=mu,
         kappa=kappa,
@@ -127,18 +161,22 @@ def update_grid(grid: GuidingGrid, s_w, s_dir, s_count) -> GuidingGrid:
         s_w=s_w_t,
         s_dir=s_dir_t,
         s_count=s_count_t,
+        **extra,
     )
 
 
 def fit_from_records(grid: GuidingGrid, rec: PathRecord, psum_axis: str | None = None) -> GuidingGrid:
     """Full fitting step; inside shard_map pass ``psum_axis`` to all-reduce
     the statistics across devices before the parameter update."""
-    s_w, s_dir, s_count = accumulate_stats(grid, rec)
+    s_w, s_dir, s_count, s_rho, s_pos, s_pos_w = accumulate_stats(grid, rec)
     if psum_axis is not None:
         s_w = jax.lax.psum(s_w, psum_axis)
         s_dir = jax.lax.psum(s_dir, psum_axis)
         s_count = jax.lax.psum(s_count, psum_axis)
-    return update_grid(grid, s_w, s_dir, s_count)
+        s_rho = jax.lax.psum(s_rho, psum_axis)
+        s_pos = jax.lax.psum(s_pos, psum_axis)
+        s_pos_w = jax.lax.psum(s_pos_w, psum_axis)
+    return update_grid(grid, s_w, s_dir, s_count, s_rho, s_pos, s_pos_w)
 
 
 SPLIT_THRESHOLD = 4096.0  # samples before a cell subdivides
@@ -181,6 +219,11 @@ def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> Guidin
     s_w = np.asarray(grid.s_w).copy()
     s_dir = np.asarray(grid.s_dir).copy()
     s_count = np.asarray(grid.s_count).copy()
+    s_rho = np.asarray(grid.s_rho).copy() if grid.s_rho is not None else None
+    s_pos = np.asarray(grid.s_pos).copy() if grid.s_pos is not None else None
+    s_pos_w = np.asarray(grid.s_pos_w).copy() if grid.s_pos_w is not None else None
+    origin = np.asarray(grid.origin).copy() if grid.origin is not None else None
+    lobe_dist = np.asarray(grid.lobe_dist).copy() if grid.lobe_dist is not None else None
 
     for parent in idx:
         base = n_used
@@ -195,11 +238,24 @@ def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> Guidin
         s_w[rows] = s_w[parent] / 8.0
         s_dir[rows] = s_dir[parent] / 8.0
         s_count[rows] = s_count[parent] / 8.0
+        if s_rho is not None:
+            s_rho[rows] = s_rho[parent] / 8.0
+            s_pos[rows] = s_pos[parent] / 8.0
+            s_pos_w[rows] = s_pos_w[parent] / 8.0
+            origin[rows] = origin[parent]
+            lobe_dist[rows] = lobe_dist[parent]
         n_used += 8
 
+    extra = {}
+    if s_rho is not None:
+        extra = dict(
+            s_rho=jnp.asarray(s_rho), s_pos=jnp.asarray(s_pos),
+            s_pos_w=jnp.asarray(s_pos_w), origin=jnp.asarray(origin),
+            lobe_dist=jnp.asarray(lobe_dist),
+        )
     return grid._replace(
         mu=jnp.asarray(mu), kappa=jnp.asarray(kappa), log_weight=jnp.asarray(logw),
         valid=jnp.asarray(valid), s_w=jnp.asarray(s_w), s_dir=jnp.asarray(s_dir),
         s_count=jnp.asarray(s_count), child_base=jnp.asarray(child_base),
-        level=jnp.asarray(level), n_used=jnp.int32(n_used),
+        level=jnp.asarray(level), n_used=jnp.int32(n_used), **extra,
     )

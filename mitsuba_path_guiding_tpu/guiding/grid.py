@@ -54,6 +54,16 @@ class GuidingGrid(NamedTuple):
     level: jnp.ndarray       # (C,) int32 refinement level (root = 0)
     res0: jnp.ndarray        # () int32 root resolution
     n_used: jnp.ndarray      # () int32 rows in use
+    # parallax-aware extension ("Robust Fitting of Parallax-Aware Mixtures
+    # for Path Guiding", Ruppert et al. 2020 — the paper this fork hosts):
+    # per-lobe harmonic-mean distances to the lobes' virtual sources and a
+    # per-cell fitting origin let queries REPROJECT lobe means to the
+    # shading point (parallax_params below)
+    s_rho: jnp.ndarray = None      # (C, K) sum resp*w/dist
+    s_pos: jnp.ndarray = None      # (C, 3) w-weighted position sums
+    s_pos_w: jnp.ndarray = None    # (C,)
+    origin: jnp.ndarray = None     # (C, 3) fitting origin
+    lobe_dist: jnp.ndarray = None  # (C, K) mean distance (0 = unknown)
 
 
 def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0,
@@ -65,6 +75,15 @@ def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0
     c = max(c, c0)
     key = jax.random.PRNGKey(seed)
     mu = normalize(jax.random.normal(key, (c, n_lobes, 3)))
+    # root-cell centers as initial fitting origins (refined rows inherit)
+    import numpy as np
+
+    lo = np.asarray(aabb_min, dtype=np.float32)
+    hi = np.asarray(aabb_max, dtype=np.float32)
+    ijk = np.stack(np.meshgrid(*(np.arange(res),) * 3, indexing="ij"), -1)
+    centers = lo + (ijk.reshape(-1, 3) + 0.5) / res * (hi - lo)
+    org = np.zeros((c, 3), dtype=np.float32)
+    org[: res**3] = centers
     return GuidingGrid(
         mu=mu,
         kappa=jnp.full((c, n_lobes), 1.0),
@@ -79,6 +98,11 @@ def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0
         level=jnp.zeros((c,), jnp.int32),
         res0=jnp.int32(res),
         n_used=jnp.int32(c0),
+        s_rho=jnp.zeros((c, n_lobes)),
+        s_pos=jnp.zeros((c, 3)),
+        s_pos_w=jnp.zeros((c,)),
+        origin=jnp.asarray(org),
+        lobe_dist=jnp.zeros((c, n_lobes)),
     )
 
 
@@ -242,3 +266,35 @@ def product_params(params, n_world: jnp.ndarray, kappa_b: float = KAPPA_COSINE):
     w_new = w * jnp.exp(jnp.clip(log_lambda, -60.0, 60.0))
     w_new = w_new / jnp.maximum(jnp.sum(w_new, axis=0, keepdims=True), 1e-30)
     return (w_new, muxc, muyc, muzc, kc, valid)
+
+
+def parallax_params(grid: GuidingGrid, cid: jnp.ndarray, params, p: jnp.ndarray):
+    """Reproject lobe means to the query point (the parallax-aware paper's
+    mean shift): each lobe's virtual source sits at
+    origin + mu * lobe_dist; querying from p re-aims the lobe there.
+    Lobes without distance data (lobe_dist == 0 or ~infinite) keep their
+    fitted mean.  kappa is kept (the paper also sharpens it; the dominant
+    effect is the mean shift)."""
+    if grid.lobe_dist is None:
+        return params
+    w, mux, muy, muz, kappa, valid = params
+    k = grid.kappa.shape[1]
+    packed = jnp.concatenate([grid.lobe_dist, grid.origin], axis=1)  # (C, K+3)
+    rows = packed[cid].T                                             # (K+3, N)
+    dist = rows[0:k]
+    org = rows[k : k + 3]
+    ok = (dist > 1e-5) & (dist < 1e7) & valid[None, :]
+    vx = org[0][None] + mux * dist - p[..., 0][None]
+    vy = org[1][None] + muy * dist - p[..., 1][None]
+    vz = org[2][None] + muz * dist - p[..., 2][None]
+    norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = ok & (norm > 1e-6)
+    inv = 1.0 / jnp.maximum(norm, 1e-6)
+    return (
+        w,
+        jnp.where(ok, vx * inv, mux),
+        jnp.where(ok, vy * inv, muy),
+        jnp.where(ok, vz * inv, muz),
+        kappa,
+        valid,
+    )

@@ -37,7 +37,7 @@ from functools import lru_cache
 
 @lru_cache(maxsize=64)
 def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: bool = False,
-                  levels: int | None = None):
+                  levels: int | None = None, parallax: bool = False):
     """Returns the ``guide`` callback consumed by integrators.path.trace.
     ``mat_types`` (static) restricts BSDF compilation to families present.
 
@@ -58,6 +58,14 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
 
         cid = cell_index(grid, p, levels=MAX_REFINE_LEVELS if levels is None else levels)
         params = _gather_cells(grid, cid)  # one packed gather pass
+        if parallax:
+            # parallax-aware mean reprojection (Ruppert et al. 2020):
+            # re-aim each lobe at its fitted virtual source from p; the
+            # reprojected mixture is used for BOTH sampling and pdf, so
+            # the one-sample-MIS estimator stays exact
+            from mitsuba_path_guiding_tpu.guiding.grid import parallax_params
+
+            params = parallax_params(grid, cid, params, p)
         if product:
             # product importance sampling: mixture x cosine-lobe vMF proxy
             # around the shading normal (exact pdf for the distribution

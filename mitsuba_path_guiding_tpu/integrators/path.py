@@ -69,6 +69,10 @@ class PathRecord(NamedTuple):
     li: jnp.ndarray        # (D, N) luminance arriving through dir
     pdf: jnp.ndarray       # (D, N) sampling pdf of dir
     valid: jnp.ndarray     # (D, N) bool
+    # distance to the vertex the sampled dir actually hit (INFD on escape)
+    # — the parallax-aware mixtures' per-lobe distance statistic input
+    # (Ruppert et al. 2020; reference fork host, SURVEY §0)
+    dist: jnp.ndarray = None  # (D, N)
 
 
 def _offset_ray(p, ng, d):
@@ -387,6 +391,7 @@ def trace(
                 luminance(jnp.where(cont[..., None], T_new, T)),
                 next_pdf,
                 act & ~next_delta,
+                jnp.where(hit.valid, t_hit, INFD),  # this bounce's segment
             )
         else:
             rec = None
@@ -403,10 +408,16 @@ def trace(
     if record_paths:
         from mitsuba_path_guiding_tpu.core.spectrum import luminance
 
-        rec_pos, rec_dir, rec_lumL, rec_lumT, rec_pdf, rec_valid = recs
+        rec_pos, rec_dir, rec_lumL, rec_lumT, rec_pdf, rec_valid, rec_t = recs
         lum_final = luminance(L)[None, :]  # (1, N)
         li = jnp.maximum(lum_final - rec_lumL, 0.0) / jnp.maximum(rec_lumT, 1e-6)
+        # distance of record d = the NEXT bounce's segment length (the
+        # sampled dir's hit); the last bounce's continuation is unknown
+        rec_dist = jnp.concatenate(
+            [rec_t[1:], jnp.full_like(rec_t[:1], INFD)], axis=0
+        )
         record = PathRecord(
-            pos=rec_pos, dir=rec_dir, li=li, pdf=rec_pdf, valid=rec_valid
+            pos=rec_pos, dir=rec_dir, li=li, pdf=rec_pdf, valid=rec_valid,
+            dist=rec_dist,
         )
     return L, aux, record

@@ -43,6 +43,7 @@ class ProgressiveConfig:
     max_seconds: float = 0.0          # > 0: time-budget mode
     guiding: bool = True
     guide_alpha: float = 0.5
+    parallax: bool = True   # parallax-aware lobe reprojection (Ruppert 2020)
     grid_res: int = 16
     n_lobes: int = 8
     # adaptive spatial refinement (SD-tree splits between progressions);
@@ -85,7 +86,7 @@ class ProgressiveRenderer:
         self.em_kinds = kinds_present(scene.emitters)
         self.mat_types = types_present(scene.mats)
         if cfg.guiding:
-            self.guide_fn = make_guide_fn(cfg.guide_alpha, mat_types=self.mat_types)
+            self.guide_fn = make_guide_fn(cfg.guide_alpha, mat_types=self.mat_types, parallax=cfg.parallax)
         from mitsuba_path_guiding_tpu.utils.stats import StatsRegistry
 
         self.stats = StatsRegistry()
@@ -189,13 +190,13 @@ class ProgressiveRenderer:
                 update_grid,
             )
 
-            s_w = s_dir = s_count = None
+            acc = None
             for rec in records:
-                w, dvec, cnt = accumulate_stats(self.grid, rec)
-                s_w = w if s_w is None else s_w + w
-                s_dir = dvec if s_dir is None else s_dir + dvec
-                s_count = cnt if s_count is None else s_count + cnt
-            self.grid = update_grid(self.grid, s_w, s_dir, s_count)
+                stats = accumulate_stats(self.grid, rec)
+                acc = stats if acc is None else tuple(
+                    a + b for a, b in zip(acc, stats)
+                )
+            self.grid = update_grid(self.grid, *acc)
             if cfg.adaptive_refine:
                 from mitsuba_path_guiding_tpu.guiding.fit import refine_grid
 

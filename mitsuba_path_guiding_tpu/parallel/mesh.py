@@ -114,11 +114,8 @@ def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=Non
         )
         rgbw_out = rgbw + jax.lax.psum(local, AXIS)
         if record:
-            s_w, s_dir, s_count = accumulate_stats(grid, rec)
-            stats = (
-                jax.lax.psum(s_w, AXIS),
-                jax.lax.psum(s_dir, AXIS),
-                jax.lax.psum(s_count, AXIS),
+            stats = tuple(
+                jax.lax.psum(x, AXIS) for x in accumulate_stats(grid, rec)
             )
         else:
             stats = None

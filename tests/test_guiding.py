@@ -113,12 +113,12 @@ def test_fit_statistics_linear_in_batches():
     pdf = jnp.full((1, n), 0.25)
     valid = jnp.ones((1, n), dtype=bool)
     rec = PathRecord(pos, dirs, li, pdf, valid)
-    sw, sd, sc = accumulate_stats(g, rec)
+    sw, sd, sc, *_ = accumulate_stats(g, rec)
     half = n // 2
     rec_a = PathRecord(pos[:, :, :half], dirs[:, :, :half], li[:, :half], pdf[:, :half], valid[:, :half])
     rec_b = PathRecord(pos[:, :, half:], dirs[:, :, half:], li[:, half:], pdf[:, half:], valid[:, half:])
-    swa, sda, sca = accumulate_stats(g, rec_a)
-    swb, sdb, scb = accumulate_stats(g, rec_b)
+    swa, sda, sca, *_ = accumulate_stats(g, rec_a)
+    swb, sdb, scb, *_ = accumulate_stats(g, rec_b)
     np.testing.assert_allclose(np.asarray(sw), np.asarray(swa + swb), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sd), np.asarray(sda + sdb), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sc), np.asarray(sca + scb))
@@ -295,3 +295,62 @@ def test_product_guided_render_unbiased():
     ref = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=64, max_depth=4, seed=3)))
     assert np.isfinite(img).all()
     np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.1)
+
+
+def test_parallax_reprojection():
+    """Parallax-aware mean shift (Ruppert et al. 2020): a lobe fitted at
+    the cell origin pointing at a NEAR virtual source must re-aim toward
+    that source when queried from a displaced shading point."""
+    from mitsuba_path_guiding_tpu.guiding.grid import (
+        _gather_cells,
+        make_grid,
+        parallax_params,
+    )
+
+    g = make_grid([0, 0, 0], [1, 1, 1], res=1, n_lobes=1)
+    # lobe points +z with virtual-source distance 1 from origin (.5,.5,.5)
+    g = g._replace(
+        mu=jnp.asarray([[[0.0, 0.0, 1.0]]]),
+        kappa=jnp.asarray([[50.0]]),
+        valid=jnp.ones((1,), bool),
+        lobe_dist=jnp.asarray([[1.0]]),
+        origin=jnp.asarray([[0.5, 0.5, 0.5]]),
+    )
+    cid = jnp.zeros((1,), jnp.int32)
+    # query from a point displaced +x by 0.5: source at (.5,.5,1.5) should
+    # now lie in direction normalize((-0.5, 0, 1))
+    p = jnp.asarray([[1.0, 0.5, 0.5]])
+    params = parallax_params(g, cid, _gather_cells(g, cid), p)
+    _, mux, muy, muz, _, _ = params
+    want = np.asarray([-0.5, 0.0, 1.0])
+    want = want / np.linalg.norm(want)
+    got = np.array([float(mux[0, 0]), float(muy[0, 0]), float(muz[0, 0])])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # a lobe with no distance data keeps its mean
+    g0 = g._replace(lobe_dist=jnp.zeros((1, 1)))
+    params0 = parallax_params(g0, cid, _gather_cells(g0, cid), p)
+    assert abs(float(params0[3][0, 0]) - 1.0) < 1e-6
+
+
+def test_records_carry_distances():
+    """PathRecord.dist: records hold the sampled direction's hit distance
+    (INFD on escape) — the parallax statistics input."""
+    from mitsuba_path_guiding_tpu.core import rng as rngm
+    from mitsuba_path_guiding_tpu.integrators.path import INFD, trace
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    sc = build_scene(cornell_box())
+    n = 256
+    key = rngm.base_key(0)
+    rkeys = rngm.ray_keys(key, jnp.arange(n, dtype=jnp.int32), jnp.zeros((n,), jnp.int32))
+    o = jnp.broadcast_to(jnp.asarray([0.0, 1.0, -3.0]), (n, 3))
+    d = normalize(
+        jnp.stack([jnp.linspace(-0.3, 0.3, n), jnp.zeros(n), jnp.ones(n)], -1)
+    )
+    _, _, rec = trace(sc, o, d, rkeys, max_depth=4, use_bvh=False, record_paths=True)
+    dist = np.asarray(rec.dist)
+    valid = np.asarray(rec.valid)
+    finite = dist[valid & (dist < 1e30)]
+    assert finite.size > 0
+    assert (finite > 1e-3).all() and (finite < 10.0).all()
