@@ -44,6 +44,9 @@ class ProgressiveConfig:
     guiding: bool = True
     guide_alpha: float = 0.5
     parallax: bool = True   # parallax-aware lobe reprojection (Ruppert 2020)
+    # guided distance sampling in homogeneous media (guiding/distance.py):
+    # radiance-weighted collision distances, one-sample MIS vs analytic
+    guide_distance: bool = True
     grid_res: int = 16
     n_lobes: int = 8
     # adaptive spatial refinement (SD-tree splits between progressions);
@@ -123,6 +126,9 @@ class ProgressiveRenderer:
                 mat_types=self.mat_types,
                 hetero=bool(self.scene.medium.heterogeneous),
                 phase_kind=int(self.scene.medium.phase_kind),
+                guide_distance=bool(
+                    self.cfg.guide_distance and guide is not None
+                ),
             )
         else:
             L, aux, rec = trace(

@@ -66,7 +66,7 @@ def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types", "record_paths", "hetero", "phase_kind"),
+    static_argnames=("max_depth", "rr_depth", "use_nee", "use_bvh", "guide", "em_kinds", "mat_types", "record_paths", "hetero", "phase_kind", "guide_distance"),
 )
 def trace_vol(
     scene: SceneData,
@@ -84,6 +84,7 @@ def trace_vol(
     record_paths: bool = False,
     hetero: bool = False,
     phase_kind: int = 0,
+    guide_distance: bool = False,
 ):
     """Returns (L (N,3), PathAux, PathRecord|None).  max_depth counts
     collisions (surface or medium); records cover both event types so the
@@ -131,6 +132,16 @@ def trace_vol(
         n_bounces=jnp.zeros((n,), jnp.int32),
     )
 
+    # guided distance sampling state (guiding/distance.py; BASELINE
+    # config 4): a per-cell scalar flux proxy computed ONCE per wavefront
+    # from the fitted cache, used to build piecewise-constant collision
+    # densities along each medium ray inside the bounce loop
+    use_guided_dist = guide_distance and (guide is not None) and not hetero
+    if use_guided_dist:
+        from mitsuba_path_guiding_tpu.guiding.distance import cell_flux
+
+        dist_flux = cell_flux(guide_state)
+
     def bounce(carry, depth):
         o, d, L, T, alive, prev_pdf, prev_delta, t_acc, aux = carry
         u = bounce_uniform(rkeys, depth, 12)
@@ -160,7 +171,38 @@ def trace_vol(
             t_med = -jnp.log(jnp.maximum(1.0 - u[..., 10], 1e-12)) / st_ch
             medium_on = jnp.max(sigma_t) > 0.0
             t_med = jnp.where(medium_on, t_med, INFD)
-            is_medium = alive & (t_med < t_surf)
+
+            if use_guided_dist:
+                # --- guided distance sampling: one-sample MIS between the
+                # analytic channel-exponential sampler above and a
+                # radiance-weighted piecewise-constant density built from
+                # the guiding cache (guiding/distance.py).  The analytic
+                # component keeps full support, so the mixture is unbiased
+                # even where the cache is cold/wrong.
+                from mitsuba_path_guiding_tpu.guiding.distance import (
+                    guided_distance_weights,
+                    piecewise_pdf,
+                    piecewise_sample,
+                )
+
+                sigma_bar = jnp.mean(sigma_t)
+                # clip the guided range where Tr ~ 1e-4; beyond it the
+                # analytic sampler rules
+                t_clip = 9.2 / jnp.maximum(sigma_bar, 1e-12)
+                t1 = jnp.minimum(t_surf, t_clip)
+                w_seg, dt_seg, tot_seg = guided_distance_weights(
+                    guide_state, dist_flux, o, d, t1,
+                    jnp.broadcast_to(sigma_bar, (n,)),
+                )
+                beta = jnp.where(
+                    medium_on & (tot_seg > 1e-12) & (dt_seg > 1e-9), 0.5, 0.0
+                )
+                use_g = u[..., 11] < beta
+                t_g = piecewise_sample(w_seg, dt_seg, tot_seg, u[..., 10])
+                t_med = jnp.where(use_g, t_g, t_med)
+                is_medium = alive & (use_g | (t_med < t_surf))
+            else:
+                is_medium = alive & (t_med < t_surf)
             is_surface = alive & hit.valid & ~is_medium
             escaped = alive & ~hit.valid & ~is_medium
 
@@ -170,10 +212,17 @@ def trace_vol(
             # events weight by the probability that the sampled distance
             # passed t_surf
             pdf_t, _ = _distance_pdfs(sigma_t, t_med)
-            tr_med = transmittance(sigma_t, t_med)
-            w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
             tr_surf = transmittance(sigma_t, t_surf)
             _, p_pass = _distance_pdfs(sigma_t, t_surf)
+            if use_guided_dist:
+                # mixture density for the realized medium event; only the
+                # analytic branch can pass the surface, so the pass
+                # probability picks up the (1 - beta) selection factor
+                pdf_g_t = piecewise_pdf(w_seg, dt_seg, tot_seg, t_med)
+                pdf_t = beta * pdf_g_t + (1.0 - beta) * pdf_t
+                p_pass = (1.0 - beta) * p_pass
+            tr_med = transmittance(sigma_t, t_med)
+            w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
             w_surface = tr_surf / jnp.maximum(p_pass, 1e-30)[..., None]
             T = jnp.where(
                 is_medium[..., None],

@@ -31,7 +31,7 @@ def test_photon_density_matches_analytic():
     n = 1 << 16
     rk = rng.ray_keys(rng.base_key(0), jnp.arange(n, dtype=jnp.int32),
                       jnp.zeros(n, jnp.int32))
-    pos, wi, pw, ok = photon_pass(scene, rk, max_depth=1, use_bvh=False)
+    pos, wi, pw, ok, _caustic = photon_pass(scene, rk, max_depth=1, use_bvh=False)
     pos, pw, ok = np.asarray(pos), np.asarray(pw), np.asarray(ok)
     r = 0.3
     sel = ok & (pos[:, 0] ** 2 + pos[:, 2] ** 2 <= r * r) & (np.abs(pos[:, 1]) < 1e-3)
@@ -44,7 +44,7 @@ def test_grid_gather_matches_brute():
     n = 1 << 15
     rk = rng.ray_keys(rng.base_key(3), jnp.arange(n, dtype=jnp.int32),
                       jnp.zeros(n, jnp.int32))
-    pos, wi, pw, ok = photon_pass(scene, rk, max_depth=2, use_bvh=False)
+    pos, wi, pw, ok, _caustic = photon_pass(scene, rk, max_depth=2, use_bvh=False)
     r = 0.25
     hps = jnp.asarray([[0.0, 0.0, 0.0], [0.7, 0.0, -0.4], [1.9, 0.0, 1.9]], jnp.float32)
     ns = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (3, 3))
