@@ -250,11 +250,34 @@ def trace(
             # reflectance override from the atlas (textures/bitmap.cpp),
             # trilinear mip filtered when the caller supplies a cone angle
             tid = scene.mats.texture_id[mid]
-            tex = (
-                sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit,
-                             lod=_lod(tid)),
-                tid >= 0,
+            val = sample_atlas(scene.textures, scene.texture_sizes, tid, uv_hit,
+                               lod=_lod(tid))
+            if geo.vcol is not None:
+                # interpolated vertex colors (vertexcolors.cpp; curvature
+                # maps are baked to vertex colors at build time)
+                vrow = gather_rows_t(geo.vcol, prim)  # (9, N)
+                vc = jnp.stack(
+                    [
+                        b0 * vrow[0] + hit.u * vrow[3] + hit.v * vrow[6],
+                        b0 * vrow[1] + hit.u * vrow[4] + hit.v * vrow[7],
+                        b0 * vrow[2] + hit.u * vrow[5] + hit.v * vrow[8],
+                    ],
+                    axis=-1,
+                )
+                val = jnp.where((tid == -3)[..., None], vc, val)
+            # wireframe (wireframe.cpp): barycentric edge distance < width
+            # selects the edge color; the material row carries both colors
+            # (this gather CSEs with the BSDF's own packed-row gather)
+            mrow = gather_rows_t(mats.packed, mid)  # (32, N)
+            lw = mrow[24]
+            edge = jnp.minimum(jnp.minimum(b0, hit.u), hit.v) < lw
+            wire_val = jnp.where(
+                edge[..., None],
+                jnp.stack([mrow[21], mrow[22], mrow[23]], axis=-1),
+                jnp.stack([mrow[1], mrow[2], mrow[3]], axis=-1),
             )
+            val = jnp.where((tid == -4)[..., None], wire_val, val)
+            tex = (val, (tid >= 0) | (tid <= -3))
         else:
             tex = None
         if bumped:

@@ -99,7 +99,7 @@ class ProgressiveRenderer:
         key = rng.base_key(r.seed)
         rkeys = rng.ray_keys(key, pixel_id, sample_idx)
         u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
-        from mitsuba_path_guiding_tpu.integrators.render import _has_bump, camera_jitter
+        from mitsuba_path_guiding_tpu.integrators.render import _has_bump, _textured, camera_jitter
 
         u_pos = camera_jitter(r, sample_idx, u_cam)
         o, d, film_xy = generate_rays(
@@ -145,9 +145,7 @@ class ProgressiveRenderer:
                 record_paths=train and self.grid is not None,
                 em_kinds=self.em_kinds,
                 mat_types=self.mat_types,
-                textured=int(
-                    self.scene.textures.shape[0] * self.scene.textures.shape[1]
-                ) > 1,
+                textured=_textured(self.scene),
                 bumped=_has_bump(self.scene),
             )
         if r.max_component_value > 0.0:

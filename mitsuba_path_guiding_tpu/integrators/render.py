@@ -28,6 +28,20 @@ from mitsuba_path_guiding_tpu.scene.types import SceneData
 BRUTE_FORCE_MAX_TRIS = 16384
 
 
+def _textured(scene) -> bool:
+    """Static texture-override presence: a real atlas, vertex colors, or
+    any geometry-driven sentinel texture id (-3 vertexcolors/curvature,
+    -4 wireframe)."""
+    if int(scene.textures.shape[0] * scene.textures.shape[1]) > 1:
+        return True
+    if scene.geo.vcol is not None:
+        return True
+    try:
+        return bool((np.asarray(scene.mats.texture_id) < -1).any())
+    except Exception:  # tracers (see _has_bump)
+        return False
+
+
 def _has_bump(scene) -> bool:
     """Static bump-map presence.  Under jit/shard_map tracing the material
     table is a tracer — the flag is then decided at trace time from the
@@ -187,7 +201,7 @@ def render_wave(
             guide_state=guide_state,
             em_kinds=em_kinds,
             mat_types=mat_types,
-            textured=int(scene.textures.shape[0] * scene.textures.shape[1]) > 1,
+            textured=_textured(scene),
             cone_angle=_cone_angle(scene, cfg),
             bumped=_has_bump(scene),
         )

@@ -175,20 +175,28 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
         return row
     tex = spec.get("texture")
     if tex is not None and textures is not None:
-        from mitsuba_path_guiding_tpu.models.texture import rasterize_procedural
-
         tt = tex.get("type", "bitmap")
-        if tt == "bitmap":
-            if "image" in tex:
-                img = np.asarray(tex["image"], dtype=np.float32)
-            else:
-                from mitsuba_path_guiding_tpu.util import _read
-
-                img = _read(tex["filename"])
+        if tt in ("vertexcolors", "curvature"):
+            # geometry-driven textures: colors come from the per-vertex
+            # table built in the shape loop (Geometry.vcol); the sentinel
+            # id selects the interpolated vertex color at shading time
+            row["texture_id"] = -3
+        elif tt == "wireframe":
+            # edge highlighting from barycentric edge distance (reference
+            # textures/wireframe.cpp; line width here is barycentric
+            # rather than world-space — constant per-triangle fraction)
+            row["texture_id"] = -4
+            row["reflectance"] = _rgb(
+                tex.get("interior_color", tex.get("interiorColor")), [0.5] * 3
+            )
+            row["wire_edge"] = _rgb(
+                tex.get("edge_color", tex.get("edgeColor")), [0.1] * 3
+            )
+            row["wire_lw"] = float(tex.get("line_width", tex.get("lineWidth", 0.05)))
         else:
-            img = rasterize_procedural(tex)
-        textures.append(img)
-        row["texture_id"] = len(textures) - 1
+            img = _rasterize_texture(tex, textures)
+            textures.append(img)
+            row["texture_id"] = len(textures) - 1
     if t in ("conductor", "roughconductor"):
         mat = spec.get("material", None)
         if mat is not None or "eta" not in spec:
@@ -211,6 +219,16 @@ def _rasterize_texture(tex: dict, textures: list) -> np.ndarray:
         from mitsuba_path_guiding_tpu.util import _read
 
         return _read(tex["filename"])
+    if tt == "scale":
+        # multiplicative wrapper (reference textures/scale.cpp): scale an
+        # inner texture (or constant) by a scalar/RGB factor at build time
+        inner = tex.get("texture")
+        img = (
+            _rasterize_texture(inner, textures)
+            if inner is not None
+            else np.ones((1, 1, 3), np.float32)
+        )
+        return (img * _rgb(tex.get("scale"), [1.0] * 3)).astype(np.float32)
     return rasterize_procedural(tex)
 
 
@@ -405,6 +423,8 @@ def build_scene(desc: dict) -> SceneData:
 
     sss_rows: list[np.ndarray] = []
     tri_sss: list[int] = []
+    tri_vcol: list[np.ndarray] = []
+    any_vcol = False
     for sh in flat_shapes:
         mesh = SHAPE_BUILDERS[sh["type"]](sh).transformed(_to_world(sh))
         p0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = mesh.face_arrays()
@@ -414,6 +434,30 @@ def build_scene(desc: dict) -> SceneData:
             tris[k].append(v)
         nf = len(p0)
         tri_mat.extend([mid] * nf)
+        # geometry-driven textures (vertexcolors.cpp / curvature.cpp):
+        # bake per-face vertex colors into the optional vcol table
+        tex_spec = (sh.get("bsdf") or {}).get("texture") or {}
+        ttype = tex_spec.get("type")
+        if ttype == "vertexcolors":
+            fc = mesh.face_colors()
+            if fc is None:
+                fc = np.ones((nf, 9), np.float32)
+            tri_vcol.append(np.asarray(fc, np.float32))
+            any_vcol = True
+        elif ttype == "curvature":
+            from mitsuba_path_guiding_tpu.scene.shapes import curvature_colors
+
+            cc = curvature_colors(
+                mesh,
+                kind=tex_spec.get("curvature", "mean"),
+                scale=float(tex_spec.get("scale", 1.0)),
+            )
+            f = mesh.faces
+            fc = np.concatenate([cc[f[:, 0]], cc[f[:, 1]], cc[f[:, 2]]], axis=-1)
+            tri_vcol.append(np.asarray(fc, np.float32))
+            any_vcol = True
+        else:
+            tri_vcol.append(np.zeros((nf, 9), np.float32))
         # subsurface spec (dipole.cpp parameters) -> per-triangle sss row
         if sh.get("subsurface") is not None:
             ss = sh["subsurface"]
@@ -613,6 +657,7 @@ def build_scene(desc: dict) -> SceneData:
         mat_id=jnp.asarray(tri_mat_np),
         emitter_id=jnp.asarray(tri_em_np),
         shade_packed=jnp.asarray(shade),
+        vcol=jnp.asarray(np.concatenate(tri_vcol, axis=0)) if any_vcol else None,
     )
 
     p0h, e1h, e2h = h["p0"], h["e1"], h["e2"]
@@ -635,6 +680,11 @@ def build_scene(desc: dict) -> SceneData:
     mpk[:, 18] = [m.get("weight", 0.0) for m in mat_rows]
     mpk[:, 19] = [m.get("bump_tex_id", -1) for m in mat_rows]
     mpk[:, 20] = [m.get("bump_scale", 1.0) for m in mat_rows]
+    # wireframe texture parameters (texture_id == -4): edge color + width
+    mpk[:, 21:24] = np.stack(
+        [np.asarray(m.get("wire_edge", (0.0, 0.0, 0.0)), np.float32) for m in mat_rows]
+    )
+    mpk[:, 24] = [m.get("wire_lw", 0.0) for m in mat_rows]
     mats = Materials(
         type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
         reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),

@@ -17,20 +17,32 @@ from mitsuba_path_guiding_tpu.scene.transforms import apply_normals, apply_point
 
 class Mesh:
     """Host-side triangle mesh: vertices (V,3), faces (F,3), optional
-    per-vertex normals (V,3) and uvs (V,2)."""
+    per-vertex normals (V,3), uvs (V,2), and colors (V,3) (reference
+    trimesh.h vertex-color channel, used by textures/vertexcolors.cpp)."""
 
-    def __init__(self, vertices, faces, normals=None, uvs=None):
+    def __init__(self, vertices, faces, normals=None, uvs=None, colors=None):
         self.vertices = np.asarray(vertices, dtype=np.float64)
         self.faces = np.asarray(faces, dtype=np.int64)
         self.normals = None if normals is None else np.asarray(normals, dtype=np.float64)
         self.uvs = None if uvs is None else np.asarray(uvs, dtype=np.float64)
+        self.colors = None if colors is None else np.asarray(colors, dtype=np.float64)
 
     def transformed(self, m):
         v = apply_points(m, self.vertices)
         n = None if self.normals is None else apply_normals(m, self.normals)
         flipped = np.linalg.det(m[:3, :3]) < 0
         faces = self.faces[:, ::-1] if flipped else self.faces
-        return Mesh(v, faces, n, self.uvs)
+        return Mesh(v, faces, n, self.uvs, self.colors)
+
+    def face_colors(self):
+        """Per-face packed vertex colors (F, 9) [c0 c1 c2], or None."""
+        if self.colors is None:
+            return None
+        f = self.faces
+        return np.concatenate(
+            [self.colors[f[:, 0]], self.colors[f[:, 1]], self.colors[f[:, 2]]],
+            axis=-1,
+        )
 
     def face_arrays(self):
         """Per-face (p0, e1, e2, n0, n1, n2, uv0, uv1, uv2) with geometric
@@ -202,7 +214,7 @@ def load_ply(path):
             "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
         }
         endian = "<" if "little" in fmt else ">"
-        verts = normals = None
+        verts = normals = colors = None
         faces = []
         for name, count, props in elements:
             if name == "vertex":
@@ -217,6 +229,13 @@ def load_ply(path):
                 verts = np.stack([data["x"], data["y"], data["z"]], axis=-1).astype(np.float64)
                 if "nx" in data:
                     normals = np.stack([data["nx"], data["ny"], data["nz"]], axis=-1).astype(np.float64)
+                if "red" in data:
+                    # uchar colors are sRGB bytes (ply.cpp convention)
+                    colors = np.stack(
+                        [data["red"], data["green"], data["blue"]], axis=-1
+                    ).astype(np.float64)
+                    if colors.max() > 1.0:
+                        colors = colors / 255.0
             elif name == "face":
                 lp = props[0]
                 cdt = np.dtype(endian + type_map[lp[1]])
@@ -233,7 +252,7 @@ def load_ply(path):
                         ids = np.frombuffer(fh.read(int(n) * idt.itemsize), dtype=idt)
                         for k in range(1, len(ids) - 1):
                             faces.append([int(ids[0]), int(ids[k]), int(ids[k + 1])])
-    return Mesh(verts, np.asarray(faces), normals)
+    return Mesh(verts, np.asarray(faces), normals, colors=colors)
 
 
 def load_serialized(path, index: int = 0):
@@ -288,10 +307,9 @@ def load_serialized(path, index: int = 0):
     verts = take(vc * 3).reshape(vc, 3)
     normals = take(vc * 3).reshape(vc, 3) if flags & 0x0001 else None
     uvs = take(vc * 2).reshape(vc, 2) if flags & 0x0002 else None
-    if flags & 0x0008:
-        take(vc * 3)  # vertex colors parsed but unused
+    colors = take(vc * 3).reshape(vc, 3) if flags & 0x0008 else None
     faces = np.frombuffer(raw, dtype="<u4", count=tc * 3, offset=pos).reshape(tc, 3)
-    return Mesh(verts, faces.astype(np.int64), normals, uvs)
+    return Mesh(verts, faces.astype(np.int64), normals, uvs, colors)
 
 
 def save_serialized(path, meshes):
@@ -484,7 +502,8 @@ SHAPE_BUILDERS = {
     "obj": lambda props: load_obj(props["filename"]),
     "ply": lambda props: load_ply(props["filename"]),
     "trimesh": lambda props: Mesh(
-        props["vertices"], props["faces"], props.get("normals"), props.get("uvs")
+        props["vertices"], props["faces"], props.get("normals"),
+        props.get("uvs"), props.get("colors"),
     ),
     "serialized": lambda props: load_serialized(
         props["filename"], int(props.get("shape_index", 0))
@@ -508,3 +527,70 @@ def _heightfield_data(props):
 
     img = _read(props["filename"])
     return img.mean(axis=-1) if img.ndim == 3 else img
+
+
+def vertex_curvature(mesh: Mesh, kind: str = "mean") -> np.ndarray:
+    """Per-vertex discrete curvature (reference src/textures/curvature.cpp,
+    which visualizes principal-curvature-derived quantities): ``gaussian``
+    = angle deficit / mixed area (Gauss-Bonnet), ``mean`` = half the norm
+    of the cotangent Laplacian per mixed area, signed by the normal
+    direction.  Host-side, vectorized numpy over faces."""
+    v = mesh.vertices
+    f = mesh.faces
+    nv = len(v)
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+
+    def angles(a, b, c):
+        u, w = b - a, c - a
+        cosang = np.einsum("ij,ij->i", u, w) / np.maximum(
+            np.linalg.norm(u, axis=-1) * np.linalg.norm(w, axis=-1), 1e-20
+        )
+        return np.arccos(np.clip(cosang, -1.0, 1.0))
+
+    ang0, ang1 = angles(p0, p1, p2), angles(p1, p2, p0)
+    ang2 = np.pi - ang0 - ang1
+    a_mix = np.zeros(nv)
+    for i in range(3):
+        np.add.at(a_mix, f[:, i], area / 3.0)
+    a_mix = np.maximum(a_mix, 1e-12)
+
+    if kind == "gaussian":
+        asum = np.zeros(nv)
+        for i, ang in enumerate((ang0, ang1, ang2)):
+            np.add.at(asum, f[:, i], ang)
+        return (2.0 * np.pi - asum) / a_mix
+
+    # cotangent Laplacian: L(v_i) = 0.5 * sum_j (cot a + cot b)(v_j - v_i)
+    cot = lambda ang: np.cos(ang) / np.maximum(np.sin(ang), 1e-9)
+    c0, c1, c2 = cot(ang0), cot(ang1), cot(ang2)
+    lap = np.zeros((nv, 3))
+    # edge (1,2) is opposite vertex 0 etc.
+    for (i, j, copp) in ((1, 2, c0), (2, 0, c1), (0, 1, c2)):
+        d = v[f[:, j]] - v[f[:, i]]
+        np.add.at(lap, f[:, i], 0.5 * copp[:, None] * d)
+        np.add.at(lap, f[:, j], -0.5 * copp[:, None] * d)
+    # Meyer et al.: mean-curvature normal K = L / A_mixed with ||K|| = 2H
+    hvec = lap / (2.0 * a_mix[:, None])
+    h = np.linalg.norm(hvec, axis=-1)
+    # sign: H > 0 where the Laplacian points against the vertex normal
+    if mesh.normals is not None:
+        nrm = mesh.normals
+    else:
+        nrm = np.zeros((nv, 3))
+        fn = np.cross(p1 - p0, p2 - p0)
+        for i in range(3):
+            np.add.at(nrm, f[:, i], fn)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    sign = -np.sign(np.einsum("ij,ij->i", hvec, nrm))
+    return sign * h
+
+
+def curvature_colors(mesh: Mesh, kind: str = "mean", scale: float = 1.0) -> np.ndarray:
+    """Colormapped per-vertex curvature (V,3): positive -> red, negative ->
+    blue, zero -> white (curvature.cpp's display convention)."""
+    k = np.tanh(vertex_curvature(mesh, kind) * scale)
+    pos = np.clip(k, 0.0, 1.0)
+    neg = np.clip(-k, 0.0, 1.0)
+    col = np.stack([1.0 - neg, 1.0 - pos - neg, 1.0 - pos], axis=-1)
+    return np.clip(col, 0.0, 1.0)

@@ -77,6 +77,11 @@ class Geometry(NamedTuple):
     mat_id: jnp.ndarray  # (T,) int32 material index
     emitter_id: jnp.ndarray  # (T,) int32 index into emitter table, -1 if none
     shade_packed: jnp.ndarray  # (T, 32) float32, layout above
+    # optional per-vertex RGB colors packed per face [c0 c1 c2] — present
+    # only when a material uses vertexcolors/curvature textures (reference
+    # textures/vertexcolors.cpp, curvature.cpp); None otherwise so the
+    # shading gather is statically elided
+    vcol: jnp.ndarray = None  # (T, 9) float32 or None
 
 
 class BVH(NamedTuple):

@@ -1,0 +1,89 @@
+"""Texture family parity: scale / wireframe / vertexcolors / curvature
+(reference src/textures/{scale,wireframe,vertexcolors,curvature}.cpp) on
+top of the existing bitmap/checkerboard/gridtexture atlas pipeline."""
+import numpy as np
+
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.transforms import look_at
+
+
+def _plane_scene(bsdf, shape=None):
+    """A camera staring straight at a unit plane lit by a constant env."""
+    sh = shape or {"type": "rectangle"}
+    sh = dict(sh)
+    sh["bsdf"] = bsdf
+    return {
+        "sensor": {
+            "type": "orthographic",
+            "to_world": look_at([0, 0, -2.0], [0, 0, 0]),
+        },
+        "shapes": [sh],
+        "emitters": [{"type": "constant", "radiance": [1.0, 1.0, 1.0]}],
+    }
+
+
+def _render(scene_desc, spp=32, w=32):
+    sc = build_scene(scene_desc)
+    return np.asarray(render(sc, RenderConfig(width=w, height=w, spp=spp, max_depth=2, seed=0)))
+
+
+def test_scale_texture():
+    """scale.cpp: wrapped texture values are multiplied by the factor."""
+    base = {"type": "bitmap", "image": np.full((4, 4, 3), 0.8, np.float32)}
+    img1 = _render(_plane_scene({"type": "diffuse", "texture": base}))
+    img2 = _render(_plane_scene({
+        "type": "diffuse",
+        "texture": {"type": "scale", "scale": 0.5, "texture": base},
+    }))
+    inner1 = img1[8:-8, 8:-8]
+    inner2 = img2[8:-8, 8:-8]
+    np.testing.assert_allclose(inner2.mean() / inner1.mean(), 0.5, rtol=0.05)
+
+
+def test_wireframe_texture():
+    """wireframe.cpp: barycentric edges get the edge color."""
+    img = _render(_plane_scene({
+        "type": "diffuse",
+        "texture": {
+            "type": "wireframe",
+            "interior_color": [0.8, 0.8, 0.8],
+            "edge_color": [0.0, 0.0, 0.0],
+            "line_width": 0.15,
+        },
+    }), spp=16, w=48)
+    inner = img[10:-10, 10:-10].mean(axis=-1)
+    assert np.isfinite(img).all()
+    # both populations present: bright interior pixels and dark edge pixels
+    assert (inner > 0.5).any(), inner.max()
+    assert (inner < 0.25).any(), inner.min()
+
+
+def test_vertexcolors_texture():
+    """vertexcolors.cpp: interpolated per-vertex colors drive the albedo."""
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float64)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    c = np.array([[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0]], np.float64)
+    img = _render(_plane_scene(
+        {"type": "diffuse", "texture": {"type": "vertexcolors"}},
+        shape={"type": "trimesh", "vertices": v, "faces": f, "colors": c,
+               "normals": np.tile([0.0, 0.0, 1.0], (4, 1))},
+    ), spp=64, w=32)
+    assert np.isfinite(img).all()
+    # bottom rows red-dominant, top rows green-dominant (film y flips)
+    bot = img[-6:, 8:-8]
+    top = img[:6, 8:-8]
+    lo, hi = (bot, top) if bot[..., 0].mean() > top[..., 0].mean() else (top, bot)
+    assert lo[..., 0].mean() > 2.0 * lo[..., 1].mean()
+    assert hi[..., 1].mean() > 2.0 * hi[..., 0].mean()
+
+
+def test_curvature_texture():
+    """curvature.cpp: positive mean curvature (sphere) maps to red."""
+    img = _render(_plane_scene(
+        {"type": "diffuse", "texture": {"type": "curvature", "curvature": "mean", "scale": 1.0}},
+        shape={"type": "sphere", "to_world": np.diag([0.8, 0.8, 0.8, 1.0])},
+    ), spp=16, w=32)
+    assert np.isfinite(img).all()
+    center = img[12:-12, 12:-12]
+    assert center[..., 0].mean() > 1.5 * center[..., 2].mean()
