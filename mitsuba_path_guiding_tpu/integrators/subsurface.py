@@ -164,8 +164,11 @@ def render_subsurface(
     if use_bvh is None:
         use_bvh = int(scene.geo.p0.shape[0]) > BRUTE_FORCE_MAX_TRIS
 
-    pts = sample_surface_points(scene, n_points, seed=cfg.seed)
-    pts = compute_irradiance(scene, pts, cfg, n_nee=n_nee)
+    sss_np = np.asarray(scene.sss_packed)
+    any_dipole = bool((sss_np[:, 9] < 0.5).any())
+    if any_dipole:
+        pts = sample_surface_points(scene, n_points, seed=cfg.seed)
+        pts = compute_irradiance(scene, pts, cfg, n_nee=n_nee)
 
     w, h = cfg.width, cfg.height
     n_pix = w * h
@@ -191,13 +194,21 @@ def render_subsurface(
         L = jnp.zeros((n_pix, 3))
         for r in range(int(scene.sss_packed.shape[0])):
             sss_row = scene.sss_packed[r]
-            mo = jnp.concatenate([
-                dipole_mo(sss_row, p[i : i + chunk], pts)
-                for i in range(0, n_pix, chunk)
-            ], axis=0)
-            cos_o = jnp.abs(dot(ng, -d))
-            ft = 1.0 - fresnel_dielectric(cos_o, sss_row[6])
-            lo = mo / jnp.pi * ft[..., None]
+            if sss_np[r, 9] >= 0.5:
+                # singlescatter.cpp path: refracted internal ray + light
+                # connections (see singlescatter_lo)
+                lo = singlescatter_lo(
+                    scene, sss_row, r, p, d, ng, is_sss & (sid == r), rk,
+                    use_bvh,
+                )
+            else:
+                mo = jnp.concatenate([
+                    dipole_mo(sss_row, p[i : i + chunk], pts)
+                    for i in range(0, n_pix, chunk)
+                ], axis=0)
+                cos_o = jnp.abs(dot(ng, -d))
+                ft = 1.0 - fresnel_dielectric(cos_o, sss_row[6])
+                lo = mo / jnp.pi * ft[..., None]
             L = jnp.where((is_sss & (sid == r))[..., None], lo, L)
         # non-sss surfaces: single NEE direct bounce (documentation: use
         # the main integrators for full GI on mixed scenes)
@@ -221,3 +232,92 @@ def render_subsurface(
                        jnp.stack([row[20], row[21], row[22]], axis=-1), 0.0)
         acc = acc + L + l_dir + Le
     return (acc / jnp.float32(spp)).reshape(h, w, 3)
+
+
+def singlescatter_lo(
+    scene: SceneData, sss_row, sid_row: int, p, d, ng, valid, rk,
+    use_bvh: bool, n_dist: int = 4,
+):
+    """Single scattering inside a refractive-boundary object (reference
+    src/subsurface/singlescatter.cpp, Holzschuch 2014 "Accurate computation
+    of single scattering in participating media with refractive
+    boundaries").
+
+    TPU-native re-design: camera refraction at the entry point is exact
+    (Snell + Fresnel); ``n_dist`` stratified truncated-exponential distance
+    samples along the internal ray each make a light connection with
+    STRAIGHT-LINE boundary crossing — internal attenuation to the exit
+    point, exit Fresnel transmittance, external occlusion — i.e. the
+    common straight-connection approximation rather than Holzschuch's
+    Newton-refracted connections (no bending / solid-angle reshaping at
+    the exit interface).  Depth-1 volumetric scattering only (the
+    reference's ``singleScatterDepth`` defaults effectively cover the
+    dominant first order)."""
+    from mitsuba_path_guiding_tpu.accel.traverse import intersect_brute, intersect_bvh
+    from mitsuba_path_guiding_tpu.core.math import Frame, refract_local
+    from mitsuba_path_guiding_tpu.models.phase import phase_eval
+
+    geo, bvh, em = scene.geo, scene.bvh, scene.emitters
+
+    def intersect(o_, d_):
+        return intersect_bvh(geo, bvh, o_, d_) if use_bvh else intersect_brute(geo, o_, d_)
+
+    scale = sss_row[7]
+    sa = sss_row[0:3] * scale
+    ss_c = sss_row[3:6] * scale
+    st = sa + ss_c
+    eta = sss_row[6]
+    g = sss_row[8]
+
+    frame = Frame.from_normal(ng)
+    wi_l = frame.to_local(-d)
+    wt_l, tir = refract_local(wi_l, eta)
+    d_in = frame.to_world(wt_l)
+    fr_in = fresnel_dielectric(wi_l[..., 2], eta)
+    enter = valid & ~tir
+
+    o_in = p - ng * 1e-4
+    hx = intersect(o_in, d_in)
+    t_exit = jnp.where(hx.valid, hx.t, 1e-3)
+    st_bar = jnp.maximum(jnp.mean(st), 1e-9)
+
+    n = p.shape[0]
+    acc = jnp.zeros((n, 3))
+    for k in range(n_dist):
+        u = event_uniform(rk, (17 << 20) + k, 4)
+        uk = (k + u[..., 0]) / n_dist
+        cdf_end = -jnp.expm1(-st_bar * t_exit)
+        t_k = -jnp.log1p(-uk * cdf_end) / st_bar
+        t_k = jnp.minimum(t_k, t_exit * (1.0 - 1e-4))
+        pdf_k = st_bar * jnp.exp(-st_bar * t_k) / jnp.maximum(cdf_end, 1e-12)
+        x = o_in + t_k[..., None] * d_in
+
+        ds = em_mod.sample_direct_jit(em, geo, x, u[..., 1:4])
+        hb = intersect(x, ds.direction)
+        row_b = gather_rows_t(geo.shade_packed, jnp.maximum(hb.prim, 0))
+        sid_b = row_b[27].astype(jnp.int32)
+        same = hb.valid & (sid_b == sid_row)
+        t_b = jnp.where(same, hb.t, 0.0)
+        ng_b = jnp.stack([row_b[0], row_b[1], row_b[2]], axis=-1)
+        # exit Fresnel from inside the medium (cos < 0 flips rel_eta)
+        cos_b = jnp.abs(dot(ng_b, ds.direction))
+        ft_out = jnp.where(same, 1.0 - fresnel_dielectric(-cos_b, eta), 1.0)
+        exit_p = x + t_b[..., None] * ds.direction
+        rem = jnp.where(
+            ds.distance >= INFD, INFD,
+            jnp.maximum(ds.distance - t_b, 0.0) * (1.0 - 1e-3),
+        )
+        occ = occluded(
+            geo, bvh, _offset_ray(exit_p, ng_b, ds.direction), ds.direction,
+            rem, use_bvh=use_bvh,
+        )
+        ph = phase_eval(-d_in, ds.direction, g)
+        tr = jnp.exp(-st[None, :] * (t_k + t_b)[..., None])
+        w = ss_c[None, :] * tr * (ph / jnp.maximum(ds.pdf * pdf_k, 1e-20))[..., None]
+        good = enter & ~occ & (ds.pdf > 0.0) & (ft_out > 0.0)
+        acc = acc + jnp.where(
+            good[..., None],
+            ((1.0 - fr_in) * ft_out)[..., None] * ds.radiance * w,
+            0.0,
+        )
+    return acc / n_dist

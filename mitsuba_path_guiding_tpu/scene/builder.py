@@ -462,12 +462,18 @@ def build_scene(desc: dict) -> SceneData:
         if sh.get("subsurface") is not None:
             ss = sh["subsurface"]
             g_ss = float(ss.get("g", 0.0))
+            single = ss.get("type", "dipole") == "singlescatter"
             row16 = np.zeros(16, dtype=np.float32)
             row16[0:3] = _rgb(ss.get("sigma_a"), [0.0014, 0.0025, 0.0142])
-            row16[3:6] = _rgb(ss.get("sigma_s"), [0.7, 1.22, 1.9]) * (1.0 - g_ss)
+            # dipole uses similarity-reduced sigma_s' = sigma_s (1 - g);
+            # singlescatter needs the raw coefficient + g for the phase
+            sig_s = _rgb(ss.get("sigma_s"), [0.7, 1.22, 1.9])
+            row16[3:6] = sig_s if single else sig_s * (1.0 - g_ss)
             row16[6] = float(ss.get("int_ior", 1.5)) / float(ss.get("ext_ior", 1.0)) \
                 if "int_ior" in ss or "ext_ior" in ss else float(ss.get("eta", 1.5))
             row16[7] = float(ss.get("scale", 1.0))
+            row16[8] = g_ss
+            row16[9] = 1.0 if single else 0.0
             sss_rows.append(row16)
             tri_sss.extend([len(sss_rows) - 1] * nf)
         else:

@@ -94,6 +94,37 @@ def test_util_tools(tmp_path, scene):
     back = _read(a)
     np.testing.assert_allclose(back, img, rtol=1e-6, atol=1e-7)
 
+    # joinrgb: three monochrome inputs -> channels (utils/joinrgb.cpp)
+    out = str(tmp_path / "rgb.exr")
+    assert util_main(["joinrgb", a, b, a, out]) in (0, None)
+    joined = _read(out)
+    np.testing.assert_allclose(joined[..., 0], img.mean(axis=-1), rtol=1e-5)
+    np.testing.assert_allclose(joined[..., 1], (img * 1.1).mean(axis=-1), rtol=1e-4)
+
+
+def test_util_mesh_tools(tmp_path):
+    """scene2obj / serialized2obj / kdbench (reference src/utils/)."""
+    from mitsuba_path_guiding_tpu.scene.shapes import (
+        load_obj,
+        make_sphere,
+        save_serialized,
+    )
+    from mitsuba_path_guiding_tpu.util import main as util_main
+
+    mesh = make_sphere(8, 16)
+    ser = str(tmp_path / "m.serialized")
+    save_serialized(ser, [mesh])
+    obj = str(tmp_path / "m.obj")
+    assert util_main(["serialized2obj", ser, obj]) in (0, None)
+    back = load_obj(obj)
+    assert len(back.faces) == len(mesh.faces)
+
+    obj2 = str(tmp_path / "scene.obj")
+    assert util_main(["scene2obj", ser, obj2]) in (0, None)
+    assert len(load_obj(obj2).faces) == len(mesh.faces)
+
+    assert util_main(["kdbench", ser, "-x", "4096"]) in (0, None)
+
 
 def test_checkpoint_roundtrip(scene, tmp_path):
     from mitsuba_path_guiding_tpu.integrators.progressive import (
