@@ -295,3 +295,17 @@ def shadow_transmittance(
         if max_hits == 1:
             break
     return tr
+
+
+def intersect_twolevel(blocks, o, d, tmax=None) -> Hit:
+    """Closest hit via the two-level superblock kernel with per-wave ray
+    Morton sorting (ops/intersect_twolevel.py) — the large-scene TPU path."""
+    from mitsuba_path_guiding_tpu.ops.intersect_twolevel import (
+        intersect_blocks_sorted,
+    )
+
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INF)
+    t, prim, u, v, valid = intersect_blocks_sorted(blocks, o, d, tmax)
+    return Hit(t=t, prim=prim, u=u, v=v, valid=valid)

@@ -24,6 +24,7 @@ from mitsuba_path_guiding_tpu.accel.traverse import (
     intersect_brute,
     intersect_bvh,
     intersect_pallas,
+    intersect_twolevel,
     occluded,
 )
 from mitsuba_path_guiding_tpu.core.math import (
@@ -133,12 +134,23 @@ def trace(
     n = ray_o.shape[0]
     geo, bvh, mats, em = scene.geo, scene.bvh, scene.mats, scene.emitters
 
-    def intersect(o, d):
+    # big scenes on TPU route to the two-level superblock kernel (their
+    # BlockTable is built by the scene compiler above TWOLEVEL_MIN_TRIS);
+    # the vmapped BVH serves CPU, the dense kernels serve small scenes
+    twolevel = accel == "twolevel" or (
+        accel == "auto"
+        and scene.blocks is not None
+        and jax.default_backend() == "tpu"
+    )
+
+    def intersect(o, d, tmax=None):
+        if twolevel:
+            return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
-            return intersect_pallas(geo, o, d)
+            return intersect_pallas(geo, o, d, tmax)
         if use_bvh or accel == "bvh":
-            return intersect_bvh(geo, bvh, o, d)
-        return intersect_brute(geo, o, d)
+            return intersect_bvh(geo, bvh, o, d, tmax)
+        return intersect_brute(geo, o, d, tmax)
 
     # transparent (null/mask) surfaces transmit shadow rays — the surface
     # part of Scene::evalTransmittance (scene.h:290); boolean occlusion
@@ -152,8 +164,8 @@ def trace(
             return shadow_transmittance(
                 geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
             )
-        if accel == "pallas":
-            h = intersect_pallas(geo, o, d, tmax)
+        if twolevel or accel == "pallas":
+            h = intersect(o, d, tmax)
             return 1.0 - h.valid.astype(jnp.float32)
         return 1.0 - occluded(geo, bvh, o, d, tmax, use_bvh=use_bvh)
 

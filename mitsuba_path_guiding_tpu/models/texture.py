@@ -137,3 +137,82 @@ def sample_atlas(atlas, sizes, tid, uv, lod=None):
         return top * (1 - fy) + bot * fy
 
     return level_fetch(l0) * (1 - f) + level_fetch(jnp.minimum(l0 + 1, max_l)) * f
+
+
+MAX_ANISO = 8.0
+EWA_TAPS = 4  # taps in [-EWA_TAPS, EWA_TAPS]^2 at the chosen level
+
+
+def sample_atlas_ewa(atlas, sizes, tid, uv, duv0, duv1):
+    """EWA (elliptical weighted average) anisotropic lookup
+    (reference mipmap.h's EEWA mode / Heckbert '89 as in PBRT): ``duv0``/
+    ``duv1`` (N, 2) are the screen-footprint axes in UV space.  The minor
+    axis picks the mip level; texels of that level inside the ellipse are
+    accumulated with Gaussian weights over a static (2*EWA_TAPS+1)^2 tap
+    window.  Anisotropy is clamped to MAX_ANISO by widening the minor
+    axis (the standard quality/cost clamp)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = jnp.maximum(tid, 0)
+    l0sq = jnp.sum(duv0 * duv0, axis=-1)
+    l1sq = jnp.sum(duv1 * duv1, axis=-1)
+    swap = l1sq > l0sq
+    major = jnp.where(swap[..., None], duv1, duv0)
+    minor = jnp.where(swap[..., None], duv0, duv1)
+    maj_len = jnp.sqrt(jnp.maximum(l0sq, l1sq))
+    min_len = jnp.sqrt(jnp.minimum(l0sq, l1sq))
+    # clamp anisotropy: widen minor so major/minor <= MAX_ANISO
+    scale_min = jnp.where(
+        min_len * MAX_ANISO < maj_len,
+        maj_len / (MAX_ANISO * jnp.maximum(min_len, 1e-12)),
+        1.0,
+    )
+    minor = minor * scale_min[..., None]
+    min_len = min_len * scale_min
+
+    res = jnp.maximum(sizes[t, 0], sizes[t, 1])
+    max_l = MAX_MIP_LEVELS - 1
+    # level from the minor axis, raised so the major HALF-axis fits the
+    # static tap window (otherwise the ellipse would be truncated)
+    need = jnp.maximum(min_len * res, maj_len * res / float(EWA_TAPS))
+    lod = jnp.clip(jnp.log2(jnp.maximum(need, 1.0)), 0.0, float(max_l))
+    lv = jnp.floor(lod)
+
+    th2 = atlas.shape[1]
+    off = th2 - jnp.floor(th2 / (2.0 ** lv))
+    h = jnp.maximum(jnp.floor(sizes[t, 0] / (2.0 ** lv)), 1.0)
+    w = jnp.maximum(jnp.floor(sizes[t, 1] / (2.0 ** lv)), 1.0)
+    # ellipse in texel coordinates of the level
+    u_c = jnp.mod(uv[..., 0], 1.0) * w - 0.5
+    v_c = jnp.mod(1.0 - uv[..., 1], 1.0) * h - 0.5
+    dux, duy = major[..., 0] * w, -major[..., 1] * h
+    dvx, dvy = minor[..., 0] * w, -minor[..., 1] * h
+    # implicit ellipse coefficients (PBRT EWA): A x^2 + B xy + C y^2 = F
+    A = duy * duy + dvy * dvy + 1.0
+    B = -2.0 * (dux * duy + dvx * dvy)
+    C = dux * dux + dvx * dvx + 1.0
+    invF = 1.0 / jnp.maximum(A * C - B * B * 0.25, 1e-12)
+    A, B, C = A * invF, B * invF, C * invF
+
+    acc = jnp.zeros(uv.shape[:-1] + (3,))
+    wsum = jnp.zeros(uv.shape[:-1])
+    x0 = jnp.floor(u_c)
+    y0 = jnp.floor(v_c)
+    for dy in range(-EWA_TAPS, EWA_TAPS + 1):
+        for dx in range(-EWA_TAPS, EWA_TAPS + 1):
+            xs = x0 + dx
+            ys = y0 + dy
+            ex = xs - u_c
+            ey = ys - v_c
+            r2 = A * ex * ex + B * ex * ey + C * ey * ey
+            wgt = jnp.where(r2 < 1.0, jnp.exp(-2.0 * r2) - jnp.exp(-2.0), 0.0)
+            xi = jnp.mod(xs, w).astype(jnp.int32)
+            yi = (jnp.mod(ys, h) + off).astype(jnp.int32)
+            acc = acc + atlas[t, yi, xi] * wgt[..., None]
+            wsum = wsum + wgt
+    fallback = _bilinear_level(atlas, sizes, t, uv, 0)
+    ok = wsum > 1e-8
+    return jnp.where(
+        ok[..., None], acc / jnp.maximum(wsum, 1e-8)[..., None], fallback
+    )

@@ -123,6 +123,8 @@ def scene_at_time(desc: dict, t: float) -> dict:
     out = dict(desc)
     shapes = []
     for sh in desc.get("shapes", []):
+        if sh.get("type") == "deformable":
+            sh = deformable_at(sh, t)
         if "animation" in sh:
             sh = dict(sh)
             sh["to_world"] = AnimatedTransform.from_spec(sh["animation"]).eval(t)
@@ -133,4 +135,29 @@ def scene_at_time(desc: dict, t: float) -> dict:
         sensor = dict(sensor)
         sensor["to_world"] = AnimatedTransform.from_spec(sensor["animation"]).eval(t)
         out["sensor"] = sensor
+    return out
+
+
+def deformable_at(sh: dict, t: float) -> dict:
+    """Bake a "deformable" shape (keyframed vertex positions — reference
+    src/shapes/deformable.cpp's space-time mesh, re-designed as per-slice
+    vertex lerp for the stratified-time wavefronts of integrators/motion.py)
+    into a concrete trimesh at time ``t``."""
+    import numpy as np
+
+    frames = [np.asarray(v, np.float64) for v in sh["vertices_frames"]]
+    times = np.asarray(
+        sh.get("times", np.linspace(0.0, 1.0, len(frames))), np.float64
+    )
+    t = float(np.clip(t, times[0], times[-1]))
+    i = int(np.searchsorted(times, t, side="right") - 1)
+    i = max(0, min(i, len(frames) - 2)) if len(frames) > 1 else 0
+    if len(frames) == 1:
+        v = frames[0]
+    else:
+        w = (t - times[i]) / max(times[i + 1] - times[i], 1e-12)
+        v = frames[i] * (1.0 - w) + frames[i + 1] * w
+    out = {k: val for k, val in sh.items() if k not in ("vertices_frames", "times")}
+    out["type"] = "trimesh"
+    out["vertices"] = v
     return out

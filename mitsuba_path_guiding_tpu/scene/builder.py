@@ -26,6 +26,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.accel.bvh import build_bvh
+
+# triangle count above which the scene gets two-level intersection tables
+TWOLEVEL_MIN_TRIS = 65536
 from mitsuba_path_guiding_tpu.accel.traverse import STACK_SIZE
 from mitsuba_path_guiding_tpu.core.spectrum import LUM_WEIGHTS
 from mitsuba_path_guiding_tpu.scene.shapes import SHAPE_BUILDERS
@@ -668,6 +671,13 @@ def build_scene(desc: dict) -> SceneData:
 
     p0h, e1h, e2h = h["p0"], h["e1"], h["e2"]
     bvh = build_bvh(p0h, e1h, e2h)
+    # two-level tables for scenes beyond the all-pairs kernel's range
+    # (ops/intersect_twolevel.py; the TPU answer to skdtree.h scaling)
+    blocks = None
+    if T >= TWOLEVEL_MIN_TRIS:
+        from mitsuba_path_guiding_tpu.ops.intersect_twolevel import build_blocks
+
+        blocks = build_blocks(p0h, e1h, e2h)
     if bvh.max_depth + 2 > STACK_SIZE:
         raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
 
@@ -813,4 +823,5 @@ def build_scene(desc: dict) -> SceneData:
         sss_packed=(
             jnp.asarray(np.stack(sss_rows)) if sss_rows else None
         ),
+        blocks=blocks,
     )

@@ -517,6 +517,13 @@ SHAPE_BUILDERS = {
         bool(props.get("shading_normals", True)),
     ),
     "hair": make_hair,
+    # keyframed vertex animation (reference shapes/deformable.cpp); built
+    # directly it bakes at t=0 — scene_at_time() lerps other times
+    "deformable": lambda props: Mesh(
+        __import__("mitsuba_path_guiding_tpu.scene.animation", fromlist=["deformable_at"])
+        .deformable_at(props, float(props.get("time", 0.0)))["vertices"],
+        props["faces"], props.get("normals"), props.get("uvs"),
+    ),
 }
 
 

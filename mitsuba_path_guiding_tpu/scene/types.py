@@ -227,6 +227,9 @@ class SceneData(NamedTuple):
     # dipole.cpp): rows indexed by shade_packed[27]; layout
     # 0:3 sigma_a, 3:6 sigma_s_prime, 6 eta, 7 scale, 8:16 pad
     sss_packed: jnp.ndarray = None  # (S, 16) float32 or None
+    # two-level intersection tables (ops/intersect_twolevel.py), built for
+    # scenes above the all-pairs kernel's economic range; None otherwise
+    blocks: object = None  # BlockTable or None
 
 
 def pad_to(arr: np.ndarray, n: int, fill=0):

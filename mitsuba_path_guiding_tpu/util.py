@@ -124,6 +124,10 @@ def main(argv=None):
     ser.add_argument("output")
     ser.add_argument("--index", type=int, default=0)
 
+    imp = sub.add_parser("import")  # converter/mtsimport.cpp (COLLADA/OBJ)
+    imp.add_argument("input", help=".dae or .obj file")
+    imp.add_argument("output", help="output .obj geometry dump")
+
     kb = sub.add_parser("kdbench")  # utils/kdbench.cpp (BVH here)
     kb.add_argument("mesh", help=".obj/.ply/.serialized mesh or scene .xml")
     kb.add_argument("-x", "--rays", type=int, default=1 << 20)
@@ -224,6 +228,15 @@ def main(argv=None):
                     f.write(f"f {i} {jf} {k}\n")
         print(f"wrote {args.output} ({len(mesh.faces)} faces)")
 
+    elif args.tool == "import":
+        # COLLADA/OBJ import -> compiled scene -> geometry dump (the
+        # reference mtsimport writes scene XML; geometry parity is the
+        # load path, scene authoring stays in the dict/XML schema)
+        sc = _load_any_scene(args.input)
+        p0 = np.asarray(sc.geo.p0)
+        _write_obj(args.output, p0, p0 + np.asarray(sc.geo.e1), p0 + np.asarray(sc.geo.e2))
+        print(f"imported {args.input}: {len(p0)} triangles -> {args.output}")
+
     elif args.tool == "kdbench":
         # acceleration-structure benchmark (reference utils/kdbench.cpp:
         # build + traversal throughput on arbitrary geometry)
@@ -282,6 +295,13 @@ def _load_any_scene(path: str):
         from mitsuba_path_guiding_tpu.scene.xml_loader import load_scene_xml
 
         desc, _ = load_scene_xml(path)
+        return build_scene(desc)
+    if low.endswith(".dae"):
+        from mitsuba_path_guiding_tpu.scene.collada import load_dae
+
+        desc = load_dae(path)
+        if not desc.get("emitters"):
+            desc["emitters"] = [{"type": "constant", "radiance": [1.0] * 3}]
         return build_scene(desc)
     kind = ("obj" if low.endswith(".obj") else
             "ply" if low.endswith(".ply") else

@@ -21,3 +21,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap compile-cache memory across the single-process suite: every
+    test module's jit executables are dropped afterwards (the full run
+    otherwise accumulates hundreds of compiled programs and segfaults the
+    XLA CPU compiler under memory pressure)."""
+    yield
+    import jax
+
+    jax.clear_caches()

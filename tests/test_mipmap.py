@@ -68,3 +68,39 @@ def test_textured_render_with_cone_filtering():
         render(scene, RenderConfig(width=24, height=24, spp=8, max_depth=2, seed=1))
     )
     assert np.isfinite(img).all() and 0.05 < img.mean() < 1.5
+
+
+def test_ewa_anisotropy():
+    """EWA lookups (mipmap.h EEWA): a footprint elongated ALONG a stripe
+    keeps the stripe's value; one elongated ACROSS stripes averages out."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.models.texture import (
+        build_atlas,
+        sample_atlas_ewa,
+    )
+
+    img = np.zeros((64, 64, 3), np.float32)
+    img[::4] = 1.0
+    img[1::4] = 1.0  # stripes of height 2: rows 0,1 bright, 2,3 dark...
+    atlas, sizes = build_atlas([img])
+    n = 4
+    tid = jnp.zeros((n,), jnp.int32)
+    # v=1 - (0.5+0.5)/64... pick the center of a bright stripe row pair:
+    # rows 0..1 bright -> v near the top: v = 1 - 1.0/64
+    uv = jnp.tile(jnp.asarray([[0.25, 1.0 - 1.0 / 64.0]]), (n, 1))
+    thin = 0.4 / 64.0
+    wide = 4.0 / 64.0
+    along = sample_atlas_ewa(
+        atlas, sizes, tid, uv,
+        jnp.asarray([[wide, 0.0]] * n), jnp.asarray([[0.0, thin]] * n),
+    )
+    across = sample_atlas_ewa(
+        atlas, sizes, tid, uv,
+        jnp.asarray([[0.0, wide]] * n), jnp.asarray([[thin, 0.0]] * n),
+    )
+    a = float(np.asarray(along)[0, 0])
+    c = float(np.asarray(across)[0, 0])
+    assert a > 0.85, a            # stays on the bright stripe
+    assert abs(c - 0.5) < 0.1, c  # averages across stripes

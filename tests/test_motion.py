@@ -71,3 +71,36 @@ def test_motion_blur_smears():
     gx_s = np.abs(np.diff(sharp.mean(-1), axis=1)).max()
     gx_b = np.abs(np.diff(blurred.mean(-1), axis=1)).max()
     assert gx_b < gx_s * 0.8, (gx_s, gx_b)
+
+
+def test_deformable_shape_lerp_and_blur():
+    """deformable.cpp analogue: keyframed vertex positions lerp per time
+    slice; motion blur over the deformation smears."""
+    from mitsuba_path_guiding_tpu.scene.animation import deformable_at
+
+    v0 = 0.35 * np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], float)
+    v1 = v0 + np.array([1.0, 0.0, 0.0])
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    sh = {"type": "deformable", "vertices_frames": [v0, v1], "faces": f,
+          "bsdf": {"type": "diffuse", "reflectance": [0.8, 0.2, 0.2]}}
+    mid = deformable_at(sh, 0.5)
+    np.testing.assert_allclose(mid["vertices"], 0.5 * (v0 + v1))
+    assert mid["type"] == "trimesh"
+
+    def scene(shape):
+        return {
+            "sensor": {"type": "orthographic",
+                       "to_world": look_at([0, 0, -3], [0, 0, 0])},
+            "shapes": [shape],
+            "emitters": [{"type": "constant", "radiance": [1.0] * 3}],
+        }
+
+    cfg = RenderConfig(width=24, height=24, spp=8, max_depth=2, seed=0)
+    img = np.asarray(render_motion_blur(scene(sh), cfg, time_bins=4))
+    sharp_sh = dict(sh, vertices_frames=[v0, v0])
+    sharp = np.asarray(render_motion_blur(scene(sharp_sh), cfg, time_bins=2))
+    assert np.isfinite(img).all()
+    # blur spreads the red plane (red-dominant pixels) over more columns
+    cover_blur = (img[..., 0] > 1.5 * img[..., 2]).mean()
+    cover_sharp = (sharp[..., 0] > 1.5 * sharp[..., 2]).mean()
+    assert cover_blur > cover_sharp, (cover_blur, cover_sharp)
