@@ -238,10 +238,13 @@ def trace(
         if textured or bumped:
             from mitsuba_path_guiding_tpu.models.texture import sample_atlas
 
+            # one packed material-row gather serves the texture machinery
+            # (UV tiling factors, wireframe params); CSEs with the BSDF's
+            mrow = gather_rows_t(mats.packed, mid)  # (32, N)
             uv_hit = jnp.stack(
                 [
-                    b0 * row[12] + hit.u * row[14] + hit.v * row[16],
-                    b0 * row[13] + hit.u * row[15] + hit.v * row[17],
+                    (b0 * row[12] + hit.u * row[14] + hit.v * row[16]) * mrow[25],
+                    (b0 * row[13] + hit.u * row[15] + hit.v * row[17]) * mrow[26],
                 ],
                 axis=-1,
             )
@@ -279,8 +282,6 @@ def trace(
                 val = jnp.where((tid == -3)[..., None], vc, val)
             # wireframe (wireframe.cpp): barycentric edge distance < width
             # selects the edge color; the material row carries both colors
-            # (this gather CSEs with the BSDF's own packed-row gather)
-            mrow = gather_rows_t(mats.packed, mid)  # (32, N)
             lw = mrow[24]
             edge = jnp.minimum(jnp.minimum(b0, hit.u), hit.v) < lw
             wire_val = jnp.where(

@@ -48,17 +48,20 @@ TAG_TRACK_NEE = 3 << 20
 
 
 def transmittance(sigma_t: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
-    """(N,) distances -> (N,3) closed-form homogeneous transmittance."""
+    """(N,) distances -> (N,3) closed-form homogeneous transmittance.
+    ``sigma_t``: (3,) constant or (N,3) per-lane (directional media)."""
     d = jnp.minimum(dist, 1e7)  # exp(-sigma*inf) underflow guard
-    return jnp.exp(-sigma_t[None, :] * d[..., None])
+    st = sigma_t if sigma_t.ndim > 1 else sigma_t[None, :]
+    return jnp.exp(-st * d[..., None])
 
 
 def _distance_pdfs(sigma_t: jnp.ndarray, t: jnp.ndarray):
     """Balance-heuristic channel-averaged pdfs for sampled distance t:
     (pdf_medium(t), P_surface_beyond(t)) — homogeneous.cpp's per-channel
-    sampling strategies combined with equal channel weights."""
-    st = sigma_t[None, :]  # (1, 3)
-    ex = jnp.exp(-st * t[..., None])  # (N, 3)
+    sampling strategies combined with equal channel weights.
+    ``sigma_t``: (3,) or (N,3)."""
+    st = sigma_t if sigma_t.ndim > 1 else sigma_t[None, :]
+    ex = jnp.exp(-st * jnp.minimum(t, 1e7)[..., None])  # (N, 3)
     pdf_t = jnp.mean(st * ex, axis=-1)
     p_pass = jnp.mean(ex, axis=-1)
     return pdf_t, p_pass
@@ -95,6 +98,25 @@ def trace_vol(
     sigma_s = med.sigma_s
     g_hg = med.phase_g
 
+    # microflake media have DIRECTIONAL extinction: sigma_t(w) scales with
+    # the flakes' projected area along w (reference microflake.cpp's
+    # sigmaT coupling through Medium; phase tables in models/phase.py).
+    # The factor is normalized by the direction-averaged sigma (aux[3]) so
+    # user-specified sigma_a/sigma_s keep their mean meaning.
+    from mitsuba_path_guiding_tpu.models.phase import PhaseKind, _mf_sigma_t
+
+    directional = (
+        phase_kind == PhaseKind.MICROFLAKE
+        and not hetero
+        and med.sigt_table is not None
+    )
+
+    def dir_factor(w):
+        cosw = jnp.abs(dot(w, jnp.broadcast_to(med.orientation, w.shape)))
+        return _mf_sigma_t(med.sigt_table, cosw) / jnp.maximum(
+            med.phase_aux[3], 1e-9
+        )
+
     def intersect(o, d):
         return intersect_bvh(geo, bvh, o, d) if use_bvh else intersect_brute(geo, o, d)
 
@@ -116,6 +138,8 @@ def trace_vol(
         if hetero:
             tkn = _track_keys(rkeys, depth, TAG_TRACK_NEE)
             tr = transmittance_ratio(med, o, d, dist, tkn)
+        elif directional:
+            tr = transmittance(sigma_t[None, :] * dir_factor(d)[..., None], dist)
         else:
             tr = transmittance(sigma_t, dist)
         return vis * tr
@@ -136,7 +160,10 @@ def trace_vol(
     # config 4): a per-cell scalar flux proxy computed ONCE per wavefront
     # from the fitted cache, used to build piecewise-constant collision
     # densities along each medium ray inside the bounce loop
-    use_guided_dist = guide_distance and (guide is not None) and not hetero
+    use_guided_dist = (
+        guide_distance and (guide is not None) and not hetero
+        and phase_kind != 3  # PhaseKind.MICROFLAKE: directional sigma_t
+    )
     if use_guided_dist:
         from mitsuba_path_guiding_tpu.guiding.distance import cell_flux
 
@@ -167,7 +194,15 @@ def trace_vol(
             # --- homogeneous distance sampling with channel balance
             # heuristic: pick channel uniformly, invert its exponential CDF
             ch = jnp.clip((u[..., 9] * 3.0).astype(jnp.int32), 0, 2)
-            st_ch = jnp.maximum(sigma_t[ch], 1e-12)
+            if directional:
+                st_eff = sigma_t[None, :] * dir_factor(d)[..., None]  # (N,3)
+                ss_eff = sigma_s[None, :] * dir_factor(d)[..., None]
+                st_ch = jnp.maximum(
+                    jnp.take_along_axis(st_eff, ch[:, None], axis=1)[:, 0], 1e-12
+                )
+            else:
+                st_eff, ss_eff = sigma_t, sigma_s[None, :]
+                st_ch = jnp.maximum(sigma_t[ch], 1e-12)
             t_med = -jnp.log(jnp.maximum(1.0 - u[..., 10], 1e-12)) / st_ch
             medium_on = jnp.max(sigma_t) > 0.0
             t_med = jnp.where(medium_on, t_med, INFD)
@@ -211,9 +246,9 @@ def trace_vol(
             # volpath.cpp:104): medium events weight by pdf(t_med); surface
             # events weight by the probability that the sampled distance
             # passed t_surf
-            pdf_t, _ = _distance_pdfs(sigma_t, t_med)
-            tr_surf = transmittance(sigma_t, t_surf)
-            _, p_pass = _distance_pdfs(sigma_t, t_surf)
+            pdf_t, _ = _distance_pdfs(st_eff, t_med)
+            tr_surf = transmittance(st_eff, t_surf)
+            _, p_pass = _distance_pdfs(st_eff, t_surf)
             if use_guided_dist:
                 # mixture density for the realized medium event; only the
                 # analytic branch can pass the surface, so the pass
@@ -221,8 +256,8 @@ def trace_vol(
                 pdf_g_t = piecewise_pdf(w_seg, dt_seg, tot_seg, t_med)
                 pdf_t = beta * pdf_g_t + (1.0 - beta) * pdf_t
                 p_pass = (1.0 - beta) * p_pass
-            tr_med = transmittance(sigma_t, t_med)
-            w_medium = sigma_s[None, :] * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
+            tr_med = transmittance(st_eff, t_med)
+            w_medium = ss_eff * tr_med / jnp.maximum(pdf_t, 1e-30)[..., None]
             w_surface = tr_surf / jnp.maximum(p_pass, 1e-30)[..., None]
             T = jnp.where(
                 is_medium[..., None],

@@ -166,8 +166,10 @@ def microflake_tables(stddev: float, n: int = 64):
     )
     sig = (dots.mean(-1) * D[None, :]).sum(-1) * (2.0 / nt) * (2.0 * np.pi)
     aux = np.array(
-        [s, norm, math.erf(1.0 / (math.sqrt(2.0) * s)), 0.0], dtype=np.float32
-    )
+        [s, norm, math.erf(1.0 / (math.sqrt(2.0) * s)), float(sig.mean())],
+        dtype=np.float32,
+    )  # aux[3] = direction-averaged sigma (normalizer for the directional
+    #   extinction coupling in integrators/volpath.py)
     return aux, sig.astype(np.float32)
 
 

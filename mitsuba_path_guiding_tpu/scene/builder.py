@@ -100,6 +100,46 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
     index) and store the indices in sub_a/sub_b; bumpmap/normalmap
     wrappers compile to the child row plus bump fields."""
     t = spec.get("type", "diffuse")
+    if t == "irawan":
+        # woven cloth (reference bsdfs/irawan.cpp): the weave compiles to
+        # a kd texture + relief normal map + anisotropic specular blend
+        # at build time (models/cloth.py)
+        from mitsuba_path_guiding_tpu.models.cloth import (
+            PLAIN_WEAVE,
+            parse_weave,
+            rasterize_weave,
+        )
+
+        if register_sub is None:
+            raise ValueError("irawan may not be nested inside another wrapper")
+        if "filename" in spec:
+            with open(spec["filename"]) as fh:
+                text = fh.read()
+        else:
+            text = spec.get("weave", PLAIN_WEAVE)
+        wp = parse_weave(text)
+        kd_img, nrm_img, mean_ks, a_u, a_v, w_spec = rasterize_weave(wp)
+        row = _compile_bsdf(
+            {
+                "type": "blendbsdf",
+                "weights": [1.0 - w_spec, w_spec],
+                "bsdfs": [
+                    {"type": "diffuse"},
+                    {"type": "ward", "alpha_u": a_u, "alpha_v": a_v,
+                     "specular_reflectance": [float(x) for x in mean_ks]},
+                ],
+            },
+            textures, register_sub,
+        )
+        if textures is not None:
+            textures.append(kd_img)
+            row["texture_id"] = len(textures) - 1
+            textures.append(nrm_img)
+            row["bump_tex_id"] = len(textures) - 1
+        row["uv_scale"] = (
+            float(spec.get("repeatU", 1.0)), float(spec.get("repeatV", 1.0))
+        )
+        return row
     if t in ("bumpmap", "normalmap"):
         if register_sub is None:
             raise ValueError(f"{t} not allowed here")
@@ -701,6 +741,8 @@ def build_scene(desc: dict) -> SceneData:
         [np.asarray(m.get("wire_edge", (0.0, 0.0, 0.0)), np.float32) for m in mat_rows]
     )
     mpk[:, 24] = [m.get("wire_lw", 0.0) for m in mat_rows]
+    # UV tiling factors applied before atlas/normal-map fetches
+    mpk[:, 25:27] = [m.get("uv_scale", (1.0, 1.0)) for m in mat_rows]
     mats = Materials(
         type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
         reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),

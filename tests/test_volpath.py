@@ -241,3 +241,36 @@ def test_hg_forward_peak_convention():
     wo, _ = phase_sample(-d, jnp.full((20000,), 0.9), u)  # wi = -d
     mean_fwd = float(jnp.mean(jnp.sum(wo * d, -1)))
     assert mean_fwd > 0.85, mean_fwd
+
+
+def test_microflake_directional_extinction():
+    """Directional sigma_t coupling (microflake.cpp): transmittance along
+    the fiber axis exceeds transmittance across it (projected flake area
+    is smallest along the axis for small stddev), and renders reflect it."""
+    from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
+    from mitsuba_path_guiding_tpu.models.phase import PhaseKind, _mf_sigma_t
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import volumetric_box
+
+    med = _fiber_medium("microflake", stddev=0.25)
+    # sigma table: smallest projected area along the fiber (cos=1)
+    along = float(_mf_sigma_t(med.sigt_table, jnp.asarray([1.0]))[0])
+    across = float(_mf_sigma_t(med.sigt_table, jnp.asarray([0.0]))[0])
+    assert along < across, (along, across)
+
+    # e2e: the same scene, fiber along +z (the camera axis) vs +x, differs
+    def render_axis(axis):
+        desc = volumetric_box(sigma_s=0.6, sigma_a=0.1, g=0.0)
+        desc["medium"]["phase"] = "microflake"
+        desc["medium"]["stddev"] = 0.25
+        desc["medium"]["orientation"] = axis
+        sc = build_scene(desc)
+        from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+
+        return np.asarray(render(sc, RenderConfig(width=16, height=16, spp=32, max_depth=6, seed=0)))
+
+    img_z = render_axis([0.0, 0.0, 1.0])
+    img_x = render_axis([1.0, 0.0, 0.0])
+    assert np.isfinite(img_z).all() and np.isfinite(img_x).all()
+    rel = abs(img_z.mean() - img_x.mean()) / max(img_z.mean(), 1e-9)
+    assert rel > 0.02, rel
