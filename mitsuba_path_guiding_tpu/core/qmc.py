@@ -100,23 +100,94 @@ def sobol_direction_numbers(n_dims: int):
     return _sobol_cache[n_dims]
 
 
+def sobol_bits(idx: jnp.ndarray, sv: jnp.ndarray) -> jnp.ndarray:
+    """Raw Sobol digits: (N, D) uint32 aligned to 2^30."""
+    idx = idx.astype(jnp.uint32)
+    acc = jnp.zeros(idx.shape + (sv.shape[0],), jnp.uint32)
+    for k in range(_SOBOL_BITS):
+        bit = ((idx >> k) & jnp.uint32(1)).astype(jnp.uint32)
+        acc = acc ^ (bit[..., None] * sv[None, :, k])
+    return acc
+
+
 def sobol_point(idx: jnp.ndarray, sv: jnp.ndarray, shift_bits=None) -> jnp.ndarray:
     """Sobol points for uint32 sample indices.
 
     idx: (N,) uint32; sv: (D, 30) direction numbers; shift_bits: optional
     (N, D) or (D,) uint32 digital-shift scrambling (XOR).  Returns (N, D)
     floats in [0, 1)."""
-    idx = idx.astype(jnp.uint32)
-    acc = jnp.zeros(idx.shape + (sv.shape[0],), jnp.uint32)
-    for k in range(_SOBOL_BITS):
-        bit = ((idx >> k) & jnp.uint32(1)).astype(jnp.uint32)
-        acc = acc ^ (bit[..., None] * sv[None, :, k])
+    acc = sobol_bits(idx, sv)
     if shift_bits is not None:
         acc = acc ^ shift_bits.astype(jnp.uint32)
     return jnp.minimum(
         acc.astype(jnp.float32) * jnp.float32(2.0 ** -_SOBOL_BITS),
         1.0 - 1e-7,
     )
+
+
+def _shift_bits(u: jnp.ndarray) -> jnp.ndarray:
+    """Uniforms in [0,1) -> uint32 digital-shift masks below 2^30."""
+    return (u * jnp.float32(2.0**_SOBOL_BITS)).astype(jnp.uint32) & jnp.uint32(
+        (1 << _SOBOL_BITS) - 1
+    )
+
+
+def _reverse_bits32(x: jnp.ndarray) -> jnp.ndarray:
+    x = (x >> 16) | (x << 16)
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+    return x
+
+
+def owen_scramble(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Hash-based Owen scrambling of MSB-aligned uint32 Sobol' digits
+    (Laine-Karras permutation, Burley's practical-hash variant).  Unlike a
+    plain digital shift, this breaks the raw sequence's structured 2D
+    projections between higher dims — required for the bounce-dim QMC to
+    actually reduce variance."""
+    x = _reverse_bits32(x)
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return _reverse_bits32(x)
+
+
+def sobol_path_uniforms(
+    rkeys: jnp.ndarray,
+    pkeys: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    max_depth: int,
+    n_qmc_bounces: int,
+    n_dims: int = 9,
+) -> jnp.ndarray:
+    """(n_dims*max_depth, N) dim-major PSS coordinates for
+    ``trace(uniforms=...)``: the first ``n_qmc_bounces`` bounces draw their
+    NEE/BSDF/guide/RR dims from the Sobol' sequence (dims 2..2+9b — the
+    camera pair owns dims 0,1, matching the reference's global-dimension
+    allocation in src/samplers/sobol.cpp), Owen-scrambled with PER-PIXEL
+    seeds (``pkeys`` — seeds must not vary with the sample index or the
+    sequence degrades to independent sampling); deeper bounces keep the
+    plain per-sample threefry stream (``rkeys``) ``trace`` would have drawn
+    itself.
+    """
+    from mitsuba_path_guiding_tpu.core import rng as rng_mod
+
+    nb = min(n_qmc_bounces, max_depth)
+    d_qmc = n_dims * nb
+    sv = sobol_direction_numbers(2 + d_qmc)[2:]
+    seeds = rng_mod.event_bits(pkeys, rng_mod.TAG_QMC_SHIFT, d_qmc)  # (N, d_qmc)
+    bits = owen_scramble(sobol_bits(sample_idx, sv) << 2, seeds)
+    pts = jnp.minimum(
+        bits.astype(jnp.float32) * jnp.float32(2.0**-32), 1.0 - 1e-7
+    )  # (N, d_qmc)
+    rows = [jnp.moveaxis(pts, -1, 0)]
+    for depth in range(nb, max_depth):
+        rows.append(jnp.moveaxis(rng_mod.bounce_uniform(rkeys, depth, n_dims), -1, 0))
+    return jnp.concatenate(rows, axis=0)
 
 
 def sobol_2d(sample_idx: jnp.ndarray, pixel_uniform: jnp.ndarray) -> jnp.ndarray:

@@ -96,12 +96,10 @@ class ProgressiveRenderer:
 
     def _wave(self, pixel_id, sample_idx, train: bool):
         r = self.cfg.render
-        key = rng.base_key(r.seed)
-        rkeys = rng.ray_keys(key, pixel_id, sample_idx)
-        u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
-        from mitsuba_path_guiding_tpu.integrators.render import _has_bump, _textured, camera_jitter
+        from mitsuba_path_guiding_tpu.integrators.render import (
+            _has_bump, _textured, wave_keys_and_jitter)
 
-        u_pos = camera_jitter(r, sample_idx, u_cam)
+        _, rkeys, u_cam, u_pos = wave_keys_and_jitter(r, pixel_id, sample_idx)
         o, d, film_xy = generate_rays(
             self.scene.sensor, r.width, r.height, pixel_id, u_pos, u_cam[..., 2:4],
             kind=int(self.scene.sensor.kind),

@@ -68,19 +68,44 @@ def _cone_angle(scene, cfg) -> float:
     return 0.0
 
 
-def camera_jitter(cfg, sample_idx, u_cam):
+QMC_PIXEL_SAMPLERS = ("sobol", "ldsampler", "halton", "hammersley")
+
+
+def wave_keys_and_jitter(cfg, pixel_id, sample_idx):
+    """Shared RNG/jitter derivation for every wave path (single-device,
+    sharded, progressive) — keeps N-device renders bitwise equal to
+    1-device ones.  Returns (pkeys, rkeys, u_cam, u_pos)."""
+    key = rng.base_key(cfg.seed)
+    pkeys = rng.pixel_keys(key, pixel_id)
+    rkeys = jax.vmap(jax.random.fold_in)(pkeys, sample_idx)
+    u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
+    u_pix = None
+    if cfg.sampler in QMC_PIXEL_SAMPLERS:
+        u_pix = rng.event_uniform(pkeys, TAG_CAMERA, 2)
+    u_pos = camera_jitter(cfg, sample_idx, u_cam, u_pix)
+    return pkeys, rkeys, u_cam, u_pos
+
+
+def camera_jitter(cfg, sample_idx, u_cam, u_pix=None):
     """Sub-pixel jitter by sampler type (reference sampler plugin family):
-    independent (pure random), stratified grid, or Halton(2,3) with
-    per-pixel Cranley-Patterson rotation — all counter-based."""
+    independent (pure random), stratified grid, or Halton(2,3)/Sobol with
+    per-pixel Cranley-Patterson rotation — all counter-based.
+
+    ``u_pix``: (N,2) PIXEL-only uniforms (fixed across the pixel's sample
+    sequence) for the CP rotation / digital shift.  A per-sample shift
+    silently degrades the low-discrepancy families to independent sampling
+    (measured: no variance reduction at all)."""
+    if u_pix is None:
+        u_pix = u_cam[..., 0:2]
     if cfg.sampler in ("sobol", "ldsampler"):
         # ldsampler.cpp's (0,2)-sequence IS the first two Sobol dims
         from mitsuba_path_guiding_tpu.core.qmc import sobol_2d
 
-        return sobol_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
+        return sobol_2d(sample_idx.astype(jnp.uint32), u_pix)
     if cfg.sampler == "halton":
         from mitsuba_path_guiding_tpu.core.qmc import halton_2d
 
-        return halton_2d(sample_idx.astype(jnp.uint32), u_cam[..., 0:2])
+        return halton_2d(sample_idx.astype(jnp.uint32), u_pix)
     if cfg.sampler == "hammersley":
         # hammersley.cpp: (i/N, radicalInverse_2(i)) + per-pixel CP rotation
         from mitsuba_path_guiding_tpu.core.qmc import cp_rotate, radical_inverse
@@ -93,7 +118,7 @@ def camera_jitter(cfg, sample_idx, u_cam):
             ],
             axis=-1,
         )
-        return cp_rotate(pts, u_cam[..., 0:2])
+        return cp_rotate(pts, u_pix)
     if cfg.sampler == "stratified":
         from mitsuba_path_guiding_tpu.core.qmc import stratified_2d
 
@@ -119,6 +144,10 @@ class RenderConfig(NamedTuple):
     sampler: str = "independent"      # "independent" | "stratified" | "halton"
                                       # (camera-jitter dims; reference
                                       # src/samplers/ family)
+    qmc_bounces: int = 0              # >0: scrambled-Sobol PSS dims for the
+                                      # first N bounces (surface path only;
+                                      # extends sobol.cpp's global dims past
+                                      # the camera pair)
 
 
 def render_wave(
@@ -152,10 +181,7 @@ def render_wave(
 
         guide = make_guide_fn(0.0, mat_types)
         guide_state = trivial_grid()
-    key = rng.base_key(cfg.seed)
-    rkeys = rng.ray_keys(key, pixel_id, sample_idx)
-    u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
-    u_pos = camera_jitter(cfg, sample_idx, u_cam)
+    pkeys, rkeys, u_cam, u_pos = wave_keys_and_jitter(cfg, pixel_id, sample_idx)
     o, d, film_xy = generate_rays(
         scene.sensor,
         cfg.width,
@@ -188,11 +214,19 @@ def render_wave(
             phase_kind=int(scene.medium.phase_kind),
         )
     else:
+        uniforms = None
+        if cfg.qmc_bounces > 0:
+            from mitsuba_path_guiding_tpu.core.qmc import sobol_path_uniforms
+
+            uniforms = sobol_path_uniforms(
+                rkeys, pkeys, sample_idx, cfg.max_depth, cfg.qmc_bounces
+            )
         L, aux, _ = trace(
             scene,
             o,
             d,
             rkeys,
+            uniforms=uniforms,
             max_depth=cfg.max_depth,
             rr_depth=cfg.rr_depth,
             use_nee=cfg.use_nee,

@@ -52,12 +52,9 @@ from mitsuba_path_guiding_tpu.models.emitter import ALL_KINDS
 
 def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None, sensor_kind=0):
     """Per-device wave: trace the local pixel shard (pure, shard-oblivious)."""
-    key = rng.base_key(cfg.seed)
-    rkeys = rng.ray_keys(key, pixel_id, sample_idx)
-    u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 4)
-    from mitsuba_path_guiding_tpu.integrators.render import camera_jitter
+    from mitsuba_path_guiding_tpu.integrators.render import wave_keys_and_jitter
 
-    u_pos = camera_jitter(cfg, sample_idx, u_cam)
+    _, rkeys, u_cam, u_pos = wave_keys_and_jitter(cfg, pixel_id, sample_idx)
     o, d, film_xy = generate_rays(
         scene.sensor, cfg.width, cfg.height, pixel_id, u_pos, u_cam[..., 2:4],
         kind=sensor_kind,

@@ -138,12 +138,43 @@ def test_sampler_families_render(cornell=None):
     from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
 
     scene = build_scene(cornell_box())
-    imgs = {}
-    for smp in ("independent", "ldsampler", "hammersley"):
+    # converged reference mean (a low-spp independent base is itself too
+    # noisy to compare against — firefly-dominated at 12x12)
+    ref = np.asarray(
+        render(scene, RenderConfig(width=12, height=12, spp=96, max_depth=3, seed=9))
+    ).mean()
+    for smp in ("ldsampler", "hammersley"):
         cfg = RenderConfig(width=12, height=12, spp=16, max_depth=3, seed=2,
                            sampler=smp)
-        imgs[smp] = np.asarray(render(scene, cfg))
-        assert np.isfinite(imgs[smp]).all(), smp
-    base = imgs["independent"].mean()
-    for smp in ("ldsampler", "hammersley"):
-        assert abs(imgs[smp].mean() / base - 1.0) < 0.1, smp
+        img = np.asarray(render(scene, cfg))
+        assert np.isfinite(img).all(), smp
+        assert abs(img.mean() / ref - 1.0) < 0.12, (smp, img.mean(), ref)
+
+
+def test_qmc_bounce_dims_reduce_variance():
+    """RenderConfig.qmc_bounces: scrambled-Sobol PSS dims for the first
+    bounces must cut MSE vs the independent sampler at equal spp
+    (reference sobol.cpp extended past the camera dims)."""
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+
+    scene = build_scene(cornell_box())
+    base = RenderConfig(width=24, height=24, spp=12, max_depth=3)
+    ref = np.asarray(render(scene, base._replace(spp=192, seed=17)))
+    # MSE is firefly-dominated and seed-volatile -> average over seeds
+    mse_ind = mse_qmc = 0.0
+    mean_qmc = []
+    for seed in (1, 2, 3):
+        b = base._replace(seed=seed)
+        mse_ind += np.mean((np.asarray(render(scene, b)) - ref) ** 2)
+        qmc = np.asarray(render(scene, b._replace(sampler="sobol", qmc_bounces=2)))
+        mse_qmc += np.mean((qmc - ref) ** 2)
+        mean_qmc.append(qmc.mean())
+    assert np.isfinite(mse_qmc)
+    # Owen-scrambled Sobol camera + bounce dims: >=25% MSE cut at equal spp
+    assert mse_qmc < 0.75 * mse_ind, (mse_qmc, mse_ind)
+    # and unbiased: image means agree within Monte Carlo noise
+    assert abs(np.mean(mean_qmc) - ref.mean()) < 0.01, (np.mean(mean_qmc), ref.mean())
