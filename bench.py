@@ -64,6 +64,7 @@ def main():
     levels = active_levels(grid)
     guide = make_guide_fn(0.5, mat_types, levels=levels)
 
+    N_WAVES = 16  # waves per timed dispatch window
     n_pix = W * H
     base_pix = jnp.arange(n_pix, dtype=jnp.int32)
     pix = jnp.tile(base_pix, SPP_PER_WAVE)
@@ -79,22 +80,37 @@ def main():
         mesh = make_device_mesh(dev)
         step = make_sharded_step(scene, cfg, mesh, guide=guide, train=True)
 
-        def wave(rgbw, grid, wave_idx, fit=True):
-            sidx = jnp.repeat(
-                jnp.arange(wave_idx * SPP_PER_WAVE, (wave_idx + 1) * SPP_PER_WAVE, dtype=jnp.int32),
-                n_pix,
-            )
-            rgbw, stats, n_seg = step(pix, sidx, rgbw, grid)
-            if fit and stats is not None:
-                grid = update_grid(grid, *stats)
-            return rgbw, grid, n_seg
+        def wave(rgbw, grid, wave_idx, fit=True, n_waves=1):
+            segs = jnp.int32(0)
+            for w in range(n_waves):
+                sidx = jnp.repeat(
+                    jnp.arange(
+                        (wave_idx + w) * SPP_PER_WAVE,
+                        (wave_idx + w + 1) * SPP_PER_WAVE,
+                        dtype=jnp.int32,
+                    ),
+                    n_pix,
+                )
+                rgbw, stats, n_seg = step(pix, sidx, rgbw, grid)
+                if fit and stats is not None:
+                    grid = update_grid(grid, *stats)
+                segs = segs + n_seg
+            return rgbw, grid, segs
     else:
         from functools import partial
 
-        # one fused jit per wave — unjitted RNG/raygen ops each cost a
-        # ~3ms dispatch through the device tunnel
-        @partial(jax.jit, static_argnames=("fit",), donate_argnums=(0,))
-        def _wave_jit(rgbw, grid, sidx, fit=True):
+        # one fused jit per wave BATCH: the device tunnel costs ~25-200 ms
+        # of fixed overhead per blocking dispatch (tools/profile_trace.py),
+        # so a progression's waves run as a lax.scan inside ONE dispatch —
+        # also the right progressive-renderer shape (the reference batches
+        # BlockedRenderProcesses per progression, progressiveintegrator
+        # .cpp:83-105; here the batch is a compiled scan)
+        def _one_wave(rgbw, grid, wave_idx, fit):
+            sidx_base = wave_idx * SPP_PER_WAVE
+            sidx = (
+                jnp.repeat(jnp.arange(SPP_PER_WAVE, dtype=jnp.int32), n_pix)
+                + sidx_base
+            )
             rkeys = rng.ray_keys(key, pix, sidx)
             u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
             o, d, film_xy = generate_rays(scene.sensor, W, H, pix, u_cam)
@@ -108,43 +124,49 @@ def main():
                 grid = update_grid(grid, *accumulate_stats(grid, rec, levels=levels))
             return rgbw, grid, jnp.sum(aux.n_bounces)
 
-        def wave(rgbw, grid, wave_idx, fit=True):
-            sidx = jnp.repeat(
-                jnp.arange(wave_idx * SPP_PER_WAVE, (wave_idx + 1) * SPP_PER_WAVE, dtype=jnp.int32),
-                n_pix,
+        @partial(jax.jit, static_argnames=("fit", "n_waves"), donate_argnums=(0,))
+        def _waves_jit(rgbw, grid, wave0, fit=True, n_waves=1):
+            def body(carry, i):
+                rgbw, grid, segs = carry
+                rgbw, grid, n_seg = _one_wave(rgbw, grid, wave0 + i, fit)
+                return (rgbw, grid, segs + n_seg), None
+
+            init = (rgbw, grid, jnp.int32(0))
+            (rgbw, grid, segs), _ = jax.lax.scan(
+                body, init, jnp.arange(n_waves, dtype=jnp.int32)
             )
-            return _wave_jit(rgbw, grid, sidx, fit=fit)
+            return rgbw, grid, segs
+
+        def wave(rgbw, grid, wave_idx, fit=True, n_waves=1):
+            return _waves_jit(
+                rgbw, grid, jnp.int32(wave_idx), fit=fit, n_waves=n_waves
+            )
 
     # --- warmup + guiding training (compile happens here)
     t0 = time.time()
-    rgbw, grid, n_seg0 = wave(rgbw, grid, 0)
+    rgbw, grid, n_seg0 = wave(rgbw, grid, 0, fit=True, n_waves=4)
     jax.block_until_ready(rgbw)
-    log(f"compile+first wave: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for i in range(1, 4):
-        rgbw, grid, _ = wave(rgbw, grid, i)
-    jax.block_until_ready(rgbw)
-    log(f"training waves: {time.time() - t0:.1f}s; valid cells: "
+    log(f"compile+4 training waves: {time.time() - t0:.1f}s; valid cells: "
         f"{int(np.asarray(grid.valid).sum())}")
 
     # warm up the frozen-cache (no-records) program too
-    rgbw, _, _ = wave(rgbw, grid, 4, fit=False)
+    rgbw, _, _ = wave(rgbw, grid, 4, fit=False, n_waves=N_WAVES)
     jax.block_until_ready(rgbw)
 
-    # --- timed measurement: guided rendering, cache frozen; best of 3
-    # windows (the tunnel occasionally deschedules the chip)
-    N_WAVES = 8
+    # --- timed measurement: guided rendering, cache frozen; one dispatch
+    # per window (waves scanned inside the program — the tunnel's fixed
+    # per-dispatch overhead would otherwise dominate); best of 3 windows
+    # (the tunnel occasionally deschedules the chip)
     best_dt = None
     seg_total = 0
     for window in range(3):
         t0 = time.time()
-        segs = []
-        for i in range(5 + window * N_WAVES, 5 + (window + 1) * N_WAVES):
-            rgbw, _, n_seg = wave(rgbw, grid, i, fit=False)
-            segs.append(n_seg)  # no host sync inside the timed loop
+        rgbw, _, n_seg = wave(
+            rgbw, grid, 5 + window * N_WAVES, fit=False, n_waves=N_WAVES
+        )
         jax.block_until_ready(rgbw)
         dt = time.time() - t0
-        seg_w = int(sum(int(x) for x in segs))
+        seg_w = int(n_seg)
         log(f"window {window}: {dt:.2f}s")
         if best_dt is None or dt < best_dt:
             best_dt, seg_total = dt, seg_w
