@@ -184,55 +184,22 @@ def write_png(path: str, img, gamma_encode: bool = True) -> None:
 
 
 def write_exr_channels(path: str, channels: dict) -> None:
-    """Minimal uncompressed scanline OpenEXR writer for arbitrary named
-    FLOAT channels (reference hdrfilm multichannel EXR output,
-    bitmap.cpp EXR path).  ``channels``: {name: (H, W) float32}."""
-    import struct
+    """ZIP-compressed scanline OpenEXR for arbitrary named FLOAT channels
+    (reference hdrfilm multichannel EXR output, bitmap.cpp EXR path —
+    the reference writes ZIP by default).  ``channels``: {name: (H, W)}."""
+    from mitsuba_path_guiding_tpu.film.exr import write_exr as _write
 
-    names = sorted(channels)  # EXR requires alphabetical channel order
-    planes = [np.asarray(channels[n], dtype=np.float32) for n in names]
-    h, w = planes[0].shape
-    for p in planes:
-        assert p.shape == (h, w), "all channels must share the resolution"
-
-    def attr(name, type_, data):
-        return name.encode() + b"\x00" + type_.encode() + b"\x00" + struct.pack("<I", len(data)) + data
-
-    ch = b""
-    for cname in names:
-        ch += cname.encode() + b"\x00" + struct.pack("<IiII", 2, 0, 1, 1)
-    ch += b"\x00"
-
-    header = b""
-    header += attr("channels", "chlist", ch)
-    header += attr("compression", "compression", b"\x00")  # none
-    header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
-    header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
-    header += attr("lineOrder", "lineOrder", b"\x00")
-    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
-    header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
-    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
-    header += b"\x00"
-
-    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
-    offset_table_pos = len(magic) + len(header)
-    nc = len(names)
-    scanline_size = 8 + w * 4 * nc  # y + size prefix per scanline chunk
-    first_data = offset_table_pos + 8 * h
-    offsets = b"".join(
-        struct.pack("<Q", first_data + i * scanline_size) for i in range(h)
+    _write(
+        path,
+        {n: np.asarray(v, np.float32) for n, v in channels.items()},
+        compression="zip",
+        half=False,
     )
-    body = b""
-    for y in range(h):
-        data = b"".join(p[y].tobytes() for p in planes)
-        body += struct.pack("<iI", y, len(data)) + data
-    with open(path, "wb") as f:
-        f.write(magic + header + offsets + body)
 
 
 def write_exr(path: str, img) -> None:
-    """Uncompressed scanline OpenEXR (FLOAT RGB) — the reference's primary
-    output format (hdrfilm EXR) without external deps."""
+    """ZIP-compressed scanline OpenEXR (FLOAT RGB) — the reference's
+    primary output format (hdrfilm EXR) without external deps."""
     img = np.asarray(img, dtype=np.float32)
     write_exr_channels(
         path, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]}

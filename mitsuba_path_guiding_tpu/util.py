@@ -31,52 +31,11 @@ def _read(path: str) -> np.ndarray:
 
 
 def _read_exr(path: str) -> np.ndarray:
-    """Reader for the uncompressed scanline EXRs this package writes."""
-    import struct
+    """Full scanline EXR reader (NONE/RLE/ZIP/PIZ/PXR24, half/float,
+    multichannel) — see film/exr.py."""
+    from mitsuba_path_guiding_tpu.film.exr import read_exr_rgb
 
-    with open(path, "rb") as f:
-        data = f.read()
-    assert data[:4] == bytes([0x76, 0x2F, 0x31, 0x01]), "not an EXR"
-    off = 8
-    channels = []
-    w = h = None
-    while True:
-        end = data.index(b"\x00", off)
-        name = data[off:end].decode()
-        if not name:
-            off = end + 1
-            break
-        off = end + 1
-        end = data.index(b"\x00", off)
-        typ = data[off:end].decode()
-        off = end + 1
-        (size,) = struct.unpack_from("<I", data, off)
-        off += 4
-        if name == "channels":
-            coff = off
-            while data[coff] != 0:
-                cend = data.index(b"\x00", coff)
-                channels.append(data[coff:cend].decode())
-                coff = cend + 1 + 16
-        elif name == "dataWindow":
-            x0, y0, x1, y1 = struct.unpack_from("<iiii", data, off)
-            w, h = x1 - x0 + 1, y1 - y0 + 1
-        elif name == "compression":
-            assert data[off] == 0, "only uncompressed EXR supported"
-        off += size
-    off += 8 * h  # skip offset table
-    img = np.zeros((h, w, 3), dtype=np.float32)
-    order = {c: i for i, c in enumerate(channels)}
-    for _ in range(h):
-        y, size = struct.unpack_from("<iI", data, off)
-        off += 8
-        row = np.frombuffer(data[off : off + size], dtype="<f4").reshape(len(channels), w)
-        for c, idx in order.items():
-            ch = {"R": 0, "G": 1, "B": 2}.get(c)
-            if ch is not None:
-                img[y, :, ch] = row[idx]
-        off += size
-    return img
+    return read_exr_rgb(path)
 
 
 def main(argv=None):
