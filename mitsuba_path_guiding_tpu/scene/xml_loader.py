@@ -11,13 +11,17 @@ emitters, perspective/thinlens sensors with film size, homogeneous media,
 defaults substitution (reference CLI -D, scenehandler attribute
 resolution), and integrator/sampler settings mapped onto RenderConfig.
 
-Unsupported plugin types degrade gracefully: unknown BSDFs become diffuse,
-unknown shapes/emitters raise with a clear message.
+Unknown plugin types are an ERROR by default (the reference validates
+scenes against data/schema/scene.xsd and warns on unused keys,
+scenehandler.cpp:824, properties.h:214-217 — a scene must not silently
+render wrong); pass ``strict=False`` to degrade unknown BSDFs to diffuse
+and skip unknown shapes/emitters with a warning instead.
 """
 from __future__ import annotations
 
 import os
 import re
+import warnings
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -33,7 +37,7 @@ _SUPPORTED_BSDFS = {
     "diffuse", "roughdiffuse", "conductor", "roughconductor", "dielectric",
     "thindielectric", "roughdielectric", "plastic", "roughplastic", "phong",
     "null", "twosided", "mask", "bumpmap", "normalmap", "coating", "ward",
-    "mixturebsdf", "blendbsdf",
+    "mixturebsdf", "blendbsdf", "difftrans", "hk", "irawan",
 }
 # unwrapped adapters: two-sided is the default here; bump/normal maps need
 # their texture element wired through (round-2 TODO) so they unwrap too
@@ -41,6 +45,24 @@ _WRAPPER_BSDFS = {"twosided", "bumpmap", "normalmap"}
 # wrappers that KEEP their semantics as builder dicts with a nested bsdf
 _NESTED_BSDFS = {"mask", "coating", "roughcoating"}
 _SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk", "serialized", "cylinder", "heightfield", "hair"}
+
+
+def _resolve_file(fn: str, base_dir: str) -> str:
+    """Reference FileResolver behavior (fresolver.h): relative paths are
+    searched in the scene directory, then its ancestors (fixtures refer to
+    'data/tests/x' relative to the project root), then the cwd."""
+    if os.path.isabs(fn):
+        return fn
+    d = base_dir
+    for _ in range(8):
+        cand = os.path.join(d, fn)
+        if os.path.exists(cand):
+            return cand
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return os.path.join(base_dir, fn)
 
 
 def _subst(text: str, defaults: dict) -> str:
@@ -122,12 +144,32 @@ def _props(el, defaults):
     return out
 
 
-def _parse_bsdf(el, defaults, bsdf_registry):
+def _parse_bsdf(el, defaults, bsdf_registry, strict=True):
     t = el.get("type", "diffuse")
+    # blend/mixture keep BOTH children (builder BLEND row)
+    if t in ("mixturebsdf", "blendbsdf"):
+        subs = [
+            _parse_bsdf(c, defaults, bsdf_registry, strict) for c in el.findall("bsdf")
+        ]
+        for r in el.findall("ref"):
+            if r.get("id") in bsdf_registry:
+                subs.append(bsdf_registry[r.get("id")])
+        p = _props(el, defaults)
+        if t == "mixturebsdf":
+            ws = p.get("weights", "0.5 0.5")
+            weights = [float(x) for x in re.split(r"[ ,]+", str(ws).strip()) if x]
+        else:
+            weights = [1.0 - float(p.get("weight", 0.5)), float(p.get("weight", 0.5))]
+        while len(subs) < 2:
+            subs.append({"type": "diffuse"})
+        b = {"type": t, "bsdfs": subs[:2], "weights": weights[:2]}
+        if el.get("id"):
+            bsdf_registry[el.get("id")] = b
+        return b
     if t in _WRAPPER_BSDFS or t in _NESTED_BSDFS:
         inner = el.find("bsdf")
         if inner is not None:
-            b = _parse_bsdf(inner, defaults, bsdf_registry)
+            b = _parse_bsdf(inner, defaults, bsdf_registry, strict)
         else:
             ref = el.find("ref")
             b = bsdf_registry.get(ref.get("id"), {"type": "diffuse"}) if ref is not None else {"type": "diffuse"}
@@ -148,6 +190,13 @@ def _parse_bsdf(el, defaults, bsdf_registry):
             bsdf_registry[el.get("id")] = b
         return b
     if t not in _SUPPORTED_BSDFS:
+        if strict:
+            raise ValueError(
+                f"unsupported BSDF type in XML: '{t}' (supported: "
+                f"{sorted(_SUPPORTED_BSDFS)}); pass strict=False to "
+                f"degrade unknown BSDFs to diffuse"
+            )
+        warnings.warn(f"XML: unknown BSDF '{t}' degraded to diffuse")
         b = {"type": "diffuse"}
     else:
         b = {"type": t}
@@ -189,10 +238,13 @@ def _parse_bsdf(el, defaults, bsdf_registry):
     return b
 
 
-def load_scene_xml(path_or_string: str, defaults: dict | None = None):
+def load_scene_xml(path_or_string: str, defaults: dict | None = None,
+                   strict: bool = True):
     """Parse scene XML -> (scene_desc dict, render_settings dict).
 
     ``defaults``: $key substitutions (reference mitsuba -Dkey=value).
+    ``strict``: unknown plugin types raise (reference schema validation);
+    False degrades/skips with a warning.
     render_settings carries integrator/film/sampler info: width, height,
     spp, max_depth, rr_depth, integrator type.
     """
@@ -217,7 +269,7 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
     bsdf_registry: dict = {}
 
     for b in root.findall("bsdf"):
-        _parse_bsdf(b, defaults, bsdf_registry)
+        _parse_bsdf(b, defaults, bsdf_registry, strict)
 
     integ = root.find("integrator")
     if integ is not None:
@@ -230,7 +282,14 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
         if "rrDepth" in p or "rr_depth" in p:
             settings["rr_depth"] = int(p.get("rrDepth", p.get("rr_depth")))
 
+    # sensors may nest inside shapes (reference test_bidir_0.xml puts an
+    # irradiancemeter on a disk shape) — search the whole tree
     sensor = root.find("sensor")
+    if sensor is None:
+        for sensor in root.iter("sensor"):
+            break
+        else:
+            sensor = None
     if sensor is not None:
         sp = _props(sensor, defaults)
         stype = sensor.get("type", "perspective")
@@ -255,14 +314,20 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
     for sh in root.findall("shape"):
         stype = sh.get("type")
         if stype not in _SHAPES:
-            raise ValueError(f"unsupported shape type in XML: {stype}")
+            if strict:
+                raise ValueError(
+                    f"unsupported shape type in XML: '{stype}' (supported: "
+                    f"{sorted(_SHAPES)}); pass strict=False to skip it"
+                )
+            warnings.warn(f"XML: unknown shape '{stype}' skipped")
+            continue
         p = _props(sh, defaults)
         sdesc = {"type": stype}
         if "to_world" in p:
             sdesc["to_world"] = p["to_world"]
         if "filename" in p:
             fn = p["filename"]
-            sdesc["filename"] = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
+            sdesc["filename"] = _resolve_file(fn, base_dir)
         if stype == "sphere":
             if "center" in p:
                 sdesc["center"] = p["center"]
@@ -270,7 +335,7 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
                 sdesc["radius"] = float(p["radius"])
         b_el = sh.find("bsdf")
         if b_el is not None:
-            sdesc["bsdf"] = _parse_bsdf(b_el, defaults, bsdf_registry)
+            sdesc["bsdf"] = _parse_bsdf(b_el, defaults, bsdf_registry, strict)
         else:
             r = sh.find("ref")
             if r is not None and r.get("id") in bsdf_registry:
@@ -309,15 +374,34 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
             ed = {"type": "envmap", "scale": float(ep.get("scale", 1.0))}
             fn = ep.get("filename")
             if fn:
-                ed["filename"] = fn if os.path.isabs(fn) else os.path.join(base_dir, fn)
+                ed["filename"] = _resolve_file(fn, base_dir)
             desc["emitters"].append(ed)
         elif etype in ("sky", "sun", "sunsky"):
-            # graceful fallback until the Hosek-Wilkie model lands: constant
-            desc["emitters"].append({"type": "constant", "radiance": ep.get("radiance", [1.0, 1.0, 1.0])})
+            # procedural sky/sun (builder: Hosek-Wilkie/Preetham tables,
+            # models/sunsky.py; reference src/emitters/sunsky/sky.cpp)
+            ed = {"type": etype}
+            for key in ("turbidity", "scale", "sunScale", "skyScale",
+                        "resolution", "albedo"):
+                if key in ep:
+                    ed[key.replace("sunScale", "sun_scale").replace(
+                        "skyScale", "sky_scale")] = ep[key]
+            if "sunDirection" in ep:
+                ed["sun_direction"] = ep["sunDirection"]
+            desc["emitters"].append(ed)
+        elif etype == "collimated":
+            ed = {"type": "collimated", "power": ep.get("power", [1.0, 1.0, 1.0])}
+            if "to_world" in ep:
+                ed["to_world"] = ep["to_world"]
+            desc["emitters"].append(ed)
         else:
-            raise ValueError(f"unsupported emitter type in XML: {etype}")
+            if strict:
+                raise ValueError(
+                    f"unsupported emitter type in XML: '{etype}'; pass "
+                    f"strict=False to skip it"
+                )
+            warnings.warn(f"XML: unknown emitter '{etype}' skipped")
 
-    medium = root.find("medium")
+    medium = _find_medium(root)
     if medium is not None and medium.get("type") == "homogeneous":
         mp = _props(medium, defaults)
         phase = medium.find("phase")
@@ -331,3 +415,28 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None):
         }
 
     return desc, settings
+
+
+def _find_medium(root):
+    return root.find("medium")
+
+
+def load_bsdfs_xml(path_or_string: str, defaults: dict | None = None,
+                   strict: bool = True) -> list:
+    """Parse a BSDF-fixture scene (reference data/tests/test_bsdf.xml is a
+    bare list of <bsdf> instances consumed by the chi-square testcase,
+    test_chisquare.cpp:397) into a list of builder bsdf dicts."""
+    defaults = dict(defaults or {})
+    if os.path.exists(path_or_string):
+        root = ET.parse(path_or_string).getroot()
+    else:
+        root = ET.fromstring(path_or_string)
+    registry: dict = {}
+    out = []
+    for b in root.findall("bsdf"):
+        try:
+            out.append(_parse_bsdf(b, defaults, registry, strict))
+        except ValueError:
+            if strict:
+                raise
+    return out
