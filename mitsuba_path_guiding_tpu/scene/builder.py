@@ -470,6 +470,8 @@ def build_scene(desc: dict) -> SceneData:
     any_vcol = False
     for sh in flat_shapes:
         mesh = SHAPE_BUILDERS[sh["type"]](sh).transformed(_to_world(sh))
+        if sh.get("flip_normals"):
+            mesh = mesh.flipped()
         p0, e1, e2, n0, n1, n2, uv0, uv1, uv2 = mesh.face_arrays()
         mid = mat_index(sh.get("bsdf"))
         base = len(tri_mat)

@@ -34,6 +34,12 @@ class Mesh:
         faces = self.faces[:, ::-1] if flipped else self.faces
         return Mesh(v, faces, n, self.uvs, self.colors)
 
+    def flipped(self):
+        """Reverse orientation (reference Shape 'flipNormals' property):
+        swap winding and negate shading normals."""
+        n = None if self.normals is None else -self.normals
+        return Mesh(self.vertices, self.faces[:, ::-1], n, self.uvs, self.colors)
+
     def face_colors(self):
         """Per-face packed vertex colors (F, 9) [c0 c1 c2], or None."""
         if self.colors is None:

@@ -283,15 +283,22 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None,
             settings["rr_depth"] = int(p.get("rrDepth", p.get("rr_depth")))
 
     # sensors may nest inside shapes (reference test_bidir_0.xml puts an
-    # irradiancemeter on a disk shape) — search the whole tree
+    # irradiancemeter on a disk shape, inheriting its transform) — search
+    # the whole tree and inherit the parent shape's to_world
     sensor = root.find("sensor")
+    parent_shape = None
     if sensor is None:
-        for sensor in root.iter("sensor"):
-            break
-        else:
-            sensor = None
+        for sh in root.iter("shape"):
+            s = sh.find("sensor")
+            if s is not None:
+                sensor, parent_shape = s, sh
+                break
     if sensor is not None:
         sp = _props(sensor, defaults)
+        if "to_world" not in sp and parent_shape is not None:
+            pp = _props(parent_shape, defaults)
+            if "to_world" in pp:
+                sp["to_world"] = pp["to_world"]
         stype = sensor.get("type", "perspective")
         sdesc = {"type": stype, "fov": float(sp.get("fov", 45.0))}
         if "to_world" in sp:
@@ -325,6 +332,8 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None,
         sdesc = {"type": stype}
         if "to_world" in p:
             sdesc["to_world"] = p["to_world"]
+        if p.get("flipNormals") or p.get("flip_normals"):
+            sdesc["flip_normals"] = True
         if "filename" in p:
             fn = p["filename"]
             sdesc["filename"] = _resolve_file(fn, base_dir)
