@@ -298,14 +298,25 @@ def shadow_transmittance(
 
 
 def intersect_twolevel(blocks, o, d, tmax=None) -> Hit:
-    """Closest hit via the two-level superblock kernel with per-wave ray
-    Morton sorting (ops/intersect_twolevel.py) — the large-scene TPU path."""
-    from mitsuba_path_guiding_tpu.ops.intersect_twolevel import (
-        intersect_blocks_sorted,
+    """Closest hit via the candidate-list block kernel with per-wave ray
+    Morton sorting (ops/intersect_blocklist.py) — the large-scene TPU
+    path.  (Name kept from the round-1 superblock kernel it replaced.)"""
+    from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
+        intersect_blocklist_sorted,
     )
 
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), INF)
-    t, prim, u, v, valid = intersect_blocks_sorted(blocks, o, d, tmax)
+    t, prim, u, v, valid = intersect_blocklist_sorted(blocks, o, d, tmax)
     return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
+
+
+def occluded_twolevel(blocks, o, d, tmax) -> jnp.ndarray:
+    """Any-hit shadow query through the block-list kernel (first hit
+    terminates the ray — cheaper than closest-hit for NEE visibility)."""
+    from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
+        occluded_blocklist_sorted,
+    )
+
+    return occluded_blocklist_sorted(blocks, o, d, tmax)

@@ -164,7 +164,11 @@ def trace(
             return shadow_transmittance(
                 geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
             )
-        if twolevel or accel == "pallas":
+        if twolevel:
+            from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
+
+            return 1.0 - occluded_twolevel(scene.blocks, o, d, tmax).astype(jnp.float32)
+        if accel == "pallas":
             h = intersect(o, d, tmax)
             return 1.0 - h.valid.astype(jnp.float32)
         return 1.0 - occluded(geo, bvh, o, d, tmax, use_bvh=use_bvh)

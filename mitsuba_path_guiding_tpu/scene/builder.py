@@ -713,13 +713,14 @@ def build_scene(desc: dict) -> SceneData:
 
     p0h, e1h, e2h = h["p0"], h["e1"], h["e2"]
     bvh = build_bvh(p0h, e1h, e2h)
-    # two-level tables for scenes beyond the all-pairs kernel's range
-    # (ops/intersect_twolevel.py; the TPU answer to skdtree.h scaling)
+    # SAH-treelet block-list tables for scenes beyond the all-pairs
+    # kernel's range (ops/intersect_blocklist.py; the TPU answer to
+    # skdtree.h scaling)
     blocks = None
     if T >= TWOLEVEL_MIN_TRIS:
-        from mitsuba_path_guiding_tpu.ops.intersect_twolevel import build_blocks
+        from mitsuba_path_guiding_tpu.accel.blocks import build_blocklist
 
-        blocks = build_blocks(p0h, e1h, e2h)
+        blocks = build_blocklist(p0h, e1h, e2h, bvh)
     if bvh.max_depth + 2 > STACK_SIZE:
         raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
 

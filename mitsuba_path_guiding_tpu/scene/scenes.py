@@ -66,6 +66,67 @@ def cornell_box(light_scale: float = 1.0, box_material: str = "diffuse"):
     }
 
 
+def door_room(target_tris: int = 250_000, ajar_deg: float = 25.0):
+    """Veach-door-class benchmark scene (BASELINE config 3 family): a dark
+    front room lit only through an ajar door to a bright back room, with a
+    field of finely tessellated glossy spheres carrying the triangle
+    budget.  Geometry is concentrated in few objects (the structure real
+    production scenes have), unlike a uniform triangle soup."""
+    import numpy as np
+
+    white = {"type": "diffuse", "reflectance": [0.7, 0.7, 0.7]}
+    glossy = {"type": "roughconductor", "alpha": 0.08,
+              "eta": [0.2, 0.92, 1.1], "k": [3.9, 2.45, 2.14]}
+    shapes = [
+        # front room: x in [-3,3], y in [0,3] up, z in [-4,1]
+        {"type": "rectangle", "to_world": translate(0, 0, -1.5) @ rotate([1, 0, 0], -90) @ scale(3, 2.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, 3, -1.5) @ rotate([1, 0, 0], 90) @ scale(3, 2.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, 1.5, -4) @ scale(3, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(-3, 1.5, -1.5) @ rotate([0, 1, 0], 90) @ scale(2.5, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(3, 1.5, -1.5) @ rotate([0, 1, 0], -90) @ scale(2.5, 1.5, 1), "bsdf": white},
+        # dividing wall at z=1 with a door opening x in [-0.5, 0.5], y<2.2
+        {"type": "rectangle", "to_world": translate(-1.75, 1.5, 1) @ rotate([0, 1, 0], 180) @ scale(1.25, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(1.75, 1.5, 1) @ rotate([0, 1, 0], 180) @ scale(1.25, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, 2.6, 1) @ rotate([0, 1, 0], 180) @ scale(0.5, 0.4, 1), "bsdf": white},
+        # door panel, hinged at x=-0.5, ajar into the front room
+        {"type": "cube",
+         "to_world": translate(-0.5, 0, 1) @ rotate([0, 1, 0], -ajar_deg)
+         @ translate(0.5, 1.1, 0) @ scale(0.5, 1.1, 0.02),
+         "bsdf": {"type": "diffuse", "reflectance": [0.45, 0.3, 0.2]}},
+        # bright back room z in [1, 4]
+        {"type": "rectangle", "to_world": translate(0, 0, 2.5) @ rotate([1, 0, 0], -90) @ scale(3, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, 1.5, 4) @ rotate([0, 1, 0], 180) @ scale(3, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(-3, 1.5, 2.5) @ rotate([0, 1, 0], 90) @ scale(1.5, 1.5, 1), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(3, 1.5, 2.5) @ rotate([0, 1, 0], -90) @ scale(1.5, 1.5, 1), "bsdf": white},
+        # area light on the back-room ceiling
+        {"type": "rectangle", "to_world": translate(0, 2.98, 2.5) @ rotate([1, 0, 0], 90) @ scale(1.0, 1.0, 1),
+         "bsdf": {"type": "diffuse", "reflectance": [0, 0, 0]},
+         "emitter": {"radiance": [20.0, 18.0, 15.0]}},
+    ]
+    # tessellated glossy spheres in the front room carry the budget
+    n_spheres = 24
+    per = max(target_tris // n_spheres, 128)
+    res = max(int(np.sqrt(per / 4.0)), 8)  # tris ~ 2*res*(2*res)
+    rs = np.random.default_rng(11)
+    for i in range(n_spheres):
+        gx = (i % 6 - 2.5) * 0.9
+        gz = (i // 6) * 0.9 - 3.3
+        r = 0.28 + 0.1 * rs.random()
+        c = np.array([gx, r, gz]) + rs.normal(0, 0.05, 3) * np.array([1, 0, 1])
+        shapes.append({
+            "type": "sphere", "sphere_res": res,
+            "to_world": translate(*c) @ scale(r),
+            "bsdf": glossy if i % 3 else white,
+        })
+    return {
+        "shapes": shapes,
+        "sensor": {
+            "type": "perspective", "fov": 55.0,
+            "to_world": look_at([2.4, 1.5, -3.4], [-0.3, 1.2, 1.0], [0, 1, 0]),
+        },
+    }
+
+
 def furnace(albedo=0.5, env_radiance=1.0):
     """White-furnace: a diffuse sphere in a constant environment.  Any
     unbiased integrator must return exactly ``env_radiance`` everywhere

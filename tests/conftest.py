@@ -25,6 +25,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# ---- smoke/slow tiering (VERDICT round-1 item 7): tests measured >4 s on
+# the 8-CPU mesh are listed in slow_tests.txt; `pytest -m "not slow"` is
+# the <=2-minute smoke tier, the full suite stays for depth.
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
+try:
+    with open(_SLOW_FILE) as _f:
+        _SLOW = {ln.strip() for ln in _f if ln.strip()}
+except OSError:
+    _SLOW = set()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: measured >4s; excluded from the smoke tier (-m 'not slow')"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = f"{os.path.basename(item.fspath)}::{item.name.split('[')[0]}"
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
