@@ -21,7 +21,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-BLOCK_TRIS = 128      # dense-kernel tile width
+BLOCK_TRIS = 64       # triangles per treelet block (MT tile sublanes)
 SB_BLOCKS = 32        # blocks per superblock (one DMA unit)
 SB_TRIS = SB_BLOCKS * BLOCK_TRIS
 INF = 3.0e38
@@ -30,8 +30,10 @@ INF = 3.0e38
 class BlockList(NamedTuple):
     """Device tables for ops/intersect_blocklist.py (all jnp arrays)."""
 
-    tri_pack: jnp.ndarray  # (S, 16, SB_TRIS) f32; rows p0(3) e1(3) e2(3),
-    #                        row 9 = ORIGINAL triangle id (-1 padding)
+    tri_pack: jnp.ndarray  # (S, SB_BLOCKS, 16, BLOCK_TRIS) f32; rows
+    #                        p0(3) e1(3) e2(3), row 9 = ORIGINAL triangle
+    #                        id (-1 padding).  Block-major so the kernel
+    #                        indexes blocks on an untiled leading dim
     blk_box: jnp.ndarray   # (S, SB_BLOCKS, 8) f32: cols 0:3 lo, 3:6 hi
     #                        (inverted box for padding blocks), 6:8 pad —
     #                        per-superblock tile read by the kernel
@@ -112,8 +114,8 @@ def build_blocklist(p0, e1, e2, bvh) -> BlockList:
     pack[6:9] = e2[safe].T
     pack[9] = flat.astype(np.float32)  # -1 marks padding
     pack = np.ascontiguousarray(
-        pack.reshape(16, n_sb, SB_TRIS).transpose(1, 0, 2)
-    )  # (S, 16, SB_TRIS)
+        pack.reshape(16, n_sb, SB_BLOCKS, BLOCK_TRIS).transpose(1, 2, 0, 3)
+    )  # (S, SB_BLOCKS, 16, BLOCK_TRIS)
 
     # tight per-block AABBs from the member triangles
     v0 = p0[safe]

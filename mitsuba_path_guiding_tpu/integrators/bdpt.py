@@ -107,10 +107,17 @@ def trace_bdpt(
     divided by the TOTAL light-path count, n_segments ()).
     """
     for k in em_kinds:
-        if k not in FINITE_KINDS:
+        if k not in FINITE_KINDS + (EmitterKind.CONSTANT, EmitterKind.ENVMAP):
             raise NotImplementedError(
-                "bdpt: infinite emitters (env/directional) not supported yet"
+                "bdpt: delta-infinite emitters (directional/collimated) not "
+                "supported; env/constant are (SmallVCM background-light "
+                "conventions, see sample_ray)"
             )
+    has_env = (EmitterKind.CONSTANT in em_kinds) or (EmitterKind.ENVMAP in em_kinds)
+    # bounding-disk area of the infinite-emitter parameterization — MUST
+    # match models/emitter.py sample_ray's radius convention
+    _radius = 0.5 * jnp.linalg.norm(scene.aabb_max - scene.aabb_min) + 1e-3
+    disk_area = jnp.pi * _radius * _radius
     geo, bvh, mats, em = scene.geo, scene.bvh, scene.mats, scene.emitters
     n = pix.shape[0]
     n_pix = width * height  # light-subpath count factor for t=1 MIS
@@ -146,7 +153,10 @@ def trace_bdpt(
     w_light0 = cam_pdf_a0 / (n_pix * jnp.maximum(rs.direct_pdf_a, 1e-12))
     mis0 = 1.0 / (1.0 + w_light0)
     splat0 = splat0 * mis0[..., None]
-    ok0 = rs.valid & okc0 & ~occ0 & (jnp.max(splat0, axis=-1) > 0.0) & ~point_like
+    ok0 = (
+        rs.valid & okc0 & ~occ0 & (jnp.max(splat0, axis=-1) > 0.0)
+        & ~point_like & ~rs.infinite  # the bounding-disk origin is virtual
+    )
     # point/spot lights have no area measure on the sensor side; their
     # direct image comes from the s=1 strategy exclusively
     emission_splat = (
@@ -173,8 +183,12 @@ def trace_bdpt(
         wi_local = frame.to_local(-d)
         cos_in = jnp.maximum(jnp.abs(wi_local[..., 2]), 1e-6)
 
-        # traversal update (pdf measure conversion to area at this vertex)
+        # traversal update (pdf measure conversion to area at this vertex);
+        # infinite emitters already carry an AREA-measure emission pdf on
+        # the bounding disk, so their first segment skips the distance^2
+        # factor (SmallVCM: "mIsFiniteLight" gate)
         d2 = jnp.maximum(t_hit * t_hit, 1e-12)
+        d2 = jnp.where((depth == 0) & rs.infinite, 1.0, d2)
         dVCM_v = dVCM * d2 / cos_in
         dVC_v = dVC / cos_in
 
@@ -286,6 +300,19 @@ def trace_bdpt(
         mis_hit = 1.0 / (1.0 + w_cam_hit)
         L = jnp.where(act[..., None], L + T * Le * mis_hit[..., None], L)
 
+        # --- s=0 escape: environment radiance (bdpt_proc.cpp handles
+        # infinite emitters throughout; SmallVCM background-light weight —
+        # dVCM/dVC used UNconverted, pdfs in solid-angle x disk-area)
+        if has_env:
+            esc = alive & ~hit.valid
+            env_L = em_mod.eval_env(em, d, kinds=em_kinds)
+            pd_env = em_mod.pdf_env(em, d, kinds=em_kinds)
+            pd_env = jnp.broadcast_to(pd_env, esc.shape)
+            em_pdf_env = pd_env / disk_area
+            w_cam_esc = pd_env * dVCM + em_pdf_env * dVC
+            mis_esc = 1.0 / (1.0 + w_cam_esc)
+            L = jnp.where(esc[..., None], L + T * env_L * mis_esc[..., None], L)
+
         # --- s=1: fresh next-event estimation with VCM weight
         ds = em_mod.sample_direct_jit(em, geo, p, u[..., 0:3], kinds=em_kinds)
         wo_nee = frame.to_local(ds.direction)
@@ -301,10 +328,15 @@ def trace_bdpt(
         d_l = jnp.minimum(ds.distance, 1e9)
         pdf_dir_mis = jnp.where(ds.is_delta, pdf_dir_w * d_l * d_l, pdf_dir_w)
         w_light_nee = jnp.where(ds.is_delta, 0.0, pdf_bsdf_nee / pdf_dir_w)
+        # env/constant NEE: sample_direct leaves the VCM extras zero (it
+        # has no scene extent); emission pdf = dir pdf / disk_area, cos=1
+        is_env_nee = (ds.distance >= INFD) & ~ds.is_delta
+        nee_em_pdf = jnp.where(is_env_nee, pdf_dir_w / disk_area, ds.emission_pdf_w)
+        nee_cos_l = jnp.where(is_env_nee, 1.0, ds.cos_light)
         w_cam_nee = (
-            ds.emission_pdf_w
+            nee_em_pdf
             * cos_to_l
-            / (pdf_dir_mis * jnp.maximum(ds.cos_light, 1e-6))
+            / (pdf_dir_mis * jnp.maximum(nee_cos_l, 1e-6))
         ) * (dVCM_v + p_rev_nee * dVC_v)
         mis_nee = 1.0 / (w_light_nee + 1.0 + w_cam_nee)
         contrib = T * f_nee * ds.radiance * (mis_nee / pdf_dir_w)[..., None]

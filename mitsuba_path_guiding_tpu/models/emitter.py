@@ -260,8 +260,12 @@ class RaySample(NamedTuple):
     # emitter->sensor connections (area emitters; 0 for point/infinite)
     # bidirectional-MIS extras (VCM-style; zero where BDPT does not apply):
     emission_pdf_w: jnp.ndarray = None  # pick * pdf_pos_A * pdf_dir_W
-    direct_pdf_a: jnp.ndarray = None    # pick * pdf_pos_A (NEE pdf of the point)
+    direct_pdf_a: jnp.ndarray = None    # pick * pdf_pos_A (NEE pdf of the
+    #                                     point; SOLID-ANGLE pdf for
+    #                                     infinite emitters, SmallVCM-style)
     cos_light: jnp.ndarray = None       # |cos| between emitter normal and d
+    infinite: jnp.ndarray = None        # (N,) bool — env/constant/directional
+    #                                     (virtual bounding-disk origin)
 
 
 def sample_ray(
@@ -391,11 +395,21 @@ def sample_ray(
         direct_pdf_a = jnp.where(sel_cl, 0.0, direct_pdf_a)
         cos_light = jnp.where(sel_cl, 1.0, cos_light)
 
+    infinite = jnp.zeros((n,), bool)
+
     if EmitterKind.CONSTANT in kinds:
         d_in = -square_to_uniform_sphere(u_dir)  # inward
         o_c = _disk_point(d_in, u_pos)
         w_c = rad * (disk_area * 4.0 * jnp.pi / pmf)[..., None]
-        put(kind == EmitterKind.CONSTANT, o_c, d_in, w_c, d_in)
+        sel_c = kind == EmitterKind.CONSTANT
+        put(sel_c, o_c, d_in, w_c, d_in)
+        # VCM pdfs in the SmallVCM background-light convention: direct pdf
+        # is the NEE solid-angle pdf; emission adds the disk-position pdf
+        pd_c = pmf * INV_FOURPI
+        direct_pdf_a = jnp.where(sel_c, pd_c, direct_pdf_a)
+        emission_pdf_w = jnp.where(sel_c, pd_c / disk_area, emission_pdf_w)
+        cos_light = jnp.where(sel_c, 1.0, cos_light)
+        infinite = infinite | sel_c
 
     if EmitterKind.ENVMAP in kinds:
         from mitsuba_path_guiding_tpu.models.envmap import env_sample
@@ -404,10 +418,19 @@ def sample_ray(
         d_in_e = -d_env
         o_e = _disk_point(d_in_e, u_pos)
         w_e = rad_env * (disk_area / (jnp.maximum(pdf_tex, 1e-12) * pmf))[..., None]
-        put(kind == EmitterKind.ENVMAP, o_e, d_in_e, w_e, d_in_e)
+        sel_e = kind == EmitterKind.ENVMAP
+        put(sel_e, o_e, d_in_e, w_e, d_in_e)
+        pd_e = pmf * pdf_tex
+        direct_pdf_a = jnp.where(sel_e, pd_e, direct_pdf_a)
+        emission_pdf_w = jnp.where(sel_e, pd_e / disk_area, emission_pdf_w)
+        cos_light = jnp.where(sel_e, 1.0, cos_light)
+        infinite = infinite | sel_e
+
+    if EmitterKind.DIRECTIONAL in kinds:
+        infinite = infinite | (kind == EmitterKind.DIRECTIONAL)
 
     return RaySample(
         o=o, d=d, weight=w, normal=nrm, valid=valid, emit_weight=emit_w,
         emission_pdf_w=emission_pdf_w, direct_pdf_a=direct_pdf_a,
-        cos_light=cos_light,
+        cos_light=cos_light, infinite=infinite,
     )

@@ -41,7 +41,8 @@ SUB_TILE = 128          # per-subtile gating granularity inside a ray tile
 N_SUB = RAY_TILE // SUB_TILE
 INF = 3.0e38
 EPS_T = 1e-4
-MAX_CAND = 64  # static candidate-list width (fallback path above this)
+MAX_CAND = 128  # static candidate-list width (fallback path above this);
+#                 SMEM cost is nt * MAX_CAND * 4 B (512 KB at 1024 tiles)
 DEBUG_COUNTERS = False  # adds (j_end, MT-visits) rows 4/5 to the output
 
 
@@ -237,9 +238,7 @@ def _kernel(cand_ref, cnt_ref, ray_ref, tmax_ref, blk_box_ref,
 
             def _mt(b, s):
                     lane = pl.ds(pl.multiple_of(s * SUB_TILE, SUB_TILE), SUB_TILE)
-                    tri = tri_vmem[
-                        slot, :, pl.ds(pl.multiple_of(b * BLOCK_TRIS, BLOCK_TRIS), BLOCK_TRIS)
-                    ]
+                    tri = tri_vmem[slot, b]  # (16, BLOCK_TRIS), untiled idx
                     tcol = lambda r: tri[r, :][:, None]
                     rrow = lambda r: ray_ref[r, lane][None, :]
                     sdx, sdy, sdz = rrow(3), rrow(4), rrow(5)
@@ -355,7 +354,7 @@ def _run_kernel(bl: BlockList, o_p, d_p, t_p, k: int = MAX_CAND,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 16, SB_TRIS), jnp.float32),
+                pltpu.VMEM((2, SB_BLOCKS, 16, BLOCK_TRIS), jnp.float32),
                 pltpu.SMEM((N_SUB + 1,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
