@@ -77,6 +77,97 @@ def _emitter_bin(em: dict, k: int, n_bins: int, key: str = "radiance") -> float:
     return float(spec_v[k])
 
 
+def render_spectral_scan(desc: dict, cfg, n_bins: int = 8, max_depth=None):
+    """Compile-ONCE spectral transport: all wavelength bins trace inside a
+    single jitted program as a ``lax.scan`` over the stacked bin-scene
+    parameters (round-1 weakness: N separate compiles + N dispatches per
+    image scaled badly with bin count; the reference gets this for free
+    from its compile-time SPECTRUM_SAMPLES loop, spectrum.h:25-33).
+
+    The N bin scenes share their pytree STRUCTURE (same shapes/materials,
+    only continuous parameters differ), so their array leaves stack into a
+    leading bin axis and the scan body rebuilds each bin's SceneData from
+    one slice + the shared static leaves.  CIE CMF weighting folds each
+    bin's single-channel estimate straight into linear sRGB.  Returns
+    (H, W, 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+
+    lam = bin_centers(n_bins)
+    scenes = [
+        build_scene(_bin_scene(desc, float(lam[k]), k, n_bins))
+        for k in range(n_bins)
+    ]
+    # CMF rows: rgb contribution of a unit radiance in bin k
+    eye = np.eye(n_bins)
+    cmf_rows = np.stack([spectrum_to_rgb(eye[k], n_bins) for k in range(n_bins)])
+    cmf_rows = jnp.asarray(cmf_rows, jnp.float32)  # (B, 3)
+
+    leaves0, treedef = jax.tree.flatten(scenes[0])
+    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in leaves0]
+    stacked = [
+        jnp.stack([jax.tree.flatten(s)[0][i] for s in scenes])
+        for i, a in enumerate(is_arr)
+        if a
+    ]
+
+    def rebuild(arrs):
+        out, ai = [], 0
+        for i, l in enumerate(leaves0):
+            if is_arr[i]:
+                out.append(arrs[ai])
+                ai += 1
+            else:
+                out.append(l)
+        return treedef.unflatten(out)
+
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    md = max_depth if max_depth is not None else cfg.max_depth
+    em_kinds = kinds_present(scenes[0].emitters)
+    mat_types = types_present(scenes[0].mats)
+    key = rng.base_key(cfg.seed)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @jax.jit
+    def one_wave(film_rgb, sample_idx):
+        def body(film_rgb, xs):
+            arrs, cmf_b, k_bin = xs
+            scene_b = rebuild(arrs)
+            rkeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                rng.ray_keys(key, pix, sample_idx), k_bin
+            )
+            u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
+            o, d, _ = generate_rays(scene_b.sensor, w, h, pix, u_cam)
+            L, _aux, _ = trace(
+                scene_b, o, d, rkeys, max_depth=md, use_bvh=False,
+                em_kinds=em_kinds, mat_types=mat_types,
+            )
+            spec = L.mean(axis=-1)  # single-bin transport: channels equal
+            film_rgb = film_rgb + spec[:, None] * cmf_b[None, :]
+            return film_rgb, None
+
+        film_rgb, _ = jax.lax.scan(
+            body, film_rgb,
+            (tuple(stacked), cmf_rows, jnp.arange(n_bins, dtype=jnp.int32)),
+        )
+        return film_rgb
+
+    film = jnp.zeros((n_pix, 3))
+    for s in range(cfg.spp):
+        film = one_wave(film, jnp.full((n_pix,), s, jnp.int32))
+    img = np.asarray(film / cfg.spp).reshape(h, w, 3)
+    return np.maximum(img, 0.0).astype(np.float32)
+
+
 def render_spectral(desc: dict, cfg, n_bins: int = 8, integrator=None):
     """Spectral render of a scene DESCRIPTION (needs per-bin recompiles).
     Returns (H, W, 3) linear sRGB.  ``integrator``: callable

@@ -78,3 +78,38 @@ def test_dispersive_render_produces_fringes():
         m = im.mean(-1, keepdims=True) + 1e-6
         return np.abs(im - m).max()
     assert disparity(img_s) > 0.0
+
+
+def test_hero_scan_matches_per_bin_renders():
+    """Round-2 compile-once spectral scan (render_spectral_scan) must
+    agree with the per-bin-recompile path on the same scene in
+    expectation (same transport, different RNG streams)."""
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig
+    from mitsuba_path_guiding_tpu.integrators.spectral import (
+        render_spectral,
+        render_spectral_scan,
+    )
+    from mitsuba_path_guiding_tpu.scene.scenes import look_at
+    from mitsuba_path_guiding_tpu.scene.transforms import rotate, scale
+
+    desc = {
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": look_at([0, 1.0, -3.0], [0, 0.5, 0])},
+        "shapes": [
+            {"type": "rectangle", "to_world": rotate([1, 0, 0], -90) @ scale(2.0),
+             "bsdf": {"type": "diffuse", "reflectance": [0.7, 0.4, 0.2]}},
+            {"type": "cube", "to_world": scale(0.4),
+             "bsdf": {"type": "diffuse", "reflectance": [0.2, 0.5, 0.7]}},
+        ],
+        "emitters": [{"type": "point", "position": [1.0, 3.0, -1.0],
+                      "intensity": [5.0, 5.0, 5.0],
+                      "spectrum": {"type": "blackbody", "temperature": 5000.0}}],
+    }
+    cfg = RenderConfig(width=16, height=16, spp=48, max_depth=3, seed=2)
+    img_bins = render_spectral(desc, cfg, n_bins=4)
+    img_scan = render_spectral_scan(desc, cfg, n_bins=4)
+    assert np.isfinite(img_scan).all()
+    ratio = img_scan.mean() / max(img_bins.mean(), 1e-9)
+    assert abs(ratio - 1.0) < 0.06, ratio
+    rel = np.abs(img_scan - img_bins).mean() / max(img_bins.mean(), 1e-9)
+    assert rel < 0.25, rel
