@@ -21,7 +21,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-BLOCK_TRIS = 64       # triangles per treelet block (MT tile sublanes)
+BLOCK_TRIS = 128      # triangles per treelet block (HBM lane tile)
 SB_BLOCKS = 32        # blocks per superblock (one DMA unit)
 SB_TRIS = SB_BLOCKS * BLOCK_TRIS
 INF = 3.0e38

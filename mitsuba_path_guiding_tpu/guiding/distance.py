@@ -70,6 +70,47 @@ def guided_distance_weights(
     return w, dt, total
 
 
+def guided_distance_weights_hetero(
+    grid: GuidingGrid,
+    flux: jnp.ndarray,
+    med,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t1: jnp.ndarray,
+    n_seg: int = N_SEGMENTS,
+    levels: int = 0,
+):
+    """Heterogeneous variant of ``guided_distance_weights``: the
+    transmittance factor comes from a midpoint-Riemann optical depth of
+    the DENSITY GRID along the ray (the capability the fork's medium
+    point queries serve, heterogeneous.cpp:403-423) instead of the
+    homogeneous closed form.
+
+    Returns (w (S, N), dt (N,), total (N,), tr_end (N,)) where ``tr_end``
+    approximates Tr(t1) — the natural surface-continuation probability."""
+    from mitsuba_path_guiding_tpu.models.medium import density_at
+
+    n = o.shape[0]
+    dt = jnp.maximum(t1, 0.0) / n_seg
+    i_mid = jnp.arange(n_seg, dtype=jnp.float32) + 0.5
+    t_mid = i_mid[:, None] * dt[None, :]
+    px = o[:, 0][None] + t_mid * d[:, 0][None]
+    py = o[:, 1][None] + t_mid * d[:, 1][None]
+    pz = o[:, 2][None] + t_mid * d[:, 2][None]
+    pos = jnp.stack([px, py, pz], axis=-1).reshape(n_seg * n, 3)
+    cid = cell_index(grid, pos, levels=levels)
+    v = flux[cid].reshape(n_seg, n)
+    base_t = jnp.mean(med.sigma_a + med.sigma_s)
+    sig = (density_at(med, pos) * base_t).reshape(n_seg, n)  # (S, N)
+    step_tau = sig * dt[None, :]
+    tau_before = jnp.cumsum(step_tau, axis=0) - step_tau
+    tr_mid = jnp.exp(-(tau_before + 0.5 * step_tau))
+    tr_end = jnp.exp(-jnp.sum(step_tau, axis=0))
+    w = tr_mid * v
+    total = jnp.sum(w, axis=0)
+    return w, dt, total, tr_end
+
+
 def piecewise_pdf(w, dt, total, t):
     """Density of the piecewise-constant distribution at distances t (N,).
     Zero outside [0, S*dt) and when total == 0."""

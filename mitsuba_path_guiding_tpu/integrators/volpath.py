@@ -164,7 +164,10 @@ def trace_vol(
         guide_distance and (guide is not None) and not hetero
         and phase_kind != 3  # PhaseKind.MICROFLAKE: directional sigma_t
     )
-    if use_guided_dist:
+    use_guided_dist_het = (
+        guide_distance and (guide is not None) and hetero and phase_kind != 3
+    )
+    if use_guided_dist or use_guided_dist_het:
         from mitsuba_path_guiding_tpu.guiding.distance import cell_flux
 
         dist_flux = cell_flux(guide_state)
@@ -182,6 +185,53 @@ def trace_vol(
             # wave-uniform while_loop; models/medium.py)
             tkd = _track_keys(rkeys, depth, TAG_TRACK_DIST)
             t_med, is_med_ev, w_ff = sample_free_flight(med, o, d, t_surf, tkd)
+            if use_guided_dist_het:
+                # --- guided distance sampling in heterogeneous media
+                # (zero-variance-walk reduction, Herholz 2019): sample the
+                # collision distance from the radiance-weighted piecewise
+                # density with GRID optical depth, decide surface
+                # continuation with probability ~ Tr(t_surf), and weight
+                # with an unbiased ratio-tracking transmittance — any
+                # positive density is a valid estimator, so no MIS against
+                # the tracker is needed.  Cold-cache lanes fall back to
+                # the tracker result above.
+                from mitsuba_path_guiding_tpu.guiding.distance import (
+                    guided_distance_weights_hetero,
+                    piecewise_pdf,
+                    piecewise_sample,
+                )
+                from mitsuba_path_guiding_tpu.models.medium import (
+                    density_at,
+                    transmittance_ratio,
+                )
+
+                t1 = jnp.minimum(t_surf, jnp.max(scene.aabb_max - scene.aabb_min) * 1.74)
+                w_seg, dt_seg, tot_seg, tr_end = guided_distance_weights_hetero(
+                    guide_state, dist_flux, med, o, d, t1,
+                )
+                m_cont = tot_seg * dt_seg
+                ok_g = (m_cont > 1e-10) & (dt_seg > 1e-9)
+                p_surf = jnp.clip(tr_end, 0.05, 0.95)
+                go_surf = u[..., 11] < p_surf
+                t_g = piecewise_sample(w_seg, dt_seg, tot_seg, u[..., 10])
+                pdf_c = piecewise_pdf(w_seg, dt_seg, tot_seg, t_g)
+                t_ev = jnp.where(go_surf, jnp.minimum(t_surf, t1 * 4.0), t_g)
+                tkd2 = _track_keys(rkeys, depth, TAG_TRACK_DIST + 7)
+                tr_hat = transmittance_ratio(med, o, d, t_ev, tkd2)
+                x_ev = o + t_g[..., None] * d
+                ss_ev = density_at(med, x_ev)[..., None] * med.sigma_s
+                w_med_g = ss_ev * tr_hat / jnp.maximum(
+                    ((1.0 - p_surf) * pdf_c)[..., None], 1e-30
+                )
+                w_srf_g = tr_hat / p_surf[..., None]
+                use_g = ok_g
+                t_med = jnp.where(use_g, jnp.where(go_surf, INFD, t_g), t_med)
+                is_med_ev = jnp.where(use_g, ~go_surf, is_med_ev)
+                w_ff = jnp.where(
+                    use_g[..., None],
+                    jnp.where(go_surf[..., None], w_srf_g, w_med_g),
+                    w_ff,
+                )
             is_medium = alive & is_med_ev
             is_surface = alive & hit.valid & ~is_medium
             escaped = alive & ~hit.valid & ~is_medium
