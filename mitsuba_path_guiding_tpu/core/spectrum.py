@@ -52,6 +52,19 @@ def srgb_encode(linear: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def srgb_encode_np(linear):
+    """Host-side (numpy) linear -> sRGB; preview/LDR paths avoid a device
+    dispatch for tonemapping."""
+    import numpy as np
+
+    linear = np.clip(linear, 0.0, 1.0)
+    return np.where(
+        linear <= 0.0031308,
+        12.92 * linear,
+        1.055 * np.power(np.maximum(linear, 1e-8), 1.0 / 2.4) - 0.055,
+    )
+
+
 def srgb_decode(srgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(
         srgb <= 0.04045,

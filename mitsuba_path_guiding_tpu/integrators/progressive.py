@@ -57,6 +57,9 @@ class ProgressiveConfig:
     train_progressions: int = 0       # 0 = train on all progressions
     on_preprogression: Optional[Callable] = None
     on_postprogression: Optional[Callable] = None
+    # render-lifecycle event fan-out (reference renderqueue.h:33-60);
+    # None = log-progress only through the default logger
+    queue: Optional[object] = None
 
 
 class ProgressiveRenderer:
@@ -211,11 +214,24 @@ class ProgressiveRenderer:
     def render(self) -> jnp.ndarray:
         """Sample-budget (or time-budget) progressive render."""
         cfg = self.cfg
+        if cfg.queue is None:
+            from mitsuba_path_guiding_tpu.utils.logger import RenderQueue
+
+            queue = RenderQueue()
+        else:
+            queue = cfg.queue
         t0 = time.time()
-        for _ in range(cfg.n_progressions):
+        queue.begin(cfg.n_progressions)
+        for i in range(cfg.n_progressions):
             self.run_progression()
+            queue.progression(
+                i, cfg.n_progressions, self.sample_counter,
+                image=(self.image() if queue.listeners else None),
+            )
             if cfg.max_seconds > 0 and time.time() - t0 > cfg.max_seconds:
                 break
+        queue.finish(self.sample_counter,
+                     image=(self.image() if queue.listeners else None))
         return develop(self.film)
 
     def image(self) -> np.ndarray:

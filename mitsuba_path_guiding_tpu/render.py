@@ -56,9 +56,26 @@ def main(argv=None):
     ap.add_argument("--no-nee", dest="nee", action="store_false")
     ap.add_argument("--denoise", action="store_true")
     ap.add_argument("--aovs", action="store_true", help="also write albedo/normal/depth AOVs")
+    ap.add_argument(
+        "--preview", type=int, default=None, metavar="PORT",
+        help="serve a live progressive preview at http://127.0.0.1:PORT "
+        "(the mtsgui-analogue; 0 picks a free port)",
+    )
+    ap.add_argument(
+        "-v", "--verbose", action="count", default=0,
+        help="-v debug, -vv trace log level (reference mitsuba.cpp -v)",
+    )
     args = ap.parse_args(argv)
 
     log = (lambda *a: None) if args.quiet else (lambda *a: print(*a, file=sys.stderr, flush=True))
+
+    from mitsuba_path_guiding_tpu.utils import logger as mlog
+
+    mlog.set_log_level(
+        mlog.EWarn if args.quiet
+        else (mlog.ETrace if args.verbose >= 2
+              else mlog.EDebug if args.verbose == 1 else mlog.EInfo)
+    )
 
     from mitsuba_path_guiding_tpu.scene import scenes as builtin
     from mitsuba_path_guiding_tpu.scene.builder import build_scene
@@ -165,6 +182,15 @@ def main(argv=None):
         max_seconds=args.time_budget,
         guiding=args.guide,
     )
+    preview_srv = None
+    if args.preview is not None:
+        from mitsuba_path_guiding_tpu.utils.logger import RenderQueue
+        from mitsuba_path_guiding_tpu.utils.preview import PreviewServer
+
+        preview_srv = PreviewServer(port=args.preview)
+        pcfg.queue = RenderQueue(listeners=[preview_srv])
+        log(f"live preview at http://127.0.0.1:{preview_srv.port}")
+
     renderer = ProgressiveRenderer(scene, pcfg)
     if args.checkpoint and os.path.exists(args.checkpoint):
         from mitsuba_path_guiding_tpu.utils.checkpoint import load_renderer_state

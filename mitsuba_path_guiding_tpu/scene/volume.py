@@ -60,22 +60,17 @@ def save_vol(path: str, data: np.ndarray, aabb_min, aabb_max):
 def vdb_to_dense(path: str, grid_name: str = "density"):
     """Convert an OpenVDB grid to a dense array (fork vdbvolume.cpp parity).
 
-    OpenVDB's file format needs the openvdb library; this environment does
-    not ship it, so the converter is gated on an optional import and raises
-    a clear error otherwise.  `pyopenvdb` or `openvdb` (the official wheel)
-    both work when present.
-    """
+    Prefers the real OpenVDB bindings when importable (`openvdb` or
+    `pyopenvdb`); otherwise falls back to the in-repo pure-Python .vdb
+    codec (scene/vdb.py — standard float 5-4-3 trees, none/zip
+    compression; Blosc files need the bindings)."""
     try:
         try:
             import openvdb  # type: ignore
         except ImportError:
             import pyopenvdb as openvdb  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "VDB loading requires the openvdb/pyopenvdb python bindings, "
-            "which are not installed in this environment.  Convert the "
-            "grid to .vol or .npy offline (save_vol), or install openvdb."
-        ) from e
+    except ImportError:
+        return _vdb_to_dense_native(path, grid_name)
     grid = openvdb.read(path, grid_name)
     bbox = grid.evalActiveVoxelBoundingBox()
     lo, hi = np.array(bbox[0]), np.array(bbox[1])
@@ -87,6 +82,27 @@ def vdb_to_dense(path: str, grid_name: str = "density"):
     whi = np.array(grid.transform.indexToWorld(tuple(hi + 1)), dtype=np.float32)
     # openvdb arrays are (x, y, z); ours are (z, y, x)
     return np.ascontiguousarray(dense.transpose(2, 1, 0)), np.stack([wlo, whi])
+
+
+def _vdb_to_dense_native(path: str, grid_name: str):
+    """Pure-Python fallback via scene/vdb.py."""
+    from mitsuba_path_guiding_tpu.scene.vdb import read_vdb
+
+    grids = {g.name: g for g in read_vdb(path)}
+    if grid_name not in grids:
+        raise KeyError(
+            f"{path}: no grid named '{grid_name}' (has: {sorted(grids)})"
+        )
+    g = grids[grid_name]
+    lo = np.asarray(g.origin, np.float64)
+    hi = lo + np.asarray(g.data.shape, np.float64)
+    voxel = np.asarray(g.voxel_size, np.float64)
+    trans = np.asarray(g.translation, np.float64)
+    wlo = (lo * voxel + trans).astype(np.float32)
+    whi = (hi * voxel + trans).astype(np.float32)
+    # vdb index arrays are (x, y, z); ours are (z, y, x)
+    return (np.ascontiguousarray(g.data.transpose(2, 1, 0)),
+            np.stack([wlo, whi]))
 
 
 def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
