@@ -46,8 +46,8 @@ def main(argv=None):
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument(
         "-I", "--integrator", default="guided",
-        choices=["guided", "path", "bdpt", "pssmlt", "erpt", "sppm", "vpl",
-                 "ptracer", "photonmapper", "direct", "ao"],
+        choices=["guided", "path", "bdpt", "pssmlt", "mlt", "erpt", "sppm",
+                 "vpl", "ptracer", "photonmapper", "direct", "ao"],
         help="rendering algorithm (reference: integrator element in the XML; "
         "'guided' is the progressive guided path tracer)",
     )
@@ -134,6 +134,9 @@ def main(argv=None):
         elif args.integrator == "pssmlt":
             from mitsuba_path_guiding_tpu.integrators.pssmlt import render_pssmlt
             img = render_pssmlt(scene, rcfg)
+        elif args.integrator == "mlt":
+            from mitsuba_path_guiding_tpu.integrators.mlt import render_mlt
+            img = render_mlt(scene, rcfg)
         elif args.integrator == "erpt":
             from mitsuba_path_guiding_tpu.integrators.erpt import render_erpt
             img = render_erpt(scene, rcfg)

@@ -1,0 +1,128 @@
+"""Path-space MLT tests (integrators/mlt.py; reference mlt.cpp +
+libbidir mut_lens/mut_caustic/mut_mchain).
+
+Strategy mirrors the repo's MLT/PSSMLT pattern: the Metropolis estimator
+must agree in expectation with brute-force path tracing (NEE off, same
+state space), plus structural checks on the mutation machinery itself
+(evaluator consistency, perturbation acceptance, lobe-structure
+preservation)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba_path_guiding_tpu.integrators.mlt as M
+from mitsuba_path_guiding_tpu.core.spectrum import luminance
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+from mitsuba_path_guiding_tpu.scene.transforms import rotate, scale, translate
+
+
+def big_light_box():
+    """Cornell-like box with a LARGE area light: unidirectional paths hit
+    the emitter often, so modest chain counts give stable statistics."""
+    desc = cornell_box(light_scale=1.0)
+    # grow the light
+    for s in desc["shapes"]:
+        if "emitter" in s:
+            s["to_world"] = (
+                translate(0, 1.995, 0) @ rotate([1, 0, 0], 90) @ scale(0.6)
+            )
+    return desc
+
+
+def caustic_box():
+    """Box with a mirror slab: light reaches the floor also through an
+    E-D-S-L bounce — exercises chain-following perturbations."""
+    desc = big_light_box()
+    desc["shapes"].append({
+        "type": "rectangle",
+        "to_world": translate(-0.55, 0.7, 0.2) @ rotate([0, 1, 0], 55) @ scale(0.35),
+        "bsdf": {"type": "conductor", "material": "none"},
+    })
+    return desc
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    return build_scene(big_light_box())
+
+
+@pytest.fixture(scope="module")
+def caustic_scene():
+    return build_scene(caustic_box())
+
+
+def _cfg(**kw):
+    base = dict(width=16, height=16, spp=16, max_depth=4, seed=0)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_eval_chain_matches_trace(box_scene):
+    """_eval_chain re-derives the traced P and pdffw bit-for-nearly-bit —
+    the single-source-of-truth invariant every mutation relies on."""
+    cfg = _cfg()
+    statics = M._statics(box_scene, cfg)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (2 + 3 * cfg.max_depth, 2048))
+    st = M._trace_path(box_scene, cfg, u, statics)
+    ok = st.plen > 0
+    assert float(jnp.mean(ok)) > 0.05  # big light: many live paths
+    P2, pdf2 = M._eval_chain(box_scene, st, cfg, statics)
+    relP = jnp.abs(P2 - st.P).sum(-1) / jnp.maximum(st.P.sum(-1), 1e-9)
+    relp = jnp.abs(pdf2 - st.pdffw) / st.pdffw
+    assert float(jnp.where(ok, relP, 0).max()) < 1e-4
+    assert float(jnp.where(ok, relp, 0).max()) < 1e-4
+
+
+def test_perturbation_structure_and_acceptance(caustic_scene):
+    """Perturbations preserve path structure (spec flags/length), land on
+    valid proposals for a healthy fraction of chains, and accept often
+    (the reference tunes its mutators for ~50%+ acceptance on easy
+    scenes, mut_lens.cpp design notes)."""
+    cfg = _cfg()
+    statics = M._statics(caustic_scene, cfg)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (2 + 3 * cfg.max_depth, 4096))
+    st = M._trace_path(caustic_scene, cfg, u, statics)
+    ok = st.plen > 0
+    ku = jax.random.uniform(jax.random.PRNGKey(4), (9, 4096))
+    prop, g_ratio, okv = M._perturb(caustic_scene, cfg, statics, st, ku)
+    # structure preserved by construction
+    assert prop.spec.shape == st.spec.shape
+    assert bool(jnp.all(prop.plen == st.plen))
+    P_p, _ = M._eval_chain(caustic_scene, prop, cfg, statics)
+    a = jnp.clip(
+        luminance(P_p) / jnp.maximum(luminance(st.P), 1e-30) * g_ratio, 0, 1)
+    a = jnp.where(okv & ok & (luminance(P_p) > 0), a, 0.0)
+    live = float(ok.sum())
+    assert float((okv & ok).sum()) / live > 0.3   # most proposals land
+    assert float(a.sum()) / live > 0.25           # and accept frequently
+
+
+def test_mlt_matches_path_tracer(box_scene):
+    """Expectation agreement with brute-force path tracing (NEE off —
+    the same emitter-hit path space)."""
+    cfg_ref = _cfg(spp=512, use_nee=False)
+    ref = np.asarray(render(box_scene, cfg_ref))
+    img = np.asarray(M.render_mlt(
+        box_scene, _cfg(spp=768, seed=5), n_chains=4096))
+    assert np.isfinite(img).all()
+    assert img.mean() == pytest.approx(ref.mean(), rel=0.12)
+    # 4x4-block spatial agreement (MLT correlates pixels; block level is
+    # the right granularity for a bounded-cost test)
+    rb = ref.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))
+    mb = img.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3))
+    rel = np.abs(mb - rb) / np.maximum(rb, 5e-2)
+    assert rel.mean() < 0.35
+
+
+def test_mlt_caustic_scene(caustic_scene):
+    """The mirror-slab scene: MLT must carry the specular-chain light
+    transport that only perturbations explore efficiently."""
+    cfg_ref = _cfg(spp=512, use_nee=False, seed=2)
+    ref = np.asarray(render(caustic_scene, cfg_ref))
+    img = np.asarray(M.render_mlt(
+        caustic_scene, _cfg(spp=768, seed=7), n_chains=4096))
+    assert np.isfinite(img).all()
+    assert img.mean() == pytest.approx(ref.mean(), rel=0.15)
