@@ -30,16 +30,10 @@ INF = 3.0e38
 class BlockList(NamedTuple):
     """Device tables for ops/intersect_blocklist.py (all jnp arrays)."""
 
-    tri_pack: jnp.ndarray  # (S, SB_BLOCKS, 16, BLOCK_TRIS) f32 TriAccel
-    #                        projection coefficients (triaccel_sse.h idea,
-    #                        re-derived for MXU matmuls — see
-    #                        build_blocklist):
-    #                        rows 0:4   [-n, n.p0]        (t numerator)
-    #                        rows 4:8   [a_u, -a_u.p0]    (u = su + t*du)
-    #                        rows 8:12  [a_v, -a_v.p0]
-    #                        row  12    ORIGINAL tri id (-1 padding)
-    #                        Block-major so the kernel indexes blocks on an
-    #                        untiled leading dim
+    tri_pack: jnp.ndarray  # (S, SB_BLOCKS, 16, BLOCK_TRIS) f32; rows
+    #                        p0(3) e1(3) e2(3), row 9 = ORIGINAL triangle
+    #                        id (-1 padding).  Block-major so the kernel
+    #                        indexes blocks on an untiled leading dim
     blk_box: jnp.ndarray   # (S, SB_BLOCKS, 8) f32: cols 0:3 lo, 3:6 hi
     #                        (inverted box for padding blocks), 6:8 pad —
     #                        per-superblock tile read by the kernel
@@ -114,31 +108,11 @@ def build_blocklist(p0, e1, e2, bvh) -> BlockList:
 
     flat = ids.reshape(-1)           # (bpad * BLOCK_TRIS,)
     safe = np.maximum(flat, 0)
-    # TriAccel projection coefficients (float64 build for conditioning):
-    #   t = (n.p0 - n.o) / (n.d)  with n unit-normalized
-    #   q = o + t d - p0 = u e1 + v e2  =>  u = q.a_u, v = q.a_v
-    #   a_u = (e2 x n)/|e1 x e2|, a_v = (n x e1)/|e1 x e2|
-    # so u = (a_u.o - a_u.p0) + t (a_u.d) — affine in [o,1] and [d]:
-    # exactly two (rays x 4) @ (4 x tris) matmuls in the kernel.
-    P0 = p0[safe].astype(np.float64)
-    E1 = e1[safe].astype(np.float64)
-    E2 = e2[safe].astype(np.float64)
-    nr = np.cross(E1, E2)
-    nlen = np.linalg.norm(nr, axis=1)
-    degen = nlen < 1e-18
-    nlen_s = np.where(degen, 1.0, nlen)
-    nh = nr / nlen_s[:, None]
-    au = np.cross(E2, nh) / nlen_s[:, None]
-    av = np.cross(nh, E1) / nlen_s[:, None]
-    flat = np.where(degen, -1, flat)   # degenerate tris become padding
     pack = np.zeros((16, bpad * BLOCK_TRIS), np.float32)
-    pack[0:3] = -nh.T
-    pack[3] = np.einsum("ij,ij->i", nh, P0)
-    pack[4:7] = au.T
-    pack[7] = -np.einsum("ij,ij->i", au, P0)
-    pack[8:11] = av.T
-    pack[11] = -np.einsum("ij,ij->i", av, P0)
-    pack[12] = flat.astype(np.float32)  # -1 marks padding
+    pack[0:3] = p0[safe].T
+    pack[3:6] = e1[safe].T
+    pack[6:9] = e2[safe].T
+    pack[9] = flat.astype(np.float32)  # -1 marks padding
     pack = np.ascontiguousarray(
         pack.reshape(16, n_sb, SB_BLOCKS, BLOCK_TRIS).transpose(1, 2, 0, 3)
     )  # (S, SB_BLOCKS, 16, BLOCK_TRIS)

@@ -239,43 +239,31 @@ def _kernel(cand_ref, cnt_ref, ray_ref, tmax_ref, blk_box_ref,
             def _mt(b, s):
                     lane = pl.ds(pl.multiple_of(s * SUB_TILE, SUB_TILE), SUB_TILE)
                     tri = tri_vmem[slot, b]  # (16, BLOCK_TRIS), untiled idx
-                    # TriAccel plane projection (accel/blocks.py layout):
-                    # six (SUB_TILE x 4)@(4 x T) slice-dots against [o, 1]
-                    # and [d, 0] — the ray-varying x tri-varying cross
-                    # products of Moeller-Trumbore become systolic (MXU)
-                    # work instead of ~30 VPU ops per (ray, tri).
-                    one = jnp.ones((SUB_TILE,), jnp.float32)
-                    o4 = jnp.stack(
-                        [ray_ref[0, lane], ray_ref[1, lane],
-                         ray_ref[2, lane], one], axis=-1)       # (R, 4)
-                    d4 = jnp.stack(
-                        [ray_ref[3, lane], ray_ref[4, lane],
-                         ray_ref[5, lane], jnp.zeros_like(one)], axis=-1)
-
-                    def pdot(lhs, r0):
-                        # (R, 4) @ (4, T) slice-dot; everything stays in
-                        # (rays, tris) orientation — no transposes
-                        return jax.lax.dot_general(
-                            lhs, tri[r0:r0 + 4, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-                    t_num = pdot(o4, 0)                          # (R, T)
-                    su = pdot(o4, 4)
-                    sv = pdot(o4, 8)
-                    t_den = -pdot(d4, 0)                         # n.d
-                    du = pdot(d4, 4)
-                    dv = pdot(d4, 8)
-                    tri_id = tri[12, :][None, :]                 # (1, T)
-                    inv_den = jnp.where(
-                        jnp.abs(t_den) < 1e-12, 0.0,
-                        1.0 / jnp.where(t_den == 0.0, 1.0, t_den),
+                    tcol = lambda r: tri[r, :][:, None]
+                    rrow = lambda r: ray_ref[r, lane][None, :]
+                    sdx, sdy, sdz = rrow(3), rrow(4), rrow(5)
+                    sox, soy, soz = rrow(0), rrow(1), rrow(2)
+                    p0x, p0y, p0z = tcol(0), tcol(1), tcol(2)
+                    e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
+                    e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
+                    tri_id = tcol(9)
+                    pvx = sdy * e2z - sdz * e2y
+                    pvy = sdz * e2x - sdx * e2z
+                    pvz = sdx * e2y - sdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(
+                        jnp.abs(det) < 1e-12, 0.0,
+                        1.0 / jnp.where(det == 0.0, 1.0, det),
                     )
-                    t = t_num * inv_den
-                    u = su + t * du
-                    v = sv + t * dv
+                    tvx, tvy, tvz = sox - p0x, soy - p0y, soz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                     hit = (
-                        (inv_den != 0.0)
+                        (inv_det != 0.0)
                         & (u >= 0.0)
                         & (v >= 0.0)
                         & (u + v <= 1.0)
@@ -286,22 +274,20 @@ def _kernel(cand_ref, cnt_ref, ray_ref, tmax_ref, blk_box_ref,
                     cur = out_ref[0, lane]
                     if any_hit:
                         # occlusion query: any t < per-ray budget kills the
-                        # ray (cur = -1 fails every later AABB gate);
-                        # (rays, tris) orientation -> reduce axis 1
-                        got = jnp.any(t < cur[:, None], axis=1)
+                        # ray (cur = -1 fails every later AABB gate)
+                        got = jnp.any(t < cur[None, :], axis=0)
                         out_ref[0, lane] = jnp.where(got, -1.0, cur)
                         out_ref[1, lane] = jnp.where(
                             got, 1.0, out_ref[1, lane]
                         )
                     else:
-                        t_best = jnp.min(t, axis=1)
-                        is_best = t == t_best[:, None]
+                        t_best = jnp.min(t, axis=0)
+                        is_best = t == t_best[None, :]
                         big = jnp.float32(2.0e9)
-                        tid = jnp.broadcast_to(tri_id, t.shape)
-                        prim_best = jnp.min(jnp.where(is_best, tid, big), axis=1)
-                        first = is_best & (tid == prim_best[:, None])
-                        u_best = jnp.sum(jnp.where(first, u, 0.0), axis=1)
-                        v_best = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+                        prim_best = jnp.min(jnp.where(is_best, tri_id, big), axis=0)
+                        first = is_best & (tri_id == prim_best[None, :])
+                        u_best = jnp.sum(jnp.where(first, u, 0.0), axis=0)
+                        v_best = jnp.sum(jnp.where(first, v, 0.0), axis=0)
                         take = t_best < cur
                         out_ref[0, lane] = jnp.where(take, t_best, cur)
                         out_ref[1, lane] = jnp.where(take, prim_best, out_ref[1, lane])
