@@ -16,9 +16,14 @@ tau' = (tau + phi) * N'/(N+M); the radiance estimate is
 L = L_emitted_avg + tau / (n_total_emitted * pi * R^2).
 
 Hitpoints sit at the first non-delta vertex of each camera path (specular
-chains are followed, like the reference's sppm camera pass); the gather
-evaluates the diffuse lobe (albedo/pi) — glossy gather is documented
-future work (PARITY.md).
+chains are followed, like the reference's sppm camera pass).  The gather
+evaluates the FULL smooth BSDF (sppm.cpp:414 evaluates bsdf->eval per
+photon): photon flux is accumulated into K incident-direction bins in the
+hitpoint's shading frame during the grid scan, then ONE BSDF evaluation
+per (hitpoint, bin) against the camera direction weights the binned flux
+— per-photon lobe variation at bin resolution without paying a full
+material dispatch inside the 8x32-tap scan (K=16: 2 cos-theta bands x 8
+azimuth sectors; diffuse surfaces reduce exactly to albedo/pi).
 """
 from __future__ import annotations
 
@@ -41,6 +46,22 @@ from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
 
 MAX_CELL_TAPS = 32  # photons examined per cell (x8 cells per hitpoint)
 GRID_MAX = 512      # cells per axis cap (key fits int32)
+N_COS_BANDS = 2     # incident-direction bins for the glossy gather:
+N_AZIMUTH = 8       # cos-theta bands x azimuth sectors in the hp frame
+N_DIR_BINS = N_COS_BANDS * N_AZIMUTH
+
+
+def _dir_bin_centers():
+    """(K, 3) local-frame unit centers of the incident-direction bins."""
+    ct = (np.arange(N_COS_BANDS) + 0.5) / N_COS_BANDS   # cos-theta bands
+    # sector s covers az in [-pi + s*2pi/N, ...) — must match gather's
+    # (az/2pi + 0.5) mapping
+    ph = ((np.arange(N_AZIMUTH) + 0.5) / N_AZIMUTH - 0.5) * 2.0 * np.pi
+    ctg, phg = np.meshgrid(ct, ph, indexing="ij")
+    st = np.sqrt(np.maximum(1.0 - ctg**2, 0.0))
+    return np.stack(
+        [st * np.cos(phg), st * np.sin(phg), ctg], axis=-1
+    ).reshape(N_DIR_BINS, 3).astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("max_depth", "use_bvh", "em_kinds", "mat_types", "width", "height", "sensor_kind"))
@@ -64,6 +85,7 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
         hp_pos=jnp.zeros((n, 3)), hp_ns=jnp.zeros((n, 3)),
         hp_alb=jnp.zeros((n, 3)), hp_T=jnp.zeros((n, 3)),
         hp_valid=jnp.zeros((n,), bool), L=jnp.zeros((n, 3)),
+        hp_mid=jnp.zeros((n,), jnp.int32), hp_wol=jnp.zeros((n, 3)),
     )
 
     def bounce(carry, depth):
@@ -99,16 +121,18 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
             | (mtype == BSDFType.NULL)
         )
         # record hitpoint at the first smooth vertex
+        frame = Frame.from_normal(ns)
+        wi_local = frame.to_local(-s["d"])
         rec = act & ~is_delta_mat & ~s["hp_valid"]
         s["hp_pos"] = jnp.where(rec[..., None], p, s["hp_pos"])
         s["hp_ns"] = jnp.where(rec[..., None], ns, s["hp_ns"])
         s["hp_alb"] = jnp.where(rec[..., None], bsdf_mod.albedo_raw(mats, mid), s["hp_alb"])
         s["hp_T"] = jnp.where(rec[..., None], s["T"], s["hp_T"])
+        s["hp_mid"] = jnp.where(rec, mid, s["hp_mid"])
+        s["hp_wol"] = jnp.where(rec[..., None], wi_local, s["hp_wol"])
         s["hp_valid"] = s["hp_valid"] | rec
 
         # continue only through delta materials
-        frame = Frame.from_normal(ns)
-        wi_local = frame.to_local(-s["d"])
         bs = bsdf_mod.sample_raw(mats, mid, wi_local, u[..., 3:6], types=mat_types)
         wo_world = frame.to_world(bs.wo)
         cont = act & is_delta_mat & (jnp.max(jnp.abs(bs.weight), axis=-1) > 0.0)
@@ -120,7 +144,7 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
     return (state["hp_pos"], state["hp_ns"], state["hp_alb"], state["hp_T"],
-            state["hp_valid"], state["L"])
+            state["hp_valid"], state["L"], state["hp_mid"], state["hp_wol"])
 
 
 @partial(jax.jit, static_argnames=("max_depth", "use_bvh", "em_kinds", "mat_types"))
@@ -204,8 +228,9 @@ def _cell_key(c, G):
 
 @partial(jax.jit, static_argnames=("G",))
 def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
-    """Per-hitpoint photon gather.  Returns (M_count (N,), phi (N,3)) —
-    photon count and flux*f sums within each hitpoint's radius."""
+    """Per-hitpoint photon gather.  Returns (M_count (N,), phi (N,K,3)) —
+    photon count, and flux sums binned by incident direction in the
+    hitpoint frame (K = N_DIR_BINS; see module docstring glossy gather)."""
     key_ph = jnp.where(ph_ok, _cell_key(_cell_coords(ph_pos, lo, inv_cell, G), G), jnp.int32(2**30))
     # randomize within-cell order (stable argsort would put depth-0
     # deposits first, breaking the exchangeability the subsample reweight
@@ -225,8 +250,11 @@ def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
     # 2x2x2 neighborhood around the nearest cell corner (cell size 2R_init
     # guarantees the R-ball fits in those 8 cells)
     base = jnp.floor((hp_pos - lo) * inv_cell - 0.5).astype(jnp.int32)
-    count = jnp.zeros(hp_pos.shape[0], jnp.float32)
-    phi = jnp.zeros_like(hp_pos)
+    n_hp = hp_pos.shape[0]
+    count = jnp.zeros(n_hp, jnp.float32)
+    phi = jnp.zeros((n_hp, N_DIR_BINS, 3), jnp.float32)
+    hp_frame = Frame.from_normal(hp_ns)
+    bin_ids = jnp.arange(N_DIR_BINS)
     r2 = hp_R * hp_R
     m_total = skeys.shape[0]
     seen_keys = []
@@ -263,7 +291,20 @@ def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
                     planar = jnp.abs(dot(dp, hp_ns)) <= 0.1 * hp_R
                     sel = okk & (d2 <= r2) & front & planar
                     count = count + jnp.where(sel, scale, 0.0)
-                    phi = phi + jnp.where(sel[..., None], sp_pw[idx] * scale[..., None], 0.0)
+                    # bin by incident direction in the hitpoint frame
+                    wil = hp_frame.to_local(sp_wi[idx])
+                    band = jnp.clip(
+                        (wil[..., 2] * N_COS_BANDS).astype(jnp.int32),
+                        0, N_COS_BANDS - 1)
+                    az = jnp.arctan2(wil[..., 1], wil[..., 0])
+                    sector = jnp.clip(
+                        ((az / (2.0 * jnp.pi) + 0.5) * N_AZIMUTH).astype(jnp.int32),
+                        0, N_AZIMUTH - 1)
+                    b = band * N_AZIMUTH + sector
+                    onehot = (b[:, None] == bin_ids[None, :])  # (N, K)
+                    contrib = (sp_pw[idx] * scale[..., None])[:, None, :]
+                    phi = phi + jnp.where(
+                        (sel[:, None] & onehot)[..., None], contrib, 0.0)
     return count, phi
 
 
@@ -302,7 +343,8 @@ def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
     for it in range(n_iterations):
         rk_cam = rng.ray_keys(key, pix, jnp.full((n_pix,), it, jnp.int32))
         u_pos = event_uniform(rk_cam, 1 << 20, 2)
-        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em = camera_pass(
+        (hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em,
+         hp_mid, hp_wol) = camera_pass(
             scene, rk_cam, w, h, u_pos, pix,
             max_depth=cfg.max_depth, use_bvh=use_bvh,
             em_kinds=em_kinds, mat_types=mat_types,
@@ -324,10 +366,20 @@ def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
             lo, inv_cell, G,
         )
         M_new = jnp.where(hp_valid, M_new, 0.0)
-        # diffuse-lobe gather: f = albedo/pi; photon power / n_emitted
+        # full-BSDF gather: one smooth-lobe evaluation per direction bin
+        # against the camera direction (sppm.cpp:414 bsdf->eval), applied
+        # to the binned flux.  eval_pdf_raw returns f*cos(wo); divide by
+        # the bin center's cos to get plain f (flux already carries the
+        # arrival geometry).
+        centers = jnp.asarray(_dir_bin_centers())
+        phi_f = jnp.zeros((n_pix, 3))
+        for k in range(N_DIR_BINS):
+            ck = jnp.broadcast_to(centers[k], hp_wol.shape)
+            fk, _ = bsdf_mod.eval_pdf_raw(
+                scene.mats, hp_mid, hp_wol, ck, types=mat_types)
+            phi_f = phi_f + fk / centers[k, 2] * phi[:, k, :]
         phi = jnp.where(
-            hp_valid[..., None],
-            hp_T * hp_alb / jnp.pi * phi / photons_per_iter, 0.0,
+            hp_valid[..., None], hp_T * phi_f / photons_per_iter, 0.0,
         )
         # Hachisuka-Jensen statistics update
         N_new = N_stat + alpha * M_new

@@ -79,3 +79,24 @@ def test_sppm_matches_forward_cornell():
     np.testing.assert_allclose(s.mean(), f.mean(), rtol=0.12)
     corr = np.corrcoef(f.mean(-1).ravel(), s.mean(-1).ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_sppm_glossy_gather_matches_forward():
+    """Glossy (rough-conductor) surfaces must gather through the full
+    BSDF, not a diffuse proxy (sppm.cpp:414 bsdf->eval; direction-binned
+    gather in integrators/sppm.py)."""
+    desc = cornell_box()
+    # make the floor glossy: lobe-dependent gather is now load-bearing
+    desc["shapes"][0]["bsdf"] = {
+        "type": "roughconductor", "alpha": 0.25, "material": "none",
+        "specular_reflectance": [0.9, 0.9, 0.9],
+    }
+    scene = build_scene(desc)
+    f = np.asarray(render(scene, RenderConfig(width=24, height=24, spp=128, max_depth=4, seed=0)))
+    s = np.asarray(render_sppm(scene, RenderConfig(width=24, height=24, spp=1, max_depth=4, seed=0),
+                               n_iterations=6, photons_per_iter=1 << 15))
+    assert np.isfinite(s).all()
+    # direction-binned lobe evaluation: means agree, image correlates
+    np.testing.assert_allclose(s.mean(), f.mean(), rtol=0.2)
+    corr = np.corrcoef(f.mean(-1).ravel(), s.mean(-1).ravel())[0, 1]
+    assert corr > 0.9, corr
