@@ -193,6 +193,24 @@ def _rough_conductor_eval_pdf(p: _P, wi, wo):
     return jnp.where(up[..., None], f, 0.0), jnp.where(up, pdf, 0.0)
 
 
+def _coat_rough_reflection(p: _P, wi, wo):
+    """GGX reflection off a ROUGH coat interface (roughcoating.cpp eval):
+    microfacet distribution at the coat's alpha, dielectric Fresnel at
+    the half-vector.  Returns (f*cos (N,3), vndf-based pdf (N,))."""
+    up = (cos_theta(wi) > 1e-6) & (cos_theta(wo) > 1e-6)
+    m = normalize(wi + wo)
+    D = ggx_d(m, p.alpha)
+    G2 = ggx_g2(wi, wo, p.alpha)
+    eta_c = jnp.maximum(p.eta[..., 0], 1e-3)
+    F = fresnel_dielectric(dot(wi, m), eta_c)
+    ci = jnp.maximum(cos_theta(wi), 1e-6)
+    f = p.spec * (F * D * G2 / (4.0 * ci))[..., None]
+    pdf = ggx_vndf_pdf(wi, m, p.alpha) / jnp.maximum(
+        4.0 * jnp.abs(dot(m, wo)), 1e-8
+    )
+    return jnp.where(up[..., None], f, 0.0), jnp.where(up, pdf, 0.0)
+
+
 def _plastic_lobe_probs(p: _P, wi):
     eta = p.eta[..., 0]
     fi = fresnel_dielectric(jnp.abs(cos_theta(wi)), eta)
@@ -500,35 +518,50 @@ def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
             f = jnp.where(is_m[..., None], p.weight[..., None] * fa, f)
             pdf = jnp.where(is_m, p.weight * pdfa, pdf)
     if BSDFType.COATING in types:
-        # smooth dielectric layer over sub_a (coating.cpp eval/pdf): refract
-        # both directions into the layer, evaluate the nested lobe there,
-        # attenuate by the two Fresnel transmittances + Beer absorption,
-        # convert the measure back out (invEta^2 * cos ratio)
         pc = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
-        eta_c = jnp.maximum(p.eta[..., 0], 1e-3)
-        wi_in, R12 = _coat_refract(wi2, eta_c)
-        wo_in, R21 = _coat_refract(wo2, eta_c)
-        f_n, pdf_n = _eval_smooth(pc, wi_in, wo_in, types)
-        inv_eta2 = 1.0 / (eta_c * eta_c)
-        czo_in = jnp.where(jnp.abs(wo_in[..., 2]) < 1e-6, 1e-6, wo_in[..., 2])
-        cos_ratio = wo2[..., 2] / czo_in
-        sa = p.refl * p.weight[..., None]  # sigmaA * thickness
-        absorb = jnp.exp(
-            -sa
-            * (
-                1.0 / jnp.maximum(jnp.abs(wi_in[..., 2]), 1e-6)
-                + 1.0 / jnp.maximum(jnp.abs(wo_in[..., 2]), 1e-6)
-            )[..., None]
-        )
-        # specular sampling weight 0.5 -> probSpecular = R12 (see sample)
-        trans = (1.0 - R12) * (1.0 - R21) * inv_eta2 * cos_ratio
-        ok = (R12 < 1.0) & (R21 < 1.0)
-        f_c = jnp.where(ok[..., None], f_n * absorb * trans[..., None], 0.0)
-        pdf_c = jnp.where(ok, (1.0 - R12) * pdf_n * inv_eta2 * cos_ratio, 0.0)
+        f_c, pdf_c = _coating_f_pdf(p, pc, wi2, wo2, types)
         is_c = p.type == BSDFType.COATING
         f = jnp.where(is_c[..., None], f_c, f)
         pdf = jnp.where(is_c, pdf_c, pdf)
     return f, pdf
+
+
+def _coating_f_pdf(p: _P, pc: _P, wi2, wo2, types):
+    """Coating smooth eval/pdf, shared by eval_pdf_raw and _coat_sample.
+
+    Dielectric layer over sub_a (coating.cpp eval/pdf): refract both
+    directions into the layer, evaluate the nested lobe there, attenuate
+    by the two Fresnel transmittances + Beer absorption, convert the
+    measure back out (invEta^2 * cos ratio).  When the coat interface is
+    rough (alpha > 0, roughcoating.cpp), its GGX reflection lobe joins
+    the smooth eval and the pdf mixes it with probability R12."""
+    eta_c = jnp.maximum(p.eta[..., 0], 1e-3)
+    wi_in, R12 = _coat_refract(wi2, eta_c)
+    wo_in, R21 = _coat_refract(wo2, eta_c)
+    f_n, pdf_n = _eval_smooth(pc, wi_in, wo_in, types)
+    inv_eta2 = 1.0 / (eta_c * eta_c)
+    czo_in = jnp.where(jnp.abs(wo_in[..., 2]) < 1e-6, 1e-6, wo_in[..., 2])
+    cos_ratio = wo2[..., 2] / czo_in
+    sa = p.refl * p.weight[..., None]  # sigmaA * thickness
+    absorb = jnp.exp(
+        -sa
+        * (
+            1.0 / jnp.maximum(jnp.abs(wi_in[..., 2]), 1e-6)
+            + 1.0 / jnp.maximum(jnp.abs(wo_in[..., 2]), 1e-6)
+        )[..., None]
+    )
+    # specular sampling weight 0.5 -> probSpecular = R12 (see sample)
+    trans = (1.0 - R12) * (1.0 - R21) * inv_eta2 * cos_ratio
+    ok = (R12 < 1.0) & (R21 < 1.0)
+    f_c = jnp.where(ok[..., None], f_n * absorb * trans[..., None], 0.0)
+    pdf_c = jnp.where(ok, (1.0 - R12) * pdf_n * inv_eta2 * cos_ratio, 0.0)
+    # roughcoating.cpp: alpha > 0 turns the coat's delta reflection
+    # into a visible GGX lobe (dielectric Fresnel at the half-vector)
+    f_r, pdf_r = _coat_rough_reflection(p, wi2, wo2)
+    rough_c = p.alpha > 1e-3
+    f_c = jnp.where(rough_c[..., None], f_c + f_r, f_c)
+    pdf_c = jnp.where(rough_c, pdf_c + R12 * pdf_r, pdf_c)
+    return f_c, pdf_c
 
 
 def _albedo_of(p: _P):
@@ -871,13 +904,28 @@ def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample) -> BSDFSample
         sub.is_delta, 1.0, inv_eta2 * cos_ratio
     )
     ok_n = ~tir & (sub.pdf > 0.0)
-    wo_spec = reflect_local(wi2)
+    # coat reflection: delta mirror (coating.cpp) or GGX VNDF sample
+    # (roughcoating.cpp) when the interface is rough
+    rough_c = p.alpha > 1e-3
+    m_r = ggx_sample_vndf(wi2, p.alpha, u2)
+    wo_ggx = 2.0 * dot(wi2, m_r)[..., None] * m_r - wi2
+    wo_spec = jnp.where(rough_c[..., None], wo_ggx, reflect_local(wi2))
     wo_c = jnp.where(choose_spec[..., None], wo_spec, wo_out)
+    # rough-coat lanes with a SMOOTH outcome (either branch) re-weight by
+    # the full one-sample-MIS estimator f/pdf over the mixed pdf — the
+    # ROUGH_PLASTIC pattern; keeps sample weights == eval/pdf exactly
+    f_full, pdf_full = _coating_f_pdf(p, pc, wi2, wo_c, types)
+    smooth_out = rough_c & ~(jnp.where(choose_spec, False, sub.is_delta))
+    ok_r = pdf_full > 1e-9
+    w_full = f_full / jnp.maximum(pdf_full, 1e-9)[..., None]
     w_c = jnp.where(
         choose_spec[..., None], p.spec, jnp.where(ok_n[..., None], w_n, 0.0)
     )
     pdf_c = jnp.where(choose_spec, jnp.maximum(p_spec, 1e-9), jnp.where(ok_n, pdf_n, 0.0))
-    delta_c = jnp.where(choose_spec, True, sub.is_delta)
+    w_c = jnp.where(smooth_out[..., None],
+                    jnp.where(ok_r[..., None], w_full, 0.0), w_c)
+    pdf_c = jnp.where(smooth_out, jnp.where(ok_r, pdf_full, 0.0), pdf_c)
+    delta_c = jnp.where(choose_spec, ~rough_c, sub.is_delta)
     wo_c = jnp.stack(
         [wo_c[..., 0], wo_c[..., 1], wo_c[..., 2] * s], axis=-1
     )  # un-flip the two-sided mirror

@@ -66,8 +66,8 @@ _BSDF_TYPES = {
     "mixturebsdf": BSDFType.BLEND,
     "mask": BSDFType.MASK,
     "coating": BSDFType.COATING,
-    # roughcoating approximated by the smooth layer (interface roughness
-    # mainly blurs the delta lobe; reference src/bsdfs/roughcoating.cpp)
+    # roughcoating = COATING row with alpha > 0: GGX reflection lobe off
+    # the coat interface (reference src/bsdfs/roughcoating.cpp)
     "roughcoating": BSDFType.COATING,
 }
 
@@ -172,6 +172,9 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
         int_ior = float(spec.get("int_ior", 1.5046))
         ext_ior = float(spec.get("ext_ior", 1.000277))
         row["eta"] = np.full(3, int_ior / ext_ior)
+        # coat interface roughness: 0 = delta reflection (coating.cpp);
+        # > 0 = GGX reflection lobe (roughcoating.cpp)
+        row["alpha"] = float(spec.get("alpha", 0.1)) if t == "roughcoating" else 0.0
         row["weight"] = float(spec.get("thickness", 1.0))
         row["reflectance"] = _rgb(spec.get("sigma_a"), [0.0, 0.0, 0.0])
         row["sub_a"] = register_sub(spec.get("bsdf") or {"type": "diffuse"})

@@ -324,6 +324,73 @@ def test_coating_limits():
     assert mean_reflected(thick) < mean_reflected(thin) < m_plain
 
 
+def _roughcoating_mats(alpha=0.3, thickness=0.5, sigma_a=(0.2, 0.1, 0.05)):
+    """COATING row with alpha > 0 = roughcoating.cpp (GGX coat lobe)."""
+    rows = [
+        _row(BSDFType.COATING, sigma_a, (1, 1, 1), 1.5, 0.0, alpha,
+             sub_a=1, weight=thickness),
+        _row(BSDFType.DIFFUSE, (0.8, 0.6, 0.4), (1, 1, 1), 1.5, 0.0, 0.1),
+    ]
+    return mats_from_rows(rows)
+
+
+@pytest.mark.parametrize("theta", [25, 60])
+def test_roughcoating_chi2(theta):
+    passed, msg, _ = run_chi2(_roughcoating_mats(), theta, seed=77 + theta)
+    assert passed, f"roughcoating_{theta}: {msg}"
+
+
+def test_roughcoating_ggx_lobe_visible_to_eval():
+    """Unlike the smooth coat's delta, the rough coat reflection must be
+    part of smooth eval: near the mirror direction, eval of a rough coat
+    >> eval of the nested-only transport (roughcoating.cpp eval)."""
+    n = 8
+    wi = jnp.broadcast_to(
+        jnp.asarray([np.sin(0.6), 0.0, np.cos(0.6)], jnp.float32), (n, 3))
+    wo = jnp.broadcast_to(
+        jnp.asarray([-np.sin(0.6), 0.0, np.cos(0.6)], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    f_rough, pdf_rough = B.eval_pdf(_roughcoating_mats(alpha=0.2), mid, wi, wo)
+    f_smooth, _ = B.eval_pdf(_coating_mats(), mid, wi, wo)
+    # note: _coating_mats rows carry alpha=0.1 (historical default), so
+    # build an explicitly smooth row for the comparison
+    rows = [
+        _row(BSDFType.COATING, (0.2, 0.1, 0.05), (1, 1, 1), 1.5, 0.0, 0.0,
+             sub_a=1, weight=0.5),
+        _row(BSDFType.DIFFUSE, (0.8, 0.6, 0.4), (1, 1, 1), 1.5, 0.0, 0.1),
+    ]
+    f_delta, _ = B.eval_pdf(mats_from_rows(rows), mid, wi, wo)
+    # measured: the GGX lobe adds ~0.10 on top of the ~0.07 nested
+    # transport at the mirror direction (2.5x) — gate at 2x
+    assert float(f_rough.max()) > 2.0 * float(f_delta.max())
+    assert float(pdf_rough[0]) > 0.0
+
+
+def test_roughcoating_weight_consistency():
+    mats = _roughcoating_mats(alpha=0.35)
+    n = 4096
+    wi = jnp.broadcast_to(
+        jnp.asarray([np.sin(0.8), 0.0, np.cos(0.8)], jnp.float32), (n, 3))
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(21), (n, 3))
+    bs = B.sample(mats, mid, wi, u)
+    f, pdf = B.eval_pdf(mats, mid, wi, bs.wo)
+    ok = (
+        (~np.asarray(bs.is_delta))
+        & (np.asarray(bs.pdf) > 1e-3)
+        & (np.asarray(bs.weight).max(axis=-1) > 0)
+        & (np.asarray(pdf) > 1e-3)
+    )
+    assert ok.sum() > n // 4
+    # sample() weights use per-lobe pdfs (not the one-sample-MIS mix), so
+    # f/pdf and the weight agree in EXPECTATION per lobe; gate the ratio
+    # where a single lobe dominates the pdf
+    ratio = np.asarray(bs.weight)[ok] / np.maximum(
+        np.asarray(f)[ok] / np.asarray(pdf)[ok][:, None], 1e-9)
+    med = np.median(ratio, axis=0)
+    np.testing.assert_allclose(med, 1.0, rtol=0.35)
+
+
 # ---------------------------------------------------------------------------
 # Hanrahan-Krueger thin slab (reference hk.cpp)
 # ---------------------------------------------------------------------------
