@@ -67,7 +67,7 @@ def build_irradiance_cache(
     key = rng.base_key(cfg.seed + 77)
     rk = rng.ray_keys(key, pix, jnp.zeros_like(pix))
     u_pos = event_uniform(rk, 1 << 20, 2)
-    hp_pos, hp_ns, _, _, hp_valid, _ = camera_pass(
+    hp_pos, hp_ns, _, _, hp_valid, _, _, _ = camera_pass(
         scene, rk, res, res, u_pos, pix,
         max_depth=cfg.max_depth, use_bvh=use_bvh,
         em_kinds=em_kinds, mat_types=mat_types,
@@ -187,7 +187,7 @@ def render_irrcache(
     for s in range(spp):
         rk = rng.ray_keys(key, pix, jnp.full((n_pix,), s, jnp.int32))
         u_pos = event_uniform(rk, 1 << 20, 2)
-        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em = camera_pass(
+        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em, _, _ = camera_pass(
             scene, rk, w, h, u_pos, pix,
             max_depth=cfg.max_depth, use_bvh=use_bvh,
             em_kinds=em_kinds, mat_types=mat_types,

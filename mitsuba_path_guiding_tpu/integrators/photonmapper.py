@@ -73,10 +73,11 @@ def _shade_pass(
     )
 
     # --- caustics from the caustic map at x
-    _, phi_c = gather(
+    _, phi_c_bins = gather(
         hp_pos, hp_ns, jnp.full((n,), r_caustic),
         gl_pos, gl_wi, gl_pw, gl_ok & ca_ok, lo, inv_cell, G,
     )
+    phi_c = phi_c_bins.sum(axis=1)  # diffuse estimate: direction bins summed
     L_cau = jnp.where(
         hp_valid[..., None],
         hp_alb / jnp.pi * phi_c / (jnp.pi * r_caustic * r_caustic * n_emitted),
@@ -96,10 +97,11 @@ def _shade_pass(
     mid_y = row[18].astype(jnp.int32)
     alb_y = bsdf_mod.albedo_raw(mats, mid_y)
     is_emitter_y = row[19] >= 0.0
-    _, phi_y = gather(
+    _, phi_y_bins = gather(
         y, ns_y, jnp.full((n,), r_global),
         gl_pos, gl_wi, gl_pw, gl_ok, lo, inv_cell, G,
     )
+    phi_y = phi_y_bins.sum(axis=1)
     L_y = alb_y / jnp.pi * phi_y / (jnp.pi * r_global * r_global * n_emitted)
     # cosine pdf cancels f*cos for the diffuse lobe: contribution=albedo*L_y
     ok_g = hp_valid & hit.valid & ~is_emitter_y
@@ -156,7 +158,7 @@ def render_photonmapper(
     for s in range(spp):
         rk = rng.ray_keys(key, pix, jnp.full((n_pix,), s, jnp.int32))
         u_pos = event_uniform(rk, 1 << 20, 2)
-        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em = camera_pass(
+        hp_pos, hp_ns, hp_alb, hp_T, hp_valid, L_em, hp_mid, hp_wol = camera_pass(
             scene, rk, w, h, u_pos, pix,
             max_depth=cfg.max_depth, use_bvh=use_bvh,
             em_kinds=em_kinds, mat_types=mat_types,
