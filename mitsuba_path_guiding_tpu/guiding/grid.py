@@ -153,16 +153,22 @@ def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
     c, k = grid.kappa.shape
     packed = jnp.concatenate(
         [
-            grid.mu[..., 0],          # (C, K)
-            grid.mu[..., 1],
-            grid.mu[..., 2],
-            grid.kappa,
-            grid.log_weight,
-            grid.valid[:, None].astype(jnp.float32),
+            grid.mu[..., 0].T,        # (K, C)
+            grid.mu[..., 1].T,
+            grid.mu[..., 2].T,
+            grid.kappa.T,
+            grid.log_weight.T,
+            grid.valid[None, :].astype(jnp.float32),
         ],
-        axis=1,
-    )                                  # (C, 5K+1) — C is small, pack is cheap
-    rows = packed[cid].T               # (5K+1, N)
+        axis=0,
+    )                                  # (5K+1, C) — C is small, pack is cheap
+    # COLUMN gather: output (5K+1, N) keeps the big ray axis in the
+    # 128-lane minor dim.  The row-major form (packed[cid].T) materializes
+    # an (N, 41) buffer whose 41-wide minor dim lane-pads to 128 (134 MB
+    # at 262k lanes) plus a full transpose — measured 4.6 GB/wave of HBM
+    # traffic on the guided trace vs 0.65 GB unguided; this orientation
+    # removes both.
+    rows = packed[:, cid]              # (5K+1, N)
     mux, muy, muz = rows[0:k], rows[k : 2 * k], rows[2 * k : 3 * k]
     kappa = rows[3 * k : 4 * k]
     logw = rows[4 * k : 5 * k]
@@ -279,8 +285,8 @@ def parallax_params(grid: GuidingGrid, cid: jnp.ndarray, params, p: jnp.ndarray)
         return params
     w, mux, muy, muz, kappa, valid = params
     k = grid.kappa.shape[1]
-    packed = jnp.concatenate([grid.lobe_dist, grid.origin], axis=1)  # (C, K+3)
-    rows = packed[cid].T                                             # (K+3, N)
+    packed = jnp.concatenate([grid.lobe_dist.T, grid.origin.T], axis=0)  # (K+3, C)
+    rows = packed[:, cid]              # (K+3, N) — column gather, see above
     dist = rows[0:k]
     org = rows[k : k + 3]
     ok = (dist > 1e-5) & (dist < 1e7) & valid[None, :]
