@@ -126,3 +126,30 @@ def test_mlt_caustic_scene(caustic_scene):
         caustic_scene, _cfg(spp=768, seed=7), n_chains=4096))
     assert np.isfinite(img).all()
     assert img.mean() == pytest.approx(ref.mean(), rel=0.15)
+
+
+def test_path_space_beats_pss_on_caustics(caustic_scene):
+    """VERDICT round-1 item 4 done-criterion: path-space exploration must
+    visibly beat PSS mutations at equal mutation budget on a caustic
+    scene.  The mirror-slab box concentrates indirect light through an
+    E-D-S-L chain; Kelemen PSS small steps re-randomize every bounce
+    coordinate, so their acceptance through the chain collapses, while
+    the lens/caustic perturbations keep the chain structure and only
+    bend it (mut_caustic.cpp's design argument)."""
+    from mitsuba_path_guiding_tpu.integrators.pssmlt import render_pssmlt
+
+    cfg_ref = _cfg(spp=2048, use_nee=False, seed=11)
+    ref = np.asarray(render(caustic_scene, cfg_ref))
+
+    budget = 512  # mutations per pixel, equal for both
+    img_ps = np.asarray(M.render_mlt(
+        caustic_scene, _cfg(spp=budget, seed=3), n_chains=4096))
+    img_pss = np.asarray(render_pssmlt(
+        caustic_scene, _cfg(spp=budget, seed=3), n_chains=4096))
+
+    def mse(a):
+        return float(np.mean((a - ref) ** 2))
+
+    e_ps, e_pss = mse(img_ps), mse(img_pss)
+    # path-space MLT must not lose, and should win clearly
+    assert e_ps < e_pss, (e_ps, e_pss)
