@@ -207,7 +207,88 @@ def main():
             log(f"big-scene bench skipped: {type(e).__name__}: {e}")
         finally:
             signal.alarm(0)
+
+    # --- third benchmark: volumetric transport (BASELINE config 4 family)
+    if os.environ.get("BENCH_VOL", "1") != "0" and n_dev == 1:
+        import signal
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(300)
+        try:
+            result.update(_bench_volumetric(log))
+        except Exception as e:  # noqa: BLE001
+            log(f"volumetric bench skipped: {type(e).__name__}: {e}")
+        finally:
+            signal.alarm(0)
     print(json.dumps(result))
+
+
+def _bench_volumetric(log, n_waves=8):
+    """Mrays/s (collision events x2 for NEE) on the homogeneous-medium
+    Cornell box through trace_vol (delta tracking + NEE + HG phase)."""
+    import numpy as np
+    from functools import partial
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+    from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import volumetric_box
+
+    scene = build_scene(volumetric_box())
+    W = H = 256
+    MAX_DEPTH = 8
+    SPP_PER_WAVE = 4
+    n_pix = W * H
+    em_kinds = kinds_present(scene.emitters)
+    mat_types = types_present(scene.mats)
+    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), SPP_PER_WAVE)
+    key = rng.base_key(0)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def waves(rgbw):
+        def body(carry, w_idx):
+            rgbw, segs = carry
+            sidx = (
+                jnp.repeat(jnp.arange(SPP_PER_WAVE, dtype=jnp.int32), n_pix)
+                + w_idx * SPP_PER_WAVE
+            )
+            rkeys = rng.ray_keys(key, pix, sidx)
+            u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
+            o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+            L, aux, _ = trace_vol(
+                scene, o, d, rkeys, max_depth=MAX_DEPTH, use_bvh=False,
+                em_kinds=em_kinds, mat_types=mat_types,
+            )
+            rgbw = splat_box_aligned(rgbw, L, n_pix)
+            return (rgbw, segs + jnp.sum(aux.n_bounces)), None
+
+        (rgbw, segs), _ = jax.lax.scan(
+            body, (rgbw, jnp.int32(0)), jnp.arange(n_waves, dtype=jnp.int32)
+        )
+        return rgbw, segs
+
+    rgbw = jnp.zeros((n_pix, 4), jnp.float32)
+    t0 = time.time()
+    rgbw, segs = waves(rgbw)
+    jax.block_until_ready(rgbw)
+    log(f"vol compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    rgbw, segs = waves(rgbw)
+    jax.block_until_ready(rgbw)
+    dt = time.time() - t0
+    mrays = int(segs) * 2 / dt / 1e6
+    log(f"volumetric: {n_waves} waves in {dt:.2f}s -> {mrays:.2f} Mrays/s")
+    assert np.isfinite(np.asarray(rgbw)).all()
+    return {
+        "vol_metric": f"volumetric path tracing Mrays/s (homogeneous Cornell "
+                      f"256x256 depth-{MAX_DEPTH}, delta tracking + NEE + HG)",
+        "vol_mrays": round(mrays, 2),
+    }
 
 
 def _bench_big_scene(log, target_tris=250_000, n_waves=4):

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mitsuba_path_guiding_tpu.accel.blocks import BLOCK_TRIS, SB_BLOCKS, SB_TRIS, BlockList
 
-RAY_TILE = 512
+RAY_TILE = 256
 SUB_TILE = 128          # per-subtile gating granularity inside a ray tile
 N_SUB = RAY_TILE // SUB_TILE
 INF = 3.0e38
