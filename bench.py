@@ -192,12 +192,12 @@ def main():
     # (BASELINE config 3 family).  Time-boxed: the axon tunnel sometimes
     # stalls fresh device transfers for minutes — a hang here must not
     # cost the primary result.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench stage timed out")
+
     if os.environ.get("BENCH_BIG", "1") != "0" and n_dev == 1:
-        import signal
-
-        def _alarm(signum, frame):
-            raise TimeoutError("big-scene bench timed out")
-
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(420)
         try:
@@ -210,8 +210,6 @@ def main():
 
     # --- third benchmark: volumetric transport (BASELINE config 4 family)
     if os.environ.get("BENCH_VOL", "1") != "0" and n_dev == 1:
-        import signal
-
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(300)
         try:
@@ -291,7 +289,7 @@ def _bench_volumetric(log, n_waves=8):
     }
 
 
-def _bench_big_scene(log, target_tris=250_000, n_waves=4):
+def _bench_big_scene(log, target_tris=250_000, n_waves=8):
     """Mrays/s on the door_room scene (244k tris) path-traced depth-5
     with NEE through the SAH-treelet block-list kernel."""
     import numpy as np
@@ -313,7 +311,10 @@ def _bench_big_scene(log, target_tris=250_000, n_waves=4):
     log(f"big scene: {n_tris} tris, build {time.time() - t0:.1f}s")
     W = H = 512
     MAX_DEPTH = 5
-    SPP_PER_WAVE = 2
+    # 1 spp/wave = 1024 ray tiles: keeps the blocklist kernel's prefetched
+    # SMEM candidate table well under the 1 MB core SMEM (2 spp OOM'd SMEM
+    # in the round-2 driver run and the stage never landed in BENCH)
+    SPP_PER_WAVE = 1
     n_pix = W * H
     em_kinds = kinds_present(scene.emitters)
     mat_types = types_present(scene.mats)

@@ -392,7 +392,6 @@ def _perturb(scene, cfg, statics, st: MLTState, u):
     # ---- re-propagate slots anchor+1 .. j
     vp_n, ns_n, ng_n, prim_n = st.vp, st.ns, st.ng, st.prim
     j_pos = jnp.zeros((n, 3))
-    j_ng = jnp.zeros((n, 3))
     j_ns = jnp.zeros((n, 3))
     j_mid = jnp.zeros((n,), jnp.int32)
     j_eid = jnp.full((n,), -1.0)
@@ -419,7 +418,6 @@ def _perturb(scene, cfg, statics, st: MLTState, u):
         ng_n = ng_n.at[i - 1].set(jnp.where(upd, ng.T, ng_n[i - 1]))
         prim_n = prim_n.at[i - 1].set(jnp.where(upd, prim, prim_n[i - 1]))
         j_pos = jnp.where(at_j[..., None], p, j_pos)
-        j_ng = jnp.where(at_j[..., None], ng, j_ng)
         j_ns = jnp.where(at_j[..., None], ns, j_ns)
         j_mid = jnp.where(at_j, mid, j_mid)
         j_eid = jnp.where(at_j, eid_f, j_eid)
@@ -450,20 +448,24 @@ def _perturb(scene, cfg, statics, st: MLTState, u):
     # reconnection-edge G ratio (only the area-measure suffix edge keeps
     # an explicit geometry factor; everything else is parameterized away)
     old_jpos = vp_at(j)
-    ngix = jnp.broadcast_to(jnp.maximum(j - 1, 0)[None, None, :], (1, 3, n))
-    old_jng = jnp.take_along_axis(st.ng, ngix, axis=0)[0].T
     suf_ng_prim = jnp.take_along_axis(st.prim, jnp.minimum(j, V - 1)[None, :],
                                       axis=0)[0]
     _, _, _, suf_ng = _shade_rows(scene.geo, suf_ng_prim)
 
-    def edge_G(a, na, b, nb):
+    def edge_G(a, b, nb):
+        # Suffix-side cosine only: the cosine at the (moving) reconnect
+        # vertex j is already inside P via _eval_chain (eval_pdf_raw
+        # returns f*cos(wo)); including |dot(na, dn)| here would double
+        # count it and bias the stationary distribution for lens /
+        # multi-chain reconnections (ref mut_lens.cpp counts each
+        # endpoint's fs*cos exactly once on the reconnection edge).
         v = b - a
         r2_ = jnp.maximum(dot(v, v), 1e-12)
         dn = v / jnp.sqrt(r2_)[..., None]
-        return jnp.abs(dot(na, dn)) * jnp.abs(dot(nb, dn)) / r2_
+        return jnp.abs(dot(nb, dn)) / r2_
 
-    G_new = edge_G(j_pos, j_ng, vj1, suf_ng)
-    G_old = edge_G(old_jpos, old_jng, vj1, suf_ng)
+    G_new = edge_G(j_pos, vj1, suf_ng)
+    G_old = edge_G(old_jpos, vj1, suf_ng)
     g_ratio = jnp.where(endpoint, 1.0,
                         G_new / jnp.maximum(G_old, 1e-20))
 

@@ -328,6 +328,12 @@ def _run_kernel(bl: BlockList, o_p, d_p, t_p, k: int = MAX_CAND,
     npad = o_p.shape[0]
     if bl.sb_lo.shape[0] > 65535:
         raise ValueError("blocklist: more than 65535 superblocks (packed-key limit)")
+    # SMEM budget: the candidate table is a prefetched SMEM operand and
+    # core SMEM is 1 MB (measured: 2048 tiles x 89 cands x 4 B = 729 KB
+    # plus other users OOMs).  Cap k so the table stays <= 512 KB; tiles
+    # whose raw hit count exceeds k use the walk-everything fallback.
+    nt_ = npad // RAY_TILE
+    k = max(8, min(k, (512 * 1024 // 4) // max(nt_, 1)))
     cand, cnt = candidate_superblocks(bl.sb_lo, bl.sb_hi, o_p, d_p, t_p, k=k)
 
     ray = jnp.concatenate(
