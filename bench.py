@@ -73,12 +73,16 @@ def main():
 
     if n_dev > 1:
         from mitsuba_path_guiding_tpu.parallel.mesh import (
+            init_sharded_film,
             make_device_mesh,
             make_sharded_step,
+            merge_film,
+            merge_stats,
         )
 
         mesh = make_device_mesh(dev)
         step = make_sharded_step(scene, cfg, mesh, guide=guide, train=True)
+        rgbw = init_sharded_film(cfg, mesh)
 
         def wave(rgbw, grid, wave_idx, fit=True, n_waves=1):
             segs = jnp.int32(0)
@@ -93,8 +97,8 @@ def main():
                 )
                 rgbw, stats, n_seg = step(pix, sidx, rgbw, grid)
                 if fit and stats is not None:
-                    grid = update_grid(grid, *stats)
-                segs = segs + n_seg
+                    grid = update_grid(grid, *merge_stats(stats))
+                segs = segs + jnp.sum(n_seg)
             return rgbw, grid, segs
     else:
         from functools import partial
@@ -177,6 +181,8 @@ def main():
         f"best window: {N_WAVES} waves of {n_pix * SPP_PER_WAVE} lanes in "
         f"{best_dt:.2f}s; {seg_total} segments -> {mrays:.2f} Mrays/s"
     )
+    if rgbw.ndim == 3:  # sharded partial films -> one merge
+        rgbw = jnp.sum(rgbw, axis=0)
     img = np.asarray(rgbw[:, 0:3] / np.maximum(np.asarray(rgbw[:, 3:4]), 1e-8))
     assert np.isfinite(img).all(), "non-finite image"
 

@@ -48,7 +48,11 @@ def measure(n_dev: int, width: int, spp: int, reps: int = 3):
     from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
     from mitsuba_path_guiding_tpu.integrators.render import RenderConfig
     from mitsuba_path_guiding_tpu.models.bsdf import types_present
-    from mitsuba_path_guiding_tpu.parallel.mesh import AXIS, make_sharded_step
+    from mitsuba_path_guiding_tpu.parallel.mesh import (
+        AXIS,
+        init_sharded_film,
+        make_sharded_step,
+    )
     from mitsuba_path_guiding_tpu.scene.builder import build_scene
     from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
 
@@ -66,22 +70,29 @@ def measure(n_dev: int, width: int, spp: int, reps: int = 3):
     lanes = n_pix * spp * n_dev
     pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), spp * n_dev)
     sidx = jnp.repeat(jnp.arange(spp * n_dev, dtype=jnp.int32), n_pix)
-    rgbw = jnp.zeros((n_pix, 4), jnp.float32)
+    rgbw = init_sharded_film(cfg, mesh)
 
     out = step(pix, sidx, rgbw, grid)   # compile + warmup
     jax.block_until_ready(out[0])
     best = None
     for _ in range(reps):
+        rgbw = init_sharded_film(cfg, mesh)  # step donates its film arg
         t0 = time.time()
         out = step(pix, sidx, rgbw, grid)
         jax.block_until_ready(out[0])
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
 
-    # mesh-exact collective structure from the compiled module
+    # mesh-exact collective structure from the compiled module: the
+    # per-wave step must contain NO cross-device collectives at all
+    # (films/stats merge once per progression in merge_film/merge_stats)
+    rgbw = init_sharded_film(cfg, mesh)
     lowered = jax.jit(step).lower(pix, sidx, rgbw, grid)
     hlo = lowered.compile().as_text()
-    n_allreduce = hlo.count("all-reduce")
+    n_allreduce = sum(
+        hlo.count(op) for op in
+        ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
+    )
     return best, lanes, n_allreduce
 
 
@@ -108,11 +119,12 @@ def main():
         eff = t1 / dt
         print(f"  n_dev={n}: {eff*100:6.1f}%   (collectives/wave: {n_ar})",
               file=sys.stderr)
-    # the collective count must be constant in N — the scalability
-    # invariant the design promises (one film psum + one stats psum)
-    ars = [r[2] for r in results.values()]
-    assert max(ars) == min(ars), f"collective count grew with N: {ars}"
-    print("collective structure: constant in N — OK", file=sys.stderr)
+    # the scalability invariant the design promises: ZERO cross-device
+    # collectives inside the per-wave step (merges happen once per
+    # progression outside it)
+    ars = [r[2] for n, r in results.items() if n > 1]
+    assert not ars or max(ars) == 0, f"per-wave collectives present: {ars}"
+    print("per-wave collective count: 0 at every N — OK", file=sys.stderr)
 
 
 if __name__ == "__main__":
