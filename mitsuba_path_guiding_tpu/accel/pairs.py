@@ -33,21 +33,68 @@ class PairTable(NamedTuple):
     blk_hi: jnp.ndarray    # (B, 3)
     sb_lo: jnp.ndarray     # (S, 3) superblock AABB (SB_BLK consecutive blocks)
     sb_hi: jnp.ndarray     # (S, 3)
-    leaf: int              # triangles per block (python int)
-    sb_blk: int            # blocks per superblock (python int)
+
+    @property
+    def leaf(self) -> int:  # triangles per block
+        return int(self.tri_rows.shape[2])
+
+    @property
+    def sb_blk(self) -> int:  # blocks per superblock
+        return int(self.blk_lo.shape[0]) // int(self.sb_lo.shape[0])
 
 
-def build_pair_table(p0, e1, e2, bvh, leaf: int = 32, sb_blk: int = 64) -> PairTable:
-    """Host-side build: DFS treelet cut at ``leaf`` tris, block tables in
-    DFS (spatial) order, superblocks of ``sb_blk`` consecutive blocks."""
+def _two_level_cut(child0, child1, leaf: int, sb_blk: int):
+    """Two-level BVH cut: superblock subtrees of <= leaf*sb_blk tris,
+    each sub-cut into blocks of <= leaf tris.  Both levels are BVH
+    subtrees, so superblock AABBs are SAH-tight — round-3 fix for the
+    consecutive-DFS-chunk superblocks whose overlapping boxes destroyed
+    the nearest-K ordering proofs (proven rate 76% -> see NEXT.md).
+
+    Returns a list of per-superblock lists of (prim_start, prim_count);
+    a subtree whose leaf cut yields more than sb_blk blocks is split
+    into consecutive chunks of sb_blk (still one subtree, still tight).
+    """
+    from mitsuba_path_guiding_tpu.accel.blocks import _subtree_ranges
+
+    start, count = _subtree_ranges(child0, child1)
+
+    def cut(root, max_tris):
+        out, stack = [], [root]
+        while stack:
+            nd = stack.pop()
+            if count[nd] <= max_tris or child0[nd] < 0:
+                out.append(nd)
+            else:
+                stack.append(int(child1[nd]))
+                stack.append(int(child0[nd]))
+        return out
+
+    sbs = []
+    for r in cut(0, leaf * sb_blk):
+        blks = [(int(start[n]), int(count[n])) for n in cut(r, leaf)]
+        for i in range(0, len(blks), sb_blk):
+            sbs.append(blks[i : i + sb_blk])
+    return sbs
+
+
+def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> PairTable:
+    """Host-side build: two-level BVH treelet cut; block and superblock
+    AABBs are subtree-tight."""
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     prim_idx = np.asarray(bvh.prim_idx)
 
-    ranges = cut_treelets(np.asarray(bvh.child0), np.asarray(bvh.child1), max_tris=leaf)
+    sbs = _two_level_cut(
+        np.asarray(bvh.child0), np.asarray(bvh.child1), leaf, sb_blk
+    )
+    # flatten with per-superblock padding to sb_blk block slots
+    ranges = []
+    for blks in sbs:
+        ranges.extend(blks)
+        ranges.extend([(0, 0)] * (sb_blk - len(blks)))
+    n_sb = max(len(sbs), 1)
     n_blk = len(ranges)
-    n_sb = max((n_blk + sb_blk - 1) // sb_blk, 1)
     bpad = n_sb * sb_blk
 
     ids = np.full((bpad, leaf), -1, np.int64)
@@ -75,6 +122,12 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 32, sb_blk: int = 64) -> PairT
     blk_hi = thi.reshape(bpad, leaf, 3).max(axis=1)
     sb_lo = blk_lo.reshape(n_sb, sb_blk, 3).min(axis=1)
     sb_hi = blk_hi.reshape(n_sb, sb_blk, 3).max(axis=1)
+    # empty padding blocks: an inverted (+INF, -INF) box PASSES the slab
+    # test when the direction sign flips the planes — poison with NaN so
+    # every comparison is false and the block can never become a pair
+    empty = ~(flat >= 0).reshape(bpad, leaf).any(axis=1)
+    blk_lo[empty] = np.nan
+    blk_hi[empty] = np.nan
 
     return PairTable(
         tri_rows=jnp.asarray(tri_rows),
@@ -82,6 +135,4 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 32, sb_blk: int = 64) -> PairT
         blk_hi=jnp.asarray(blk_hi),
         sb_lo=jnp.asarray(sb_lo),
         sb_hi=jnp.asarray(sb_hi),
-        leaf=leaf,
-        sb_blk=sb_blk,
     )

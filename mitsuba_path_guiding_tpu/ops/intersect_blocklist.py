@@ -128,10 +128,13 @@ def candidate_superblocks(sb_lo, sb_hi, o, d, tmax, k=MAX_CAND):
 
 
 def _kernel(cand_ref, cnt_ref, ray_ref, tmax_ref, blk_box_ref,
-            tri_hbm, out_ref, tri_vmem, bits_ref, sem, any_hit=False):
+            tri_hbm, out_ref, tri_vmem, bits_ref, sem, any_hit=False,
+            k_cand=MAX_CAND):
+    # cand_ref is FLAT (nt*k,): a 2-D SMEM prefetch operand is padded to
+    # 128 ints per row (measured: s32[2048,48] allocated as 1.0 MB ->
+    # SMEM OOM); the flat layout costs exactly nt*k*4 bytes
     i = pl.program_id(0)
     n_sb = tri_hbm.shape[0]
-    k_cand = cand_ref.shape[1]
 
     out_ref[0, :] = jnp.minimum(tmax_ref[0, :], INF)
     out_ref[1, :] = jnp.full((RAY_TILE,), -1.0)
@@ -143,13 +146,13 @@ def _kernel(cand_ref, cnt_ref, ray_ref, tmax_ref, blk_box_ref,
     n_iter = jnp.where(use_list, cnt_raw, n_sb)
 
     def sb_id(j):
-        v = cand_ref[i, jnp.minimum(j, k_cand - 1)]
+        v = cand_ref[i * k_cand + jnp.minimum(j, k_cand - 1)]
         return jnp.where(use_list, jnp.bitwise_and(v, 0xFFFF), j)
 
     def sb_key_hi(j):
         # truncated-f32 entry-distance bits (high 16); the fallback path
         # returns 0 which disables the early exit
-        v = cand_ref[i, jnp.minimum(j, k_cand - 1)]
+        v = cand_ref[i * k_cand + jnp.minimum(j, k_cand - 1)]
         return jnp.where(use_list, jnp.right_shift(v, 16), 0)
 
     ray = ray_ref[...]
@@ -330,10 +333,10 @@ def _run_kernel(bl: BlockList, o_p, d_p, t_p, k: int = MAX_CAND,
         raise ValueError("blocklist: more than 65535 superblocks (packed-key limit)")
     # SMEM budget: the candidate table is a prefetched SMEM operand and
     # core SMEM is 1 MB (measured: 2048 tiles x 89 cands x 4 B = 729 KB
-    # plus other users OOMs).  Cap k so the table stays <= 512 KB; tiles
+    # plus other users OOMs).  Cap k so the table stays <= 768 KB; tiles
     # whose raw hit count exceeds k use the walk-everything fallback.
     nt_ = npad // RAY_TILE
-    k = max(8, min(k, (512 * 1024 // 4) // max(nt_, 1)))
+    k = max(8, min(k, (768 * 1024 // 4) // max(nt_, 1)))
     cand, cnt = candidate_superblocks(bl.sb_lo, bl.sb_hi, o_p, d_p, t_p, k=k)
 
     ray = jnp.concatenate(
@@ -344,7 +347,7 @@ def _run_kernel(bl: BlockList, o_p, d_p, t_p, k: int = MAX_CAND,
     k = cand.shape[1]
 
     out = pl.pallas_call(
-        partial(_kernel, any_hit=any_hit),
+        partial(_kernel, any_hit=any_hit, k_cand=k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt,),
@@ -367,7 +370,7 @@ def _run_kernel(bl: BlockList, o_p, d_p, t_p, k: int = MAX_CAND,
         ),
         out_shape=jax.ShapeDtypeStruct((6 if DEBUG_COUNTERS else 4, npad), jnp.float32),
         interpret=interpret,
-    )(cand, cnt, ray, tmax_row, bl.blk_box, bl.tri_pack)
+    )(cand.reshape(-1), cnt, ray, tmax_row, bl.blk_box, bl.tri_pack)
     return out
 
 
