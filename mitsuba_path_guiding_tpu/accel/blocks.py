@@ -92,9 +92,9 @@ def build_blocklist(p0, e1, e2, bvh) -> BlockList:
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
-    child0 = np.asarray(bvh.child0)
-    child1 = np.asarray(bvh.child1)
-    prim_idx = np.asarray(bvh.prim_idx)
+    from mitsuba_path_guiding_tpu.accel.bvh import bvh_host_arrays
+
+    child0, child1, prim_idx = bvh_host_arrays(bvh)
 
     ranges = cut_treelets(child0, child1)
     n_blk = len(ranges)

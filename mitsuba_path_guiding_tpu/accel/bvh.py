@@ -20,6 +20,48 @@ MAX_LEAF = 4
 TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
 
+# Host copies of the tree arrays, keyed by the device child0 buffer.
+# Downstream table builders (accel/blocks.py, accel/pairs.py) walk the
+# tree host-side; reading the arrays back from the device is pathological
+# through the axon tunnel (measured 203 s for a 600 KB first readback).
+import weakref
+
+_HOST_KEEP: dict = {}
+
+
+class _HostTriple:
+    __slots__ = ("child0", "child1", "prim_idx", "__weakref__")
+
+    def __init__(self, child0, child1, prim_idx):
+        self.child0 = child0
+        self.child1 = child1
+        self.prim_idx = prim_idx
+
+
+def _register_host(bvh, child0, child1, prim_idx):
+    trip = _HostTriple(
+        np.asarray(child0), np.asarray(child1), np.asarray(prim_idx)
+    )
+    # key by the id of the device buffer; keep the triple alive as long
+    # as the device array lives (finalizer evicts the entry)
+    key = id(bvh.child0)
+    _HOST_KEEP[key] = trip
+    weakref.finalize(bvh.child0, _HOST_KEEP.pop, key, None)
+    return bvh
+
+
+def bvh_host_arrays(bvh):
+    """(child0, child1, prim_idx) as host numpy arrays, without a device
+    readback when the build-time copies are still cached."""
+    trip = _HOST_KEEP.get(id(bvh.child0))
+    if trip is not None:
+        return trip.child0, trip.child1, trip.prim_idx
+    return (
+        np.asarray(bvh.child0),
+        np.asarray(bvh.child1),
+        np.asarray(bvh.prim_idx),
+    )
+
 
 def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, use_native: bool = True) -> BVH:
     """Build from triangle (p0, e1, e2) arrays; returns flat BVH arrays.
@@ -42,14 +84,14 @@ def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, use_native: bool =
         out = build_bvh_native(p0, e1, e2, pad)
         if out is not None:
             node_min, node_max, child0, child1, prim_idx, max_depth = out
-            return BVH(
+            return _register_host(BVH(
                 node_min=jnp.asarray(node_min),
                 node_max=jnp.asarray(node_max),
                 child0=jnp.asarray(child0),
                 child1=jnp.asarray(child1),
                 prim_idx=jnp.asarray(prim_idx),
                 max_depth=max_depth + 2,
-            )
+            ), child0, child1, prim_idx)
     v0, v1, v2 = p0, p0 + e1, p0 + e2
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
@@ -153,11 +195,14 @@ def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, use_native: bool =
     finally:
         sys.setrecursionlimit(old_limit)
 
-    return BVH(
+    child0_np = np.asarray(child0, dtype=np.int32)
+    child1_np = np.asarray(child1, dtype=np.int32)
+    prim_np = np.asarray(prim_order, dtype=np.int32)
+    return _register_host(BVH(
         node_min=jnp.asarray(np.stack(node_min).astype(np.float32)),
         node_max=jnp.asarray(np.stack(node_max).astype(np.float32)),
-        child0=jnp.asarray(np.asarray(child0, dtype=np.int32)),
-        child1=jnp.asarray(np.asarray(child1, dtype=np.int32)),
-        prim_idx=jnp.asarray(np.asarray(prim_order, dtype=np.int32)),
+        child0=jnp.asarray(child0_np),
+        child1=jnp.asarray(child1_np),
+        prim_idx=jnp.asarray(prim_np),
         max_depth=max_depth_seen[0] + 2,
-    )
+    ), child0_np, child1_np, prim_np)

@@ -29,10 +29,15 @@ class PairTable(NamedTuple):
 
     tri_rows: jnp.ndarray  # (B, 10, LEAF) f32: rows p0(3) e1(3) e2(3),
     #                        row 9 = ORIGINAL triangle id (-1 padding)
-    blk_lo: jnp.ndarray    # (B, 3) per-block AABB (inverted for padding)
+    blk_lo: jnp.ndarray    # (B, 3) per-block AABB (never-hit for padding)
     blk_hi: jnp.ndarray    # (B, 3)
     sb_lo: jnp.ndarray     # (S, 3) superblock AABB (SB_BLK consecutive blocks)
     sb_hi: jnp.ndarray     # (S, 3)
+    tblT: jnp.ndarray      # (SB_BLK*6, S) bf16 transposed box table for the
+    #                        one-hot MXU box select (lo rounded down, hi up
+    #                        — outward-conservative in bf16)
+    nonempty: jnp.ndarray  # (B_ne,) int32 ids of blocks holding triangles
+    #                        (dummy sort entries are emitted only for these)
 
     @property
     def leaf(self) -> int:  # triangles per block
@@ -80,14 +85,14 @@ def _two_level_cut(child0, child1, leaf: int, sb_blk: int):
 def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> PairTable:
     """Host-side build: two-level BVH treelet cut; block and superblock
     AABBs are subtree-tight."""
+    from mitsuba_path_guiding_tpu.accel.bvh import bvh_host_arrays
+
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
-    prim_idx = np.asarray(bvh.prim_idx)
+    child0, child1, prim_idx = bvh_host_arrays(bvh)
 
-    sbs = _two_level_cut(
-        np.asarray(bvh.child0), np.asarray(bvh.child1), leaf, sb_blk
-    )
+    sbs = _two_level_cut(child0, child1, leaf, sb_blk)
     # flatten with per-superblock padding to sb_blk block slots
     ranges = []
     for blks in sbs:
@@ -122,12 +127,31 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> Pair
     blk_hi = thi.reshape(bpad, leaf, 3).max(axis=1)
     sb_lo = blk_lo.reshape(n_sb, sb_blk, 3).min(axis=1)
     sb_hi = blk_hi.reshape(n_sb, sb_blk, 3).max(axis=1)
-    # empty padding blocks: an inverted (+INF, -INF) box PASSES the slab
-    # test when the direction sign flips the planes — poison with NaN so
-    # every comparison is false and the block can never become a pair
+    # Empty padding blocks: an inverted (+INF, -INF) box PASSES the slab
+    # test when the direction sign flips the planes.  Encode as a
+    # degenerate plane pair at +/-3e38 with alternating axis signs: for
+    # every direction-sign combination at least one axis yields an empty
+    # or beyond-tmax interval, except a measure-zero huge-t corner whose
+    # packed key sorts dead last (harmless extra pair, MT finds nothing).
+    # NaN is NOT usable: it would poison the one-hot matmul box select
+    # (NaN * 0 = NaN contaminates every ray's accumulated sum).
     empty = ~(flat >= 0).reshape(bpad, leaf).any(axis=1)
-    blk_lo[empty] = np.nan
-    blk_hi[empty] = np.nan
+    far = np.float32([INF, -INF, INF])
+    blk_lo[empty] = far
+    blk_hi[empty] = far
+
+    # transposed (SB_BLK*6, S) bf16 box table, outward directed rounding
+    tbl = np.concatenate(
+        [blk_lo.reshape(n_sb, sb_blk, 3), blk_hi.reshape(n_sb, sb_blk, 3)],
+        axis=2,
+    ).reshape(n_sb, sb_blk * 6)
+    is_hi = np.zeros((sb_blk, 6), bool)
+    is_hi[:, 3:] = True
+    tblT = np.where(
+        is_hi.reshape(-1)[:, None],
+        _bf16_ceil(tbl.T),
+        _bf16_floor(tbl.T),
+    )
 
     return PairTable(
         tri_rows=jnp.asarray(tri_rows),
@@ -135,4 +159,26 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> Pair
         blk_hi=jnp.asarray(blk_hi),
         sb_lo=jnp.asarray(sb_lo),
         sb_hi=jnp.asarray(sb_hi),
+        tblT=jnp.asarray(tblT).astype(jnp.bfloat16),
+        nonempty=jnp.asarray(np.where(~empty)[0].astype(np.int32)),
     )
+
+
+def _bf16_floor(x):
+    """Largest bf16 (as f32) <= x, elementwise (finite f32 input)."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    hi = b >> 16
+    rem = (b & 0xFFFF) != 0
+    neg = (b >> 31) != 0
+    hi = hi + np.where(neg & rem, np.uint32(1), np.uint32(0))
+    return (hi << 16).view(np.float32).reshape(x.shape)
+
+
+def _bf16_ceil(x):
+    """Smallest bf16 (as f32) >= x, elementwise (finite f32 input)."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    hi = b >> 16
+    rem = (b & 0xFFFF) != 0
+    pos = (b >> 31) == 0
+    hi = hi + np.where(pos & rem, np.uint32(1), np.uint32(0))
+    return (hi << 16).view(np.float32).reshape(x.shape)

@@ -297,6 +297,66 @@ def shadow_transmittance(
     return tr
 
 
+def _fallback_cap(n: int) -> int:
+    # unproven rays re-traced through the blocklist kernel per wave;
+    # measured unproven is 0.1% (bounce/shadow) to ~5% (coherent) of
+    # rays, so n/16 holds them all.  Beyond the cap stragglers keep
+    # their nearest-L pair result, which can only be wrong if a dropped
+    # farther candidate held the true hit.
+    return min(max(4096, n >> 4), n)
+
+
+def intersect_pairs_full(pairs, blocks, o, d, tmax=None) -> Hit:
+    """Closest hit through the pair-expansion pipeline
+    (ops/intersect_pairs.py) with the blocklist kernel re-tracing the
+    rays whose nearest-L candidate list could not be proven complete."""
+    from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
+        intersect_blocklist_raw,
+    )
+    from mitsuba_path_guiding_tpu.ops.intersect_pairs import intersect_pairs_raw
+
+    n = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n,), INF)
+    on_tpu = jax.default_backend() == "tpu"
+    t, prim, u, v, valid, proven = intersect_pairs_raw(
+        pairs, o, d, tmax, use_pallas=on_tpu
+    )
+    cap = _fallback_cap(n)
+    idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
+    fb = ~proven[idx]                      # mask duplicate fill entries
+    t2, p2, u2, v2, v2ok = intersect_blocklist_raw(
+        blocks, o[idx], d[idx], tmax[idx], interpret=not on_tpu
+    )
+    t = t.at[idx].set(jnp.where(fb, t2, t[idx]))
+    prim = prim.at[idx].set(jnp.where(fb, p2, prim[idx]))
+    u = u.at[idx].set(jnp.where(fb, u2, u[idx]))
+    v = v.at[idx].set(jnp.where(fb, v2, v[idx]))
+    valid = valid.at[idx].set(jnp.where(fb, v2ok, valid[idx]))
+    return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
+
+
+def occluded_pairs_full(pairs, blocks, o, d, tmax) -> jnp.ndarray:
+    """Any-hit visibility through the pair pipeline + blocklist fallback."""
+    from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
+        occluded_blocklist_raw,
+    )
+    from mitsuba_path_guiding_tpu.ops.intersect_pairs import intersect_pairs_raw
+
+    n = o.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    occ, proven = intersect_pairs_raw(
+        pairs, o, d, tmax, any_hit=True, use_pallas=on_tpu
+    )
+    cap = _fallback_cap(n)
+    idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
+    fb = ~proven[idx]
+    occ2 = occluded_blocklist_raw(
+        blocks, o[idx], d[idx], tmax[idx], interpret=not on_tpu
+    )
+    return occ.at[idx].set(jnp.where(fb, occ2, occ[idx]))
+
+
 def intersect_twolevel(blocks, o, d, tmax=None) -> Hit:
     """Closest hit via the candidate-list block kernel with per-wave ray
     Morton sorting (ops/intersect_blocklist.py) — the large-scene TPU

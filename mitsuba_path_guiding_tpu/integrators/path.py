@@ -145,6 +145,12 @@ def trace(
 
     def intersect(o, d, tmax=None):
         if twolevel:
+            if scene.pairs is not None:
+                from mitsuba_path_guiding_tpu.accel.traverse import (
+                    intersect_pairs_full,
+                )
+
+                return intersect_pairs_full(scene.pairs, scene.blocks, o, d, tmax)
             return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
             return intersect_pallas(geo, o, d, tmax)
@@ -165,6 +171,14 @@ def trace(
                 geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
             )
         if twolevel:
+            if scene.pairs is not None:
+                from mitsuba_path_guiding_tpu.accel.traverse import (
+                    occluded_pairs_full,
+                )
+
+                return 1.0 - occluded_pairs_full(
+                    scene.pairs, scene.blocks, o, d, tmax
+                ).astype(jnp.float32)
             from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
 
             return 1.0 - occluded_twolevel(scene.blocks, o, d, tmax).astype(jnp.float32)

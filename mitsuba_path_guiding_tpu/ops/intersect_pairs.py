@@ -42,6 +42,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from mitsuba_path_guiding_tpu.accel.pairs import PairTable
 
@@ -50,7 +52,9 @@ EPS_T = 1e-4
 IMAX = 0x7FFFFFFF
 PAIR_KSB = 8   # superblock candidate slots per ray
 PAIR_L = 8     # block pair slots per ray
-TILE = 128     # pairs per dense MT tile
+TILE = 128     # pairs per dense MT tile (256 measured neutral on real
+#                pairs but doubles the N-independent dummy entries)
+LEAF = 128     # triangles per block (tri_rows trailing dim)
 
 
 def _pack_key(tn, idx):
@@ -112,26 +116,33 @@ def build_pair_lists(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     s = pt.sb_lo.shape[0]
     sb_ids = jnp.arange(s, dtype=jnp.int32)
     sb_keys = _slab_keys(pt.sb_lo, pt.sb_hi, o, d, tmax, sb_ids)
-    sb_min = _extract_min(sb_keys, ksb + 1)          # (ksb+1, N)
+    # barrier: sb_min feeds 8+ consumers below; without it XLA's fusion
+    # re-materializes the whole (S, N) slab + 9-pass extraction chain per
+    # consumer (measured 72 ms for stage 1+2 vs 8 ms with the barrier)
+    sb_min = jax.lax.optimization_barrier(
+        _extract_min(sb_keys, ksb + 1)
+    )                                                 # (ksb+1, N)
     sb_dropped = sb_min[ksb]                          # (N,)
 
-    # per candidate slot: gather the sb's 32 block boxes and test.
-    # the box table is pre-flattened (S, 192) = 32 blocks x (lo3 hi3);
-    # gather (N, 192) -> transpose -> (6, 32, N) views (transpose
-    # measured ~free; (N, 32)-shaped math would pay 4x lane padding)
-    tbl = jnp.concatenate(
-        [pt.blk_lo.reshape(s, pt.sb_blk, 3),
-         pt.blk_hi.reshape(s, pt.sb_blk, 3)], axis=2
-    ).reshape(s, pt.sb_blk * 6)
+    # Per candidate slot: select the sb's 32 block boxes via a one-hot
+    # MXU matmul — (SB_BLK*6, S) bf16 table x (S, N) one-hot -> (192, N)
+    # lands directly in ray-lanes layout.  A gather would produce
+    # (N, 192) and need a real transpose (measured ~6.5 ms/slot once the
+    # layout is forced; the matmul select is ~0.4 ms/slot).  One-hot
+    # products are exact; the table is outward-rounded to bf16 at build
+    # time so the boxes stay conservative.
     nb = pt.sb_blk
+    iota_s = jnp.arange(s, dtype=jnp.int32)[:, None]
 
     key_rows = []
     for k in range(ksb):
         slot = sb_min[k]
         slot_valid = slot != IMAX
-        sid = jnp.where(slot_valid, jnp.bitwise_and(slot, 0xFFFF), 0)
-        g = tbl[sid]                                  # (N, nb*6)
-        gt = g.T.reshape(nb, 6, n)                    # (nb, 6, N)
+        sid = jnp.where(slot_valid, jnp.bitwise_and(slot, 0xFFFF), -1)
+        oh = (sid[None, :] == iota_s).astype(jnp.bfloat16)   # (S, N)
+        gt = jnp.dot(
+            pt.tblT, oh, preferred_element_type=jnp.float32
+        ).reshape(nb, 6, n)                                   # (nb, 6, N)
         tn = jnp.zeros((nb, n), jnp.float32)
         tf = jnp.full((nb, n), INF)
         for a in range(3):
@@ -150,12 +161,16 @@ def build_pair_lists(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
             tf = jnp.minimum(tf, hi_t)
         tn = jnp.maximum(tn, 0.0)
         hit = (tf >= tn) & (tn <= tmax[None, :]) & slot_valid[None, :]
-        gids = sid[None, :] * nb + jnp.arange(nb, dtype=jnp.int32)[:, None]
+        gids = jnp.maximum(sid[None, :], 0) * nb + jnp.arange(
+            nb, dtype=jnp.int32
+        )[:, None]
         key_rows.append(
             jnp.where(hit, _pack_key(tn, gids), jnp.int32(IMAX))
         )
     blk_keys = jnp.concatenate(key_rows, axis=0)      # (ksb*nb, N)
-    blk_min = _extract_min(blk_keys, l_blk + 1)       # (l+1, N)
+    blk_min = jax.lax.optimization_barrier(
+        _extract_min(blk_keys, l_blk + 1)
+    )                                                 # (l+1, N)
     blk_dropped = blk_min[l_blk]
     dropped = jnp.minimum(sb_dropped, blk_dropped)
     ids = jnp.where(
@@ -163,6 +178,120 @@ def build_pair_lists(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
         jnp.bitwise_and(blk_min[:l_blk], 0xFFFF),
     )
     return ids, dropped
+
+
+def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
+                      any_hit=False):
+    """One 128-pair tile: dense (128 tris x 128 pairs) Moeller-Trumbore.
+
+    tri_ref (1, 10, 128) is auto-DMA'd by the BlockSpec index map from
+    the prefetched per-tile block id (Pallas skips the fetch when
+    consecutive tiles index the same block); pd_ref (7, 128) carries
+    o/d/tmax per pair.  Inert tiles (block < 0: dummy padding or sort
+    tail) skip the dense math entirely — the tail of the capacity-padded
+    sort costs nothing, unlike the pure-XLA formulation."""
+    i = pl.program_id(0)
+    inert = tile_block_ref[i] < 0
+
+    tile = out_ref.shape[1]
+
+    @pl.when(inert)
+    def _():
+        out_ref[0, :] = jnp.full((tile,), INF)
+        out_ref[1, :] = jnp.full((tile,), -1.0)
+        out_ref[2, :] = jnp.zeros((tile,))
+        out_ref[3, :] = jnp.zeros((tile,))
+
+    @pl.when(jnp.logical_not(inert))
+    def _():
+        def tcol(c):
+            return tri_ref[0, c, :][:, None]          # (128tri, 1)
+
+        def rrow(c):
+            return pd_ref[c, :][None, :]              # (1, 128pair)
+
+        p0x, p0y, p0z = tcol(0), tcol(1), tcol(2)
+        e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
+        e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
+        tid = tcol(9)
+        ox, oy, oz = rrow(0), rrow(1), rrow(2)
+        dx, dy, dz = rrow(3), rrow(4), rrow(5)
+        tmax = rrow(6)
+
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(
+            jnp.abs(det) < 1e-12, 0.0,
+            1.0 / jnp.where(det == 0.0, 1.0, det),
+        )
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = (
+            (inv_det != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > EPS_T)
+            & (t < tmax)
+            & (tid >= 0.0)
+        )
+        t = jnp.where(hit, t, INF)
+        t_best = jnp.min(t, axis=0)
+        out_ref[0, :] = t_best
+        if any_hit:
+            out_ref[1, :] = jnp.where(t_best < INF, 1.0, -1.0)
+            out_ref[2, :] = jnp.zeros((tile,))
+            out_ref[3, :] = jnp.zeros((tile,))
+        else:
+            big = jnp.float32(2.0e9)
+            is_best = t == t_best[None, :]
+            prim = jnp.min(jnp.where(is_best, tid, big), axis=0)
+            first = is_best & (tid == prim[None, :])
+            out_ref[1, :] = jnp.where(t_best < INF, prim, -1.0)
+            out_ref[2, :] = jnp.sum(jnp.where(first, u, 0.0), axis=0)
+            out_ref[3, :] = jnp.sum(jnp.where(first, v, 0.0), axis=0)
+
+
+def _mt_tiles_pallas(tri_rows, tile_block, pdata_tiles, any_hit,
+                     interpret=False):
+    """Pallas stage 4.  tri_rows (B, 10, 128); tile_block (T,) int32;
+    pdata_tiles (7, T*128).  Returns (4, T*128) rows t/prim/u/v."""
+    n_tiles = tile_block.shape[0]
+    tile = pdata_tiles.shape[1] // n_tiles
+    bmax = tri_rows.shape[0] - 1
+    out = pl.pallas_call(
+        partial(_mt_pallas_kernel, any_hit=any_hit),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 10, LEAF),
+                    # clamp both ends: an out-of-range id would DMA out of
+                    # bounds and abort the TPU
+                    lambda i, blk: (jnp.clip(blk[i], 0, bmax), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (7, tile), lambda i, blk: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (4, tile), lambda i, blk: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, n_tiles * tile), jnp.float32),
+        interpret=interpret,
+    )(tile_block, tri_rows, pdata_tiles)
+    return out
 
 
 def _mt_tiles(tri_rows, tile_block, po, pd, ptmax, any_hit):
@@ -220,9 +349,10 @@ def _mt_tiles(tri_rows, tile_block, po, pd, ptmax, any_hit):
     return t_best, prim, u_best, v_best
 
 
-@partial(jax.jit, static_argnames=("ksb", "l_blk", "any_hit"))
+@partial(jax.jit, static_argnames=("ksb", "l_blk", "any_hit", "use_pallas"))
 def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
-                        l_blk: int = PAIR_L, any_hit: bool = False):
+                        l_blk: int = PAIR_L, any_hit: bool = False,
+                        use_pallas: bool = True):
     """Closest-hit (or any-hit) through the pair pipeline.
 
     Returns (t, prim int32, u, v, valid, proven) — ``proven`` False
@@ -231,8 +361,7 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     those through a fallback path."""
     n = o.shape[0]
     leaf = pt.tri_rows.shape[2]
-    assert leaf == TILE, "pair MT expects LEAF == 128"
-    b_real = pt.blk_lo.shape[0]
+    assert leaf == LEAF, "pair MT expects LEAF == 128"
 
     ids, dropped = build_pair_lists(pt, o, d, tmax, ksb=ksb, l_blk=l_blk)
 
@@ -244,12 +373,13 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     # restores every (l, ray) slot (empty slots produce inert results);
     # only dummies carry IMAX and fall off the end
     payload = jnp.arange(flat_blk.shape[0], dtype=jnp.int32)
-    dummy_key = (
-        jnp.repeat(jnp.arange(b_real, dtype=jnp.int32), TILE) * 2 + 1
-    )
+    # dummies only for blocks that hold triangles: empty padding blocks
+    # can never appear in a candidate list, so they need no run separator
+    dummy_key = jnp.repeat(pt.nonempty, TILE) * 2 + 1
+    n_dummy = dummy_key.shape[0]
     keys = jnp.concatenate([sort_key, dummy_key])
     pays = jnp.concatenate(
-        [payload, jnp.full((b_real * TILE,), jnp.int32(IMAX))]
+        [payload, jnp.full((n_dummy,), jnp.int32(IMAX))]
     )
     skeys, spays = jax.lax.sort((keys, pays), num_keys=1)
 
@@ -266,20 +396,26 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     tile_block = jnp.max(
         jnp.where((tk != IMAX) & (tk % 2 == 0), tk // 2, -1), axis=1
     )
-    po = pdata[0:3].reshape(3, n_tiles, TILE)
-    pdir = pdata[3:6].reshape(3, n_tiles, TILE)
-    ptm_t = ptm.reshape(n_tiles, TILE)
-
-    t_b, prim_b, u_b, v_b = _mt_tiles(
-        pt.tri_rows, tile_block, po, pdir, ptm_t, any_hit
-    )
+    if use_pallas:
+        pdt = jnp.concatenate([pdata[0:6], ptm[None, :]], axis=0)  # (7, P)
+        outp = _mt_tiles_pallas(pt.tri_rows, tile_block, pdt, any_hit)
+        res = (outp[0],) if any_hit else (
+            outp[0], outp[1], outp[2], outp[3]
+        )
+    else:
+        po = pdata[0:3].reshape(3, n_tiles, TILE)
+        pdir = pdata[3:6].reshape(3, n_tiles, TILE)
+        ptm_t = ptm.reshape(n_tiles, TILE)
+        t_b, prim_b, u_b, v_b = _mt_tiles(
+            pt.tri_rows, tile_block, po, pdir, ptm_t, any_hit
+        )
+        if any_hit:
+            res = (t_b.reshape(-1),)
+        else:
+            res = (t_b.reshape(-1), prim_b.reshape(-1), u_b.reshape(-1),
+                   v_b.reshape(-1))
 
     # ---- stage 5: un-sort to (L, N) ray-major slots, reduce per ray
-    if any_hit:
-        res = (t_b.reshape(-1),)
-    else:
-        res = (t_b.reshape(-1), prim_b.reshape(-1), u_b.reshape(-1),
-               v_b.reshape(-1))
     back = jax.lax.sort((spays,) + res, num_keys=1)
     ln = l_blk * n
     if any_hit:

@@ -720,10 +720,15 @@ def build_scene(desc: dict) -> SceneData:
     # kernel's range (ops/intersect_blocklist.py; the TPU answer to
     # skdtree.h scaling)
     blocks = None
+    pairs = None
     if T >= TWOLEVEL_MIN_TRIS:
         from mitsuba_path_guiding_tpu.accel.blocks import build_blocklist
+        from mitsuba_path_guiding_tpu.accel.pairs import build_pair_table
 
         blocks = build_blocklist(p0h, e1h, e2h, bvh)
+        # per-ray pair-expansion tables (round-3 hot path); the blocklist
+        # kernel stays as the unproven-ray fallback
+        pairs = build_pair_table(p0h, e1h, e2h, bvh)
     if bvh.max_depth + 2 > STACK_SIZE:
         raise ValueError(f"BVH depth {bvh.max_depth} exceeds traversal stack {STACK_SIZE}")
 
@@ -872,4 +877,5 @@ def build_scene(desc: dict) -> SceneData:
             jnp.asarray(np.stack(sss_rows)) if sss_rows else None
         ),
         blocks=blocks,
+        pairs=pairs,
     )

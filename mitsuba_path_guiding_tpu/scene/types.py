@@ -230,6 +230,9 @@ class SceneData(NamedTuple):
     # two-level intersection tables (ops/intersect_twolevel.py), built for
     # scenes above the all-pairs kernel's economic range; None otherwise
     blocks: object = None  # BlockTable or None
+    # pair-expansion tables (ops/intersect_pairs.py) — the round-3
+    # large-scene hot path; blocks stays as the unproven-ray fallback
+    pairs: object = None   # PairTable or None
 
 
 def pad_to(arr: np.ndarray, n: int, fill=0):
