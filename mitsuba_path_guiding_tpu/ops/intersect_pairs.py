@@ -52,6 +52,7 @@ EPS_T = 1e-4
 IMAX = 0x7FFFFFFF
 PAIR_KSB = 8   # superblock candidate slots per ray
 PAIR_L = 8     # block pair slots per ray
+PRE_SLOT = 4   # per-slot nearest blocks kept before the global extract
 TILE = 128     # pairs per dense MT tile (256 measured neutral on real
 #                pairs but doubles the N-independent dummy entries)
 LEAF = 128     # triangles per block (tri_rows trailing dim)
@@ -164,14 +165,26 @@ def build_pair_lists(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
         gids = jnp.maximum(sid[None, :], 0) * nb + jnp.arange(
             nb, dtype=jnp.int32
         )[:, None]
-        key_rows.append(
-            jnp.where(hit, _pack_key(tn, gids), jnp.int32(IMAX))
-        )
-    blk_keys = jnp.concatenate(key_rows, axis=0)      # (ksb*nb, N)
+        keys_k = jnp.where(hit, _pack_key(tn, gids), jnp.int32(IMAX))
+        # per-slot pre-extraction: keep each slot's PRE+1 nearest blocks
+        # plus the slot's own dropped bound.  The final global extraction
+        # then scans (ksb*(PRE+1), N) instead of (ksb*nb, N) — the 9-pass
+        # full scan was ~5 ms of pure key re-reads at 524k rays.  Blocks
+        # beyond a slot's PRE nearest fold into the dropped bound, which
+        # only weakens the completeness proof, never correctness.
+        key_rows.append(_extract_min(keys_k, PRE_SLOT + 1))
+    pre = jnp.concatenate(key_rows, axis=0)  # (ksb*(PRE+1), N)
+    # rows PRE_SLOT of each slot block are that slot's dropped bound
+    per_slot_dropped = pre.reshape(ksb, PRE_SLOT + 1, n)[:, PRE_SLOT, :]
+    kept = pre.reshape(ksb, PRE_SLOT + 1, n)[:, :PRE_SLOT, :].reshape(
+        ksb * PRE_SLOT, n
+    )
     blk_min = jax.lax.optimization_barrier(
-        _extract_min(blk_keys, l_blk + 1)
+        _extract_min(kept, l_blk + 1)
     )                                                 # (l+1, N)
-    blk_dropped = blk_min[l_blk]
+    blk_dropped = jnp.minimum(
+        blk_min[l_blk], jnp.min(per_slot_dropped, axis=0)
+    )
     dropped = jnp.minimum(sb_dropped, blk_dropped)
     ids = jnp.where(
         blk_min[:l_blk] == IMAX, -1,
