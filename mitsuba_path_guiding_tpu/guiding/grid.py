@@ -168,7 +168,12 @@ def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
     # at 262k lanes) plus a full transpose — measured 4.6 GB/wave of HBM
     # traffic on the guided trace vs 0.65 GB unguided; this orientation
     # removes both.
-    rows = packed[:, cid]              # (5K+1, N)
+    # bf16 through the gather: the xplane profile shows this gather + its
+    # layout copy at 1.3 ms/bounce (the #1 op of the guided wave); bf16
+    # halves both.  Sampling and pdf both read the SAME rounded
+    # parameters, so the one-sample-MIS estimator stays exact — the
+    # mixture is simply fitted-then-rounded.
+    rows = packed.astype(jnp.bfloat16)[:, cid].astype(jnp.float32)
     mux, muy, muz = rows[0:k], rows[k : 2 * k], rows[2 * k : 3 * k]
     kappa = rows[3 * k : 4 * k]
     logw = rows[4 * k : 5 * k]

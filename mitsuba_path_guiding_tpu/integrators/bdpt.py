@@ -106,13 +106,12 @@ def trace_bdpt(
     (A,N,2), rgb (A,3,N), ok (A,N)) to be accumulated into the light image
     divided by the TOTAL light-path count, n_segments ()).
     """
-    for k in em_kinds:
-        if k not in FINITE_KINDS + (EmitterKind.CONSTANT, EmitterKind.ENVMAP):
-            raise NotImplementedError(
-                "bdpt: delta-infinite emitters (directional/collimated) not "
-                "supported; env/constant are (SmallVCM background-light "
-                "conventions, see sample_ray)"
-            )
+    # every emitter family traces: finite (area/point/spot), infinite
+    # (constant/envmap: SmallVCM background-light conventions) and
+    # delta-infinite (directional: delta direction, disk position;
+    # collimated: delta position AND direction — light-subpath strategies
+    # only, matching reference bdpt_proc.cpp:63+).  sample_ray supplies
+    # the per-kind VCM pdf initialization.
     has_env = (EmitterKind.CONSTANT in em_kinds) or (EmitterKind.ENVMAP in em_kinds)
     # bounding-disk area of the infinite-emitter parameterization — MUST
     # match models/emitter.py sample_ray's radius convention
@@ -323,14 +322,22 @@ def trace_bdpt(
         occ = occl(o_sh, ds.direction, t_sh)
         pdf_dir_w = jnp.maximum(ds.pdf, 1e-12)
         cos_to_l = jnp.abs(wo_nee[..., 2])
-        # delta emitters: ds.pdf is a discrete pick prob (the 1/dist^2 lives
-        # in ds.radiance); the MIS ratio needs the solid-angle measure
+        # delta FINITE emitters (point/spot): ds.pdf is a discrete pick
+        # prob (the 1/dist^2 lives in ds.radiance); the MIS ratio needs
+        # the solid-angle measure.  Delta INFINITE (directional): SmallVCM
+        # DirectionalLight convention — directPdfW stays the pick prob
+        # and emission/direct = 1/diskArea (no distance factor), matching
+        # the light-subpath t=1 competitor (bdpt_proc.cpp:63+ delta-
+        # infinite strategies).
+        inf_delta = ds.is_delta & (ds.distance >= INFD)
         d_l = jnp.minimum(ds.distance, 1e9)
-        pdf_dir_mis = jnp.where(ds.is_delta, pdf_dir_w * d_l * d_l, pdf_dir_w)
+        pdf_dir_mis = jnp.where(
+            ds.is_delta & ~inf_delta, pdf_dir_w * d_l * d_l, pdf_dir_w
+        )
         w_light_nee = jnp.where(ds.is_delta, 0.0, pdf_bsdf_nee / pdf_dir_w)
         # env/constant NEE: sample_direct leaves the VCM extras zero (it
         # has no scene extent); emission pdf = dir pdf / disk_area, cos=1
-        is_env_nee = (ds.distance >= INFD) & ~ds.is_delta
+        is_env_nee = ((ds.distance >= INFD) & ~ds.is_delta) | inf_delta
         nee_em_pdf = jnp.where(is_env_nee, pdf_dir_w / disk_area, ds.emission_pdf_w)
         nee_cos_l = jnp.where(is_env_nee, 1.0, ds.cos_light)
         w_cam_nee = (

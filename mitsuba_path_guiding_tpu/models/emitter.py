@@ -381,7 +381,15 @@ def sample_ray(
         d_dl = jnp.stack([row[5], row[6], row[7]], axis=-1)  # emit direction
         o_dl = _disk_point(d_dl, u_pos)
         w_d = rad * (disk_area / pmf)[..., None]
-        put(kind == EmitterKind.DIRECTIONAL, o_dl, d_dl, w_d, d_dl)
+        sel_dl = kind == EmitterKind.DIRECTIONAL
+        put(sel_dl, o_dl, d_dl, w_d, d_dl)
+        # VCM pdfs (SmallVCM DirectionalLight): position uniform on the
+        # bounding disk, direction delta; direct pdf is the discrete NEE
+        # pick probability.  bdpt's light-subpath recursion consumes these
+        # (reference bdpt_proc.cpp delta-infinite strategies).
+        emission_pdf_w = jnp.where(sel_dl, pmf / disk_area, emission_pdf_w)
+        direct_pdf_a = jnp.where(sel_dl, pmf, direct_pdf_a)
+        cos_light = jnp.where(sel_dl, 1.0, cos_light)
 
     if EmitterKind.COLLIMATED in kinds:
         # single delta ray (collimated.cpp sampleRay): origin + axis fixed,

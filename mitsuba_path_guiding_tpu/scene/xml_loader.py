@@ -39,9 +39,11 @@ _SUPPORTED_BSDFS = {
     "null", "twosided", "mask", "bumpmap", "normalmap", "coating", "ward",
     "mixturebsdf", "blendbsdf", "difftrans", "hk", "irawan",
 }
-# unwrapped adapters: two-sided is the default here; bump/normal maps need
-# their texture element wired through (round-2 TODO) so they unwrap too
-_WRAPPER_BSDFS = {"twosided", "bumpmap", "normalmap"}
+# unwrapped adapters: two-sided is the default shading model here
+_WRAPPER_BSDFS = {"twosided"}
+# frame-perturbing wrappers compiled to the child row + bump fields
+# (reference src/bsdfs/bumpmap.cpp, normalmap.cpp)
+_BUMP_BSDFS = {"bumpmap", "normalmap"}
 # wrappers that KEEP their semantics as builder dicts with a nested bsdf
 _NESTED_BSDFS = {"mask", "coating", "roughcoating"}
 _SHAPES = {"obj", "ply", "rectangle", "cube", "sphere", "disk", "serialized", "cylinder", "heightfield", "hair"}
@@ -166,6 +168,28 @@ def _parse_bsdf(el, defaults, bsdf_registry, strict=True):
         if el.get("id"):
             bsdf_registry[el.get("id")] = b
         return b
+    if t in _BUMP_BSDFS:
+        inner = el.find("bsdf")
+        if inner is not None:
+            b = _parse_bsdf(inner, defaults, bsdf_registry, strict)
+        else:
+            ref = el.find("ref")
+            b = bsdf_registry.get(ref.get("id"), {"type": "diffuse"}) if ref is not None else {"type": "diffuse"}
+        p = _props(el, defaults)
+        w = {"type": t, "bsdf": b}
+        if "scale" in p:
+            w["scale"] = float(p["scale"])
+        tex_el = el.find("texture")
+        if tex_el is not None:
+            tp = _props(tex_el, defaults)
+            tex = {"type": tex_el.get("type", "bitmap")}
+            for key in ("filename", "uscale", "vscale", "color0", "color1"):
+                if key in tp:
+                    tex[key] = tp[key]
+            w["texture"] = tex
+        if el.get("id"):
+            bsdf_registry[el.get("id")] = w
+        return w
     if t in _WRAPPER_BSDFS or t in _NESTED_BSDFS:
         inner = el.find("bsdf")
         if inner is not None:

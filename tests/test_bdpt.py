@@ -138,3 +138,49 @@ def test_bdpt_matches_pt_envmap(env_scene):
     )
     ratio = img_b.mean() / img_pt.mean()
     assert abs(ratio - 1.0) < 0.05, ratio
+
+
+@pytest.fixture(scope="module")
+def cornell_directional():
+    sc = cornell_box()
+    sc["shapes"] = [s for s in sc["shapes"] if not s.get("emitter")]
+    sc["emitters"] = [
+        {"type": "directional", "direction": [0.3, -1.0, 0.2],
+         "irradiance": [1.0, 0.9, 0.7]}
+    ]
+    return build_scene(sc)
+
+
+def test_bdpt_matches_pt_directional_light(cornell_directional):
+    # delta-infinite emitter (reference bdpt_proc.cpp:63+): light-subpath
+    # strategies + delta NEE must agree with the forward path tracer
+    img_pt = np.asarray(
+        render(cornell_directional,
+               RenderConfig(width=20, height=20, spp=192, max_depth=3, seed=3))
+    )
+    img_b = np.asarray(
+        render_bdpt(cornell_directional,
+                    RenderConfig(width=20, height=20, spp=96, max_depth=3, seed=5))
+    )
+    ratio = img_b.mean() / img_pt.mean()
+    assert abs(ratio - 1.0) < 0.05, ratio
+    rel = np.abs(img_b - img_pt).mean() / img_pt.mean()
+    assert rel < 0.15, rel
+
+
+def test_bdpt_collimated_traces(cornell_directional):
+    # collimated: delta position AND direction — only light-subpath
+    # strategies exist; the render must be finite and carry energy from
+    # the beam's bounce (reference collimated.cpp)
+    sc = cornell_box()
+    sc["shapes"] = [s for s in sc["shapes"] if not s.get("emitter")]
+    sc["emitters"] = [
+        {"type": "collimated", "position": [0.0, 0.95, 0.0],
+         "direction": [0.0, -1.0, 0.0], "power": [3.0, 3.0, 3.0]}
+    ]
+    scn = build_scene(sc)
+    img = np.asarray(
+        render_bdpt(scn, RenderConfig(width=20, height=20, spp=64, max_depth=4, seed=2))
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-4, img.mean()
