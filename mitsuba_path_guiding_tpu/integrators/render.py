@@ -148,6 +148,10 @@ class RenderConfig(NamedTuple):
                                       # first N bounces (surface path only;
                                       # extends sobol.cpp's global dims past
                                       # the camera pair)
+    accel: str = "auto"               # intersection path override for
+                                      # integrators.path.trace ("auto" |
+                                      # "brute" | "bvh" | "pallas" |
+                                      # "twolevel")
 
 
 def render_wave(

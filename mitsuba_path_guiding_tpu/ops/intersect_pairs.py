@@ -390,9 +390,13 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     # can never appear in a candidate list, so they need no run separator
     dummy_key = jnp.repeat(pt.nonempty, TILE) * 2 + 1
     n_dummy = dummy_key.shape[0]
-    keys = jnp.concatenate([sort_key, dummy_key])
+    # pad to a TILE multiple (tiny N under shard_map: N*L may be < TILE)
+    tail = (-(flat_blk.shape[0] + n_dummy)) % TILE
+    keys = jnp.concatenate(
+        [sort_key, dummy_key, jnp.full((tail,), jnp.int32(IMAX))]
+    )
     pays = jnp.concatenate(
-        [payload, jnp.full((n_dummy,), jnp.int32(IMAX))]
+        [payload, jnp.full((n_dummy + tail,), jnp.int32(IMAX))]
     )
     skeys, spays = jax.lax.sort((keys, pays), num_keys=1)
 

@@ -68,6 +68,7 @@ def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample
         rr_depth=cfg.rr_depth,
         use_nee=cfg.use_nee,
         use_bvh=use_bvh,
+        accel=getattr(cfg, "accel", "auto"),
         guide=guide,
         guide_state=grid,
         record_paths=(guide is not None) if record is None else record,

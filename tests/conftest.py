@@ -25,9 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
-# ---- smoke/slow tiering (VERDICT round-1 item 7): tests measured >4 s on
-# the 8-CPU mesh are listed in slow_tests.txt; `pytest -m "not slow"` is
-# the <=2-minute smoke tier, the full suite stays for depth.
+# ---- smoke/slow tiering (VERDICT items r1-7, r2-8): tests measured >4 s
+# on the 8-CPU mesh are listed in slow_tests.txt; `pytest -m "not slow"`
+# is the ~3-minute smoke tier, the full suite stays for depth.
 _SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slow_tests.txt")
 try:
     with open(_SLOW_FILE) as _f:

@@ -58,3 +58,36 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (4096, 3)
     g.dryrun_multichip(8)
+
+
+def test_sharded_pairs_accel_big_scene():
+    """VERDICT r2 item 4: the real large-scene accel path (pair-expansion
+    lists + Pallas-class kernels, interpret/XLA variants on CPU) must
+    execute under shard_map on the 8-device mesh and match 1 device."""
+    from mitsuba_path_guiding_tpu.parallel.mesh import (
+        init_sharded_film,
+        make_sharded_step,
+        merge_film,
+    )
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import door_room
+
+    scene = build_scene(door_room(120_000))
+    assert scene.pairs is not None and scene.blocks is not None
+    n_tris = int(scene.geo.p0.shape[0])
+    assert n_tris > 100_000
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=2,
+                       accel="twolevel")
+    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    sidx = jnp.zeros_like(pix)
+
+    films = {}
+    for n_dev in (1, 8):
+        mesh = make_device_mesh(jax.devices()[:n_dev])
+        step = make_sharded_step(scene, cfg, mesh)
+        rgbw = init_sharded_film(cfg, mesh)
+        rgbw, _, n_seg = step(pix, sidx, rgbw, None)
+        films[n_dev] = np.asarray(merge_film(rgbw))
+        assert np.isfinite(films[n_dev]).all()
+        assert films[n_dev][:, 3].sum() > 0
+    np.testing.assert_allclose(films[1], films[8], rtol=1e-5, atol=1e-6)
