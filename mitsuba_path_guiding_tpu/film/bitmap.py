@@ -127,10 +127,45 @@ def read_hdr(path: str) -> np.ndarray:
     for y in range(h):
         if (w < 8 or w > 32767 or off + 4 > len(buf)
                 or buf[off] != 2 or buf[off + 1] != 2):
-            # flat (or old-style) scanline
-            row = np.frombuffer(buf, np.uint8, w * 4, off).reshape(w, 4)
+            # flat or OLD-style RLE scanline.  Old RLE marks a run with an
+            # (1,1,1,n) pixel meaning "repeat the previous pixel n<<shift
+            # times" (consecutive markers raise shift by 8).  Fast path:
+            # decode flat and fall back to the byte walk only when marker
+            # pixels are present (ADVICE r2: flat decode silently
+            # corrupted genuine old-RLE files).
+            flat = np.frombuffer(
+                buf, np.uint8, min(w * 4, len(buf) - off), off
+            )
+            if flat.size == w * 4:
+                row = flat.reshape(w, 4)
+                has_marker = bool(
+                    ((row[:, 0] == 1) & (row[:, 1] == 1) & (row[:, 2] == 1)).any()
+                )
+                if not has_marker:
+                    rgbe[y] = row
+                    off += w * 4
+                    continue
+            row = np.zeros((w, 4), np.uint8)
+            x = 0
+            shift = 0
+            while x < w:
+                if off + 4 > len(buf):
+                    raise ValueError(f"{path}: truncated old-RLE scanline")
+                r_, g_, b_, e_ = buf[off], buf[off + 1], buf[off + 2], buf[off + 3]
+                off += 4
+                if r_ == 1 and g_ == 1 and b_ == 1:
+                    if x == 0 and y == 0:
+                        raise ValueError(f"{path}: old-RLE run before any pixel")
+                    cnt = e_ << shift
+                    prev = row[x - 1] if x > 0 else rgbe[y - 1, w - 1]
+                    row[x : x + cnt] = prev
+                    x += cnt
+                    shift += 8
+                else:
+                    row[x] = (r_, g_, b_, e_)
+                    x += 1
+                    shift = 0
             rgbe[y] = row
-            off += w * 4
             continue
         assert struct.unpack(">H", buf[off + 2 : off + 4])[0] == w
         off += 4

@@ -49,6 +49,9 @@ GRID_MAX = 512      # cells per axis cap (key fits int32)
 N_COS_BANDS = 2     # incident-direction bins for the glossy gather:
 N_AZIMUTH = 8       # cos-theta bands x azimuth sectors in the hp frame
 N_DIR_BINS = N_COS_BANDS * N_AZIMUTH
+# lobes narrower than roughly one direction bin continue as specular in
+# the camera pass instead of becoming (bin-discretized) hitpoints
+MIN_GATHER_ALPHA = 0.15
 
 
 def _dir_bin_centers():
@@ -119,6 +122,20 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
             (mtype == BSDFType.CONDUCTOR)
             | (mtype == BSDFType.DIELECTRIC)
             | (mtype == BSDFType.NULL)
+        )
+        # narrow glossy lobes (alpha below the direction-bin resolution)
+        # would be misrepresented by bin-center BSDF evaluation in the
+        # gather (ADVICE r2; ref sppm.cpp:414 evaluates per photon) —
+        # treat them as specular and continue the camera path instead,
+        # bounding the discretization bias by the alpha threshold
+        alpha_m = mats.packed[mid, 13]
+        rough_families = (
+            (mtype == BSDFType.ROUGH_CONDUCTOR)
+            | (mtype == BSDFType.PHONG)
+            | (mtype == BSDFType.WARD)
+        )
+        is_delta_mat = is_delta_mat | (
+            rough_families & (alpha_m < MIN_GATHER_ALPHA)
         )
         # record hitpoint at the first smooth vertex
         frame = Frame.from_normal(ns)

@@ -101,3 +101,30 @@ def test_resample_2d_grayscale():
     out = bitmap.resample(img, 18, 6, rfilter="tent")
     assert out.shape == (6, 18)
     assert (out >= 0).all()
+
+
+def test_hdr_old_rle_roundtrip(tmp_path):
+    """Old-style Radiance RLE ((1,1,1,n) repeat markers) must decode
+    correctly (ADVICE r2: flat decode silently corrupted such files)."""
+    import struct
+
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.film.bitmap import read_hdr
+
+    w, h = 16, 2
+    # build a constant-color image encoded with old RLE runs
+    px = bytes([128, 64, 32, 130])  # some RGBE pixel
+    rows = []
+    for _ in range(h):
+        # first pixel literal, then a run of 15 repeats
+        rows.append(px + bytes([1, 1, 1, 15]))
+    payload = b"".join(rows)
+    hdr = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    p = tmp_path / "old_rle.hdr"
+    p.write_bytes(hdr + payload)
+    img = read_hdr(str(p))
+    assert img.shape == (h, w, 3)
+    # every pixel equals the first (run-repeated)
+    assert np.allclose(img, img[0, 0]), img[0, :4]
+    assert img[0, 0].max() > 0

@@ -1,0 +1,185 @@
+"""Train the neural denoiser (film/neural_denoise.py) on renders from
+THIS framework.
+
+Data: randomized Cornell-family scenes (wall colors, box materials,
+light color/scale, camera jitter) + veach_mis + furnace — rendered at
+4 spp (noisy) and high spp (reference) with albedo/normal/depth AOVs.
+The STANDARD cornell_box is excluded from training — it is the held-out
+quality-gate scene (tests/test_denoise_quality.py).
+
+Usage: python tools/train_denoiser.py [steps]  (runs on the real chip;
+writes mitsuba_path_guiding_tpu/data/denoiser_weights.npz)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_path_guiding_tpu.film import neural_denoise as nd
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import (
+    cornell_box, furnace, look_at, rotate, scale, translate, veach_mis,
+)
+
+RES = 128
+REF_SPP = 384
+NOISY_SPP = 4
+N_NOISY = 3  # noisy realizations per scene
+
+
+def rand_cornell(rs):
+    """Cornell-family variant: randomized wall albedos, box materials,
+    box placement, light color/strength."""
+    def rc():
+        return list(np.clip(rs.uniform(0.05, 0.85, 3), 0, 1))
+
+    desc = cornell_box(
+        light_scale=float(rs.uniform(0.5, 2.0)),
+        box_material=rs.choice(["diffuse", "mirror", "glass"]),
+    )
+    mats = [
+        {"type": "diffuse", "reflectance": rc()},
+        {"type": "roughconductor", "alpha": float(rs.uniform(0.05, 0.4))},
+        {"type": "plastic", "diffuse_reflectance": rc()},
+        {"type": "roughplastic", "diffuse_reflectance": rc(),
+         "alpha": float(rs.uniform(0.05, 0.3))},
+    ]
+    for s in desc["shapes"]:
+        if s.get("emitter"):
+            e = np.asarray(s["emitter"]["radiance"], np.float32)
+            tint = rs.uniform(0.5, 1.5, 3)
+            s["emitter"]["radiance"] = list((e * tint).astype(float))
+        elif s["type"] == "rectangle":
+            if rs.random() < 0.7:
+                s["bsdf"] = {"type": "diffuse", "reflectance": rc()}
+        elif s["type"] == "cube":
+            s["bsdf"] = mats[rs.integers(len(mats))]
+    cam = [float(rs.uniform(-0.4, 0.4)), float(rs.uniform(0.6, 1.4)), -3.2]
+    desc["sensor"]["to_world"] = look_at(cam, [0, 1.0, 0])
+    return desc
+
+
+def render_aov_buffers(scene, w, h, seed):
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+
+    n_pix = w * h
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    alb = jnp.zeros((n_pix, 3)); nrm = jnp.zeros((n_pix, 3)); dep = jnp.zeros((n_pix,))
+    for s in range(NOISY_SPP):
+        rk = rng.ray_keys(rng.base_key(seed), pix, jnp.full((n_pix,), s, jnp.int32))
+        u_cam = rng.event_uniform(rk, TAG_CAMERA, 2)
+        o, d, _ = generate_rays(scene.sensor, w, h, pix, u_cam)
+        _, aux, _ = trace(scene, o, d, rk, max_depth=2, use_bvh=False,
+                          em_kinds=kinds_present(scene.emitters),
+                          mat_types=types_present(scene.mats))
+        alb += aux.albedo; nrm += aux.normal; dep += aux.depth_t
+    alb = alb / NOISY_SPP
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+    dep = dep / NOISY_SPP
+    return (np.asarray(alb).reshape(h, w, 3), np.asarray(nrm).reshape(h, w, 3),
+            np.asarray(dep).reshape(h, w))
+
+
+def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz"):
+    rs = np.random.default_rng(42)
+    descs = [rand_cornell(rs) for _ in range(n_scenes - 2)]
+    descs.append(veach_mis())
+    descs.append(furnace(albedo=0.6, env_radiance=1.2))
+    xs, ys = [], []
+    for i, desc in enumerate(descs):
+        t0 = time.time()
+        scene = build_scene(desc)
+        ref = np.asarray(render(scene, RenderConfig(
+            width=RES, height=RES, spp=REF_SPP, max_depth=4, seed=1000 + i)))
+        alb, nrm, dep = render_aov_buffers(scene, RES, RES, 7000 + i)
+        for j in range(N_NOISY):
+            noisy = np.asarray(render(scene, RenderConfig(
+                width=RES, height=RES, spp=NOISY_SPP, max_depth=4,
+                seed=100 * i + j)))
+            xs.append(np.concatenate(
+                [noisy, alb, nrm, dep[..., None]], axis=-1).astype(np.float32))
+            ys.append(ref.astype(np.float32))
+        print(f"scene {i}: {time.time() - t0:.1f}s", flush=True)
+    np.savez_compressed(out, x=np.stack(xs), y=np.stack(ys))
+    print("dataset:", np.stack(xs).shape, "->", out)
+    return out
+
+
+def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
+    import optax
+
+    with np.load(data_path) as z:
+        X, Y = jnp.asarray(z["x"]), jnp.asarray(z["y"])
+    n_img = X.shape[0]
+    params = nd.init_params(jax.random.key(seed))
+    print(f"params: {nd.n_params(params)/1e3:.1f}k")
+    sched = optax.cosine_decay_schedule(lr, steps)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    def prep(x_img, y_img):
+        color, albedo, normal = x_img[..., 0:3], x_img[..., 3:6], x_img[..., 6:9]
+        depth = x_img[..., 9]
+        xin, demod, alb = nd.pack_inputs(color, albedo, normal, depth)
+        y_log = jnp.log1p(jnp.maximum(y_img, 0.0) / alb)
+        return xin, demod, y_log
+
+    def loss_fn(params, xb, yb):
+        xin, demod, y_log = jax.vmap(prep)(xb, yb)
+        res = nd.apply_net(params, xin)
+        out_log = jnp.maximum(demod + res, 0.0)
+        diff = out_log - y_log
+        # L1 + finite-difference gradient loss in demodulated log space
+        l1 = jnp.mean(jnp.abs(diff))
+        gx = jnp.mean(jnp.abs(jnp.diff(out_log, axis=2) - jnp.diff(y_log, axis=2)))
+        gy = jnp.mean(jnp.abs(jnp.diff(out_log, axis=1) - jnp.diff(y_log, axis=1)))
+        return l1 + 0.5 * (gx + gy)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        ki, kx, ky = jax.random.split(key, 3)
+        idx = jax.random.randint(ki, (batch,), 0, n_img)
+        ox = jax.random.randint(kx, (batch,), 0, RES - crop)
+        oy = jax.random.randint(ky, (batch,), 0, RES - crop)
+        xb = jax.vmap(lambda i, y0, x0: jax.lax.dynamic_slice(
+            X[i], (y0, x0, 0), (crop, crop, X.shape[-1])))(idx, oy, ox)
+        yb = jax.vmap(lambda i, y0, x0: jax.lax.dynamic_slice(
+            Y[i], (y0, x0, 0), (crop, crop, 3)))(idx, oy, ox)
+        loss, g = jax.value_and_grad(loss_fn)(params, xb, yb)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    key = jax.random.key(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if i % 200 == 0 or i == steps - 1:
+            print(f"step {i}: loss {float(loss):.4f}  ({time.time()-t0:.0f}s)",
+                  flush=True)
+    out = nd._WEIGHTS_FILE
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(
+        out, **{k: np.asarray(v, np.float16) for k, v in params.items()}
+    )
+    print(f"wrote {out} ({os.path.getsize(out)/1024:.0f} KB)")
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    data = "/tmp/denoise_data.npz"
+    if not os.path.exists(data):
+        data = gen_dataset()
+    train(data, steps=steps)
