@@ -519,14 +519,38 @@ def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
             pdf = jnp.where(is_m, p.weight * pdfa, pdf)
     if BSDFType.COATING in types:
         pc = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
-        f_c, pdf_c = _coating_f_pdf(p, pc, wi2, wo2, types)
+        f_c, pdf_c = _coating_f_pdf(
+            p, pc, wi2, wo2, types, tcoat=_gather_coat_trans(mats, mid)
+        )
         is_c = p.type == BSDFType.COATING
         f = jnp.where(is_c[..., None], f_c, f)
         pdf = jnp.where(is_c, pdf_c, pdf)
     return f, pdf
 
 
-def _coating_f_pdf(p: _P, pc: _P, wi2, wo2, types):
+def _gather_coat_trans(mats: Materials, mid):
+    # (N_COS, N) per-lane rough-coat transmittance table rows, or None
+    # when the Materials table has no coat_trans (test fixtures)
+    if getattr(mats, "coat_trans", None) is None:
+        return None
+    from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
+
+    return gather_rows_t(mats.coat_trans, mid)
+
+
+def _interp_coat_trans(tcoat, cos_v):
+    # linear interp of the (N_COS, N) table rows at |cos_v| per lane
+    n_cos = tcoat.shape[0]
+    x = jnp.clip(jnp.abs(cos_v), 0.0, 1.0) * (n_cos - 1)
+    i0 = jnp.clip(x.astype(jnp.int32), 0, n_cos - 2)
+    t = x - i0
+    iota = jax.lax.broadcasted_iota(jnp.int32, tcoat.shape, 0)
+    v0 = jnp.sum(jnp.where(iota == i0[None, :], tcoat, 0.0), axis=0)
+    v1 = jnp.sum(jnp.where(iota == (i0 + 1)[None, :], tcoat, 0.0), axis=0)
+    return v0 * (1.0 - t) + v1 * t
+
+
+def _coating_f_pdf(p: _P, pc: _P, wi2, wo2, types, tcoat=None):
     """Coating smooth eval/pdf, shared by eval_pdf_raw and _coat_sample.
 
     Dielectric layer over sub_a (coating.cpp eval/pdf): refract both
@@ -551,7 +575,18 @@ def _coating_f_pdf(p: _P, pc: _P, wi2, wo2, types):
         )[..., None]
     )
     # specular sampling weight 0.5 -> probSpecular = R12 (see sample)
-    trans = (1.0 - R12) * (1.0 - R21) * inv_eta2 * cos_ratio
+    t12, t21 = (1.0 - R12), (1.0 - R21)
+    if tcoat is not None:
+        # rough interface: microfacet-averaged transmittance from the
+        # build-time quadrature table (roughcoating.cpp
+        # m_roughTransmittance; the smooth 1-F stand-in is up to ~48%
+        # low at grazing for alpha >= 0.2 — measured round 3)
+        rough_if = p.alpha > 1e-3
+        ti = _interp_coat_trans(tcoat, wi2[..., 2])
+        to = _interp_coat_trans(tcoat, wo2[..., 2])
+        t12 = jnp.where(rough_if, ti, t12)
+        t21 = jnp.where(rough_if, to, t21)
+    trans = t12 * t21 * inv_eta2 * cos_ratio
     ok = (R12 < 1.0) & (R21 < 1.0)
     f_c = jnp.where(ok[..., None], f_n * absorb * trans[..., None], 0.0)
     pdf_c = jnp.where(ok, (1.0 - R12) * pdf_n * inv_eta2 * cos_ratio, 0.0)
@@ -861,7 +896,7 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
     return BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
 
 
-def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample) -> BSDFSample:
+def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample, mid=None) -> BSDFSample:
     """COATING lanes of the wavefront (coating.cpp sample): choose the
     delta reflection with probability R12 (specularSamplingWeight = 1/2),
     otherwise refract in, sample the nested lobe, attenuate and refract
@@ -914,7 +949,10 @@ def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample) -> BSDFSample
     # rough-coat lanes with a SMOOTH outcome (either branch) re-weight by
     # the full one-sample-MIS estimator f/pdf over the mixed pdf — the
     # ROUGH_PLASTIC pattern; keeps sample weights == eval/pdf exactly
-    f_full, pdf_full = _coating_f_pdf(p, pc, wi2, wo_c, types)
+    f_full, pdf_full = _coating_f_pdf(
+        p, pc, wi2, wo_c, types,
+        tcoat=None if mid is None else _gather_coat_trans(mats, mid),
+    )
     smooth_out = rough_c & ~(jnp.where(choose_spec, False, sub.is_delta))
     ok_r = pdf_full > 1e-9
     w_full = f_full / jnp.maximum(pdf_full, 1e-9)[..., None]
@@ -956,7 +994,7 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     if not nested:
         res = _sample_families(p, wi, u2, ul, types)
         if has_coat:
-            res = _coat_sample(mats, p, wi, u2, ul, types, tex, res)
+            res = _coat_sample(mats, p, wi, u2, ul, types, tex, res, mid=mid)
         return res
 
     is_blend = p.type == BSDFType.BLEND
@@ -1007,7 +1045,7 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     pdf = jnp.where(delta_sub, pdf * p_pick, pdf)
     res = BSDFSample(wo=wo, weight=weight, pdf=pdf, is_delta=is_delta)
     if has_coat:
-        res = _coat_sample(mats, p, wi, u2, ul, types, tex, res)
+        res = _coat_sample(mats, p, wi, u2, ul, types, tex, res, mid=mid)
     return res
 
 

@@ -754,6 +754,22 @@ def build_scene(desc: dict) -> SceneData:
     mpk[:, 24] = [m.get("wire_lw", 0.0) for m in mat_rows]
     # UV tiling factors applied before atlas/normal-map fetches
     mpk[:, 25:27] = [m.get("uv_scale", (1.0, 1.0)) for m in mat_rows]
+    # rough-coating transmittance tables (reference data/microfacet
+    # rtrans; roughcoating.cpp m_roughTransmittance): quadrature for
+    # rough coat interfaces, exact smooth Fresnel otherwise
+    from mitsuba_path_guiding_tpu.models.microfacet_tables import (
+        N_COS,
+        coat_transmittance_table,
+    )
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType as _BT
+
+    coat_tab = np.zeros((M, N_COS), np.float32)
+    for i, m in enumerate(mat_rows):
+        if m["type"] == _BT.COATING:
+            coat_tab[i] = coat_transmittance_table(
+                float(m.get("alpha", 0.0)), float(np.asarray(m["eta"]).ravel()[0])
+            )
+
     mats = Materials(
         type=jnp.asarray(np.asarray([m["type"] for m in mat_rows], dtype=np.int32)),
         reflectance=jnp.asarray(np.stack([m["reflectance"] for m in mat_rows]).astype(np.float32)),
@@ -763,6 +779,7 @@ def build_scene(desc: dict) -> SceneData:
         alpha=jnp.asarray(np.asarray([m["alpha"] for m in mat_rows], dtype=np.float32)),
         texture_id=jnp.asarray(np.asarray([m["texture_id"] for m in mat_rows], dtype=np.int32)),
         packed=jnp.asarray(mpk),
+        coat_trans=jnp.asarray(coat_tab),
     )
 
     power = np.asarray(em["power"], dtype=np.float64)

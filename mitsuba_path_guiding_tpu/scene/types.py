@@ -123,6 +123,11 @@ class Materials(NamedTuple):
     alpha: jnp.ndarray       # (M,) microfacet roughness (GGX)
     texture_id: jnp.ndarray  # (M,) int32 index into texture atlas, -1 = none
     packed: jnp.ndarray      # (M, 32) float32, layout above
+    # (M, 16) microfacet-averaged coat transmittance T(cos theta) on the
+    # cos grid i/15, built by quadrature for rough coatings (the
+    # reference's data/microfacet rtrans tables, roughcoating.cpp
+    # m_roughTransmittance); None -> smooth-Fresnel fallback
+    coat_trans: jnp.ndarray = None
 
 
 class Emitters(NamedTuple):
