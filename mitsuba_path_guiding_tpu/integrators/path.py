@@ -210,7 +210,10 @@ def trace(
                 jax.lax.dynamic_slice_in_dim(uniforms, depth * 9, 9, axis=0), 0, -1
             )
 
-        hit = intersect(o, d)
+        # dead lanes must not pay for candidate lists / traversal in the
+        # accel kernels: tmax < 0 fails every slab test, so their lists
+        # are empty (inert tiles) and the completeness proof is trivial
+        hit = intersect(o, d, jnp.where(alive, INFD, -1.0))
         escaped = alive & ~hit.valid
 
         # --- environment on escape, MIS vs NEE (path.cpp:141,226-244);
@@ -363,7 +366,9 @@ def trace(
             f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex)
             o_sh = _offset_ray(p, ng, ds.direction)
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
-            vis = shadow_visibility(o_sh, ds.direction, t_sh)
+            vis = shadow_visibility(
+                o_sh, ds.direction, jnp.where(act, t_sh, -1.0)
+            )
             w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_bsdf_nee))
             contrib = (
                 T * f_nee * ds.radiance

@@ -92,11 +92,14 @@ def render_aov_buffers(scene, w, h, seed):
             np.asarray(dep).reshape(h, w))
 
 
-def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz"):
-    rs = np.random.default_rng(42)
+def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz", seed=42):
+    rs = np.random.default_rng(seed)
     descs = [rand_cornell(rs) for _ in range(n_scenes - 2)]
-    descs.append(veach_mis())
-    descs.append(furnace(albedo=0.6, env_radiance=1.2))
+    if seed == 42:
+        descs.append(veach_mis())
+        descs.append(furnace(albedo=0.6, env_radiance=1.2))
+    else:
+        descs.extend(rand_cornell(rs) for _ in range(2))
     xs, ys = [], []
     for i, desc in enumerate(descs):
         t0 = time.time()
@@ -118,10 +121,17 @@ def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz"):
 
 
 def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
+    import glob
+
     import optax
 
-    with np.load(data_path) as z:
-        X, Y = jnp.asarray(z["x"]), jnp.asarray(z["y"])
+    paths = sorted(glob.glob(data_path)) if "*" in data_path else [data_path]
+    Xs, Ys = [], []
+    for pth in paths:
+        with np.load(pth) as z:
+            Xs.append(z["x"]); Ys.append(z["y"])
+    X, Y = jnp.asarray(np.concatenate(Xs)), jnp.asarray(np.concatenate(Ys))
+    print(f"dataset: {X.shape[0]} images from {len(paths)} files")
     n_img = X.shape[0]
     params = nd.init_params(jax.random.key(seed))
     print(f"params: {nd.n_params(params)/1e3:.1f}k")
@@ -157,6 +167,12 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
             X[i], (y0, x0, 0), (crop, crop, X.shape[-1])))(idx, oy, ox)
         yb = jax.vmap(lambda i, y0, x0: jax.lax.dynamic_slice(
             Y[i], (y0, x0, 0), (crop, crop, 3)))(idx, oy, ox)
+        # flip augmentation (normals' x flips sign with the image x flip)
+        kf = jax.random.fold_in(ki, 7)
+        do_flip = jax.random.bernoulli(kf, 0.5, (batch,))
+        xb_f = xb[:, :, ::-1, :].at[..., 6].multiply(-1.0)
+        xb = jnp.where(do_flip[:, None, None, None], xb_f, xb)
+        yb = jnp.where(do_flip[:, None, None, None], yb[:, :, ::-1, :], yb)
         loss, g = jax.value_and_grad(loss_fn)(params, xb, yb)
         upd, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(params, upd), opt_state, loss
@@ -178,8 +194,10 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "gen2":
+        gen_dataset(n_scenes=16, out="/tmp/denoise_data2.npz", seed=7)
+        sys.exit(0)
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    data = "/tmp/denoise_data.npz"
-    if not os.path.exists(data):
-        data = gen_dataset()
-    train(data, steps=steps)
+    if not os.path.exists("/tmp/denoise_data.npz"):
+        gen_dataset()
+    train("/tmp/denoise_data*.npz", steps=steps)
