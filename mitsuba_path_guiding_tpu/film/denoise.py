@@ -155,9 +155,14 @@ def render_aovs(renderer, spp: int = 4):
 
 
 def denoise_with_aux(renderer, img_np: np.ndarray):
-    """CLI helper: render AOVs and run the denoiser on a finished image."""
+    """CLI helper: render AOVs and run the denoiser on a finished image.
+    Prefers the trained neural cascade (film/neural_denoise.py — the
+    OIDN-class stage, denoiser.cpp:38-58) and falls back to the a-trous
+    filter when no weights are checked in."""
+    from mitsuba_path_guiding_tpu.film.neural_denoise import denoise_neural
+
     aovs = render_aovs(renderer)
-    out = atrous_denoise(
+    out = denoise_neural(
         jnp.asarray(img_np),
         aovs["albedo"],
         aovs["normal"],

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 CH = (24, 48, 80)      # channels per U-Net level
-IN_CH = 10             # demodulated log color (3) + albedo (3) + normal (3) + depth (1)
+# demod log color (3) + demod log A-TROUS base (3) + albedo (3) +
+# normal (3) + depth (1).  The network refines the a-trous
+# cross-bilateral result (a residual over its demodulated log), so its
+# worst collapse point is the classical filter, never the noisy input —
+# the OIDN-style cascade over prefiltered auxiliaries (denoiser.cpp
+# cleanAux) taken one step further.
+IN_CH = 13
 _WEIGHTS_FILE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data", "denoiser_weights.npz",
@@ -97,26 +103,39 @@ def apply_net(params, x):
 ALBEDO_EPS = 1e-3
 
 
-def pack_inputs(color, albedo, normal, depth):
-    """(H,W,3)x3 + (H,W) -> (H,W,IN_CH) network input + the demodulated
-    log color it is a residual over."""
+def pack_inputs(color, base, albedo, normal, depth):
+    """color/base/albedo/normal (H,W,3) + depth (H,W) -> (H,W,IN_CH)
+    network input + the demodulated log BASE the output is a residual
+    over.  ``base`` is the a-trous prefiltered color."""
     alb = jnp.maximum(albedo, ALBEDO_EPS)
     demod = jnp.log1p(jnp.maximum(color, 0.0) / alb)
+    demob = jnp.log1p(jnp.maximum(base, 0.0) / alb)
     dep = jnp.log1p(jnp.maximum(depth, 0.0))[..., None]
-    x = jnp.concatenate([demod, albedo, normal, dep], axis=-1)
-    return x, demod, alb
+    x = jnp.concatenate([demod, demob, albedo, normal, dep], axis=-1)
+    return x, demob, alb
 
 
 @partial(jax.jit, static_argnames=())
 def denoise_neural_params(params, color, albedo, normal, depth):
-    """Denoise one (H, W, 3) HDR image given its feature buffers."""
+    """Denoise one (H, W, 3) HDR image given its feature buffers.
+
+    (A 4-flip self-ensemble was measured WORSE than the single pass on
+    the held-out gate — the net is not flip-equivariant enough — so one
+    pass it is.)"""
+    from mitsuba_path_guiding_tpu.film.denoise import denoise_hdr
+
+    base = denoise_hdr(color, albedo, normal, depth)
     h, w = color.shape[:2]
     ph = (-h) % 4
     pw = (-w) % 4
-    x, demod, alb = pack_inputs(color, albedo, normal, depth)
-    xp = jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    res = apply_net(params, xp[None])[0, :h, :w]
-    out_log = jnp.maximum(demod + res, 0.0)
+    x, demob, alb = pack_inputs(color, base, albedo, normal, depth)
+    xp = jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")[None]
+
+    res = apply_net(params, xp)[0, :h, :w]
+    # bounded refinement: the residual may move the a-trous base by at
+    # most ~+-40% radiance — the net's improvements live well inside
+    # this; runaway extrapolations on unseen content do not
+    out_log = jnp.maximum(demob + jnp.clip(res, -0.35, 0.35), 0.0)
     return jnp.expm1(out_log) * alb
 
 

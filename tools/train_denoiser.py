@@ -130,7 +130,17 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
     for pth in paths:
         with np.load(pth) as z:
             Xs.append(z["x"]); Ys.append(z["y"])
-    X, Y = jnp.asarray(np.concatenate(Xs)), jnp.asarray(np.concatenate(Ys))
+    Xn, Yn = np.concatenate(Xs), np.concatenate(Ys)
+    # a-trous base per image (the cascade input; computed once here)
+    from mitsuba_path_guiding_tpu.film.denoise import denoise_hdr
+
+    bases = np.stack([
+        np.asarray(denoise_hdr(x[..., 0:3], x[..., 3:6], x[..., 6:9],
+                               x[..., 9]))
+        for x in Xn
+    ])
+    Xn = np.concatenate([Xn, bases], axis=-1)  # channels 10:13 = base
+    X, Y = jnp.asarray(Xn), jnp.asarray(Yn)
     print(f"dataset: {X.shape[0]} images from {len(paths)} files")
     n_img = X.shape[0]
     params = nd.init_params(jax.random.key(seed))
@@ -142,9 +152,10 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
     def prep(x_img, y_img):
         color, albedo, normal = x_img[..., 0:3], x_img[..., 3:6], x_img[..., 6:9]
         depth = x_img[..., 9]
-        xin, demod, alb = nd.pack_inputs(color, albedo, normal, depth)
+        base = x_img[..., 10:13]
+        xin, demob, alb = nd.pack_inputs(color, base, albedo, normal, depth)
         y_log = jnp.log1p(jnp.maximum(y_img, 0.0) / alb)
-        return xin, demod, y_log
+        return xin, demob, y_log
 
     def loss_fn(params, xb, yb):
         xin, demod, y_log = jax.vmap(prep)(xb, yb)
@@ -158,7 +169,7 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
         return l1 + 0.5 * (gx + gy)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, ema, opt_state, key):
         ki, kx, ky = jax.random.split(key, 3)
         idx = jax.random.randint(ki, (batch,), 0, n_img)
         ox = jax.random.randint(kx, (batch,), 0, RES - crop)
@@ -175,22 +186,26 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
         yb = jnp.where(do_flip[:, None, None, None], yb[:, :, ::-1, :], yb)
         loss, g = jax.value_and_grad(loss_fn)(params, xb, yb)
         upd, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, upd), opt_state, loss
+        params = optax.apply_updates(params, upd)
+        return params, ema, opt_state, loss
 
     key = jax.random.key(seed + 1)
+    ema = params
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, ema, opt_state, loss = step(params, ema, opt_state, sub)
         if i % 200 == 0 or i == steps - 1:
             print(f"step {i}: loss {float(loss):.4f}  ({time.time()-t0:.0f}s)",
                   flush=True)
-    out = nd._WEIGHTS_FILE
+    del ema
+    out = os.environ.get("DN_OUT", nd._WEIGHTS_FILE)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez_compressed(
         out, **{k: np.asarray(v, np.float16) for k, v in params.items()}
     )
     print(f"wrote {out} ({os.path.getsize(out)/1024:.0f} KB)")
+    return params
 
 
 if __name__ == "__main__":
@@ -200,4 +215,5 @@ if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     if not os.path.exists("/tmp/denoise_data.npz"):
         gen_dataset()
-    train("/tmp/denoise_data*.npz", steps=steps)
+    data_glob = os.environ.get("DN_DATA", "/tmp/denoise_data*.npz")
+    train(data_glob, steps=steps, seed=int(os.environ.get("DN_SEED", "0")))
