@@ -212,6 +212,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "gen2":
         gen_dataset(n_scenes=16, out="/tmp/denoise_data2.npz", seed=7)
         sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "gen3":
+        gen_dataset(n_scenes=32, out="/tmp/denoise_data3.npz", seed=13)
+        sys.exit(0)
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     if not os.path.exists("/tmp/denoise_data.npz"):
         gen_dataset()
