@@ -306,21 +306,32 @@ def _fallback_cap(n: int) -> int:
     return min(max(4096, n >> 4), n)
 
 
-def intersect_pairs_full(pairs, blocks, o, d, tmax=None) -> Hit:
+def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
+                         l_blk=None) -> Hit:
     """Closest hit through the pair-expansion pipeline
     (ops/intersect_pairs.py) with the blocklist kernel re-tracing the
-    rays whose nearest-L candidate list could not be proven complete."""
+    rays whose nearest-L candidate list could not be proven complete.
+
+    ``ksb``/``l_blk`` tune the candidate-list width per call site:
+    coherent camera waves are cheap to prove complete at large L (few
+    fallbacks), while bounce waves average ~2.1 valid blocks/ray and
+    waste sort/MT bytes above L≈5 (NEXT.md round-3 measurements)."""
     from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
         intersect_blocklist_raw,
     )
-    from mitsuba_path_guiding_tpu.ops.intersect_pairs import intersect_pairs_raw
+    from mitsuba_path_guiding_tpu.ops.intersect_pairs import (
+        PAIR_KSB,
+        PAIR_L,
+        intersect_pairs_raw,
+    )
 
     n = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n,), INF)
     on_tpu = jax.default_backend() == "tpu"
     t, prim, u, v, valid, proven = intersect_pairs_raw(
-        pairs, o, d, tmax, use_pallas=on_tpu
+        pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
+        use_pallas=on_tpu,
     )
     cap = _fallback_cap(n)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
@@ -336,17 +347,23 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None) -> Hit:
     return Hit(t=t, prim=prim, u=u, v=v, valid=valid)
 
 
-def occluded_pairs_full(pairs, blocks, o, d, tmax) -> jnp.ndarray:
+def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
+                        l_blk=None) -> jnp.ndarray:
     """Any-hit visibility through the pair pipeline + blocklist fallback."""
     from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
         occluded_blocklist_raw,
     )
-    from mitsuba_path_guiding_tpu.ops.intersect_pairs import intersect_pairs_raw
+    from mitsuba_path_guiding_tpu.ops.intersect_pairs import (
+        PAIR_KSB,
+        PAIR_L,
+        intersect_pairs_raw,
+    )
 
     n = o.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     occ, proven = intersect_pairs_raw(
-        pairs, o, d, tmax, any_hit=True, use_pallas=on_tpu
+        pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
+        any_hit=True, use_pallas=on_tpu,
     )
     cap = _fallback_cap(n)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]

@@ -41,6 +41,20 @@ from mitsuba_path_guiding_tpu.scene.types import BSDFType, SceneData
 
 INFD = jnp.float32(3.0e37)
 
+# Camera-peel knobs for the pair-expansion accel (tools/ab_peel.py sweeps
+# them; read at trace time — jax.clear_caches() to re-apply).  MEASURED
+# ON v5e (door_room 244k tris, 512x512 depth-5, best-of-3): peel OFF
+# L=8 everywhere 4.61 Mrays/s; peel cam=(12,12) scan L=5 4.03; scan L=4
+# 3.37.  NEXT.md's estimated 40% tile shrink from narrow in-scan lists
+# does NOT materialize: pipeline cost is ~linear in N*L ONLY for the
+# sorts, while the fallback re-trace grows with the unproven fraction —
+# at L=5 the extra blocklist fallback traffic exceeds the sort savings.
+# Peel therefore defaults OFF; the knobs stay for future scenes where
+# bounce lists are shallower.
+CAM_PAIR_CFG = (12, 12)
+SCAN_PAIR_CFG = (8, 8)
+PAIR_PEEL = False
+
 
 class PathAux(NamedTuple):
     """First-hit feature buffers (denoiser/guiding AOVs — fork's
@@ -143,14 +157,17 @@ def trace(
         and jax.default_backend() == "tpu"
     )
 
-    def intersect(o, d, tmax=None):
+    def intersect(o, d, tmax=None, pair_cfg=None):
         if twolevel:
             if scene.pairs is not None:
                 from mitsuba_path_guiding_tpu.accel.traverse import (
                     intersect_pairs_full,
                 )
 
-                return intersect_pairs_full(scene.pairs, scene.blocks, o, d, tmax)
+                ksb, l_blk = pair_cfg if pair_cfg else (None, None)
+                return intersect_pairs_full(
+                    scene.pairs, scene.blocks, o, d, tmax, ksb=ksb, l_blk=l_blk
+                )
             return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
             return intersect_pallas(geo, o, d, tmax)
@@ -177,7 +194,8 @@ def trace(
                 )
 
                 return 1.0 - occluded_pairs_full(
-                    scene.pairs, scene.blocks, o, d, tmax
+                    scene.pairs, scene.blocks, o, d, tmax,
+                    ksb=SCAN_PAIR_CFG[0], l_blk=SCAN_PAIR_CFG[1],
                 ).astype(jnp.float32)
             from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
 
@@ -201,7 +219,7 @@ def trace(
 
     # uniform layout per bounce: 0:3 NEE, 3:6 BSDF (2 dir + lobe),
     # 6 guide-selection, 7 guide-lobe, 8 russian roulette
-    def bounce(carry, depth):
+    def bounce(carry, depth, peel=False):
         o, d, L, T, alive, prev_pdf, prev_delta, t_acc, aux = carry
         if uniforms is None:
             u = bounce_uniform(rkeys, depth, 9)
@@ -213,7 +231,10 @@ def trace(
         # dead lanes must not pay for candidate lists / traversal in the
         # accel kernels: tmax < 0 fails every slab test, so their lists
         # are empty (inert tiles) and the completeness proof is trivial
-        hit = intersect(o, d, jnp.where(alive, INFD, -1.0))
+        hit = intersect(
+            o, d, jnp.where(alive, INFD, -1.0),
+            pair_cfg=CAM_PAIR_CFG if peel else SCAN_PAIR_CFG,
+        )
         escaped = alive & ~hit.valid
 
         # --- environment on escape, MIS vs NEE (path.cpp:141,226-244);
@@ -460,7 +481,21 @@ def trace(
         ray_o, ray_d, L0, T0, alive0, prev_pdf0, prev_delta0,
         jnp.zeros((n,)), aux0,
     )
-    carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
+    # Camera peel (pairs accel only): depth 0 is the one coherent wave —
+    # run it outside the scan with the wide camera pair lists; bounces
+    # 1..D-1 scan one body compiled with the narrow in-scan lists.
+    peel_camera = (
+        PAIR_PEEL and twolevel and scene.pairs is not None and max_depth > 1
+    )
+    if peel_camera:
+        carry1, rec0 = bounce(carry0, jnp.int32(0), peel=True)
+        carry, recs = jax.lax.scan(bounce, carry1, jnp.arange(1, max_depth))
+        if record_paths:
+            recs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, recs
+            )
+    else:
+        carry, recs = jax.lax.scan(bounce, carry0, jnp.arange(max_depth))
     _, _, L, _, _, _, _, _, aux = carry
 
     record = None

@@ -119,6 +119,14 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
             text = spec.get("weave", PLAIN_WEAVE)
         wp = parse_weave(text)
         kd_img, nrm_img, mean_ks, a_u, a_v, w_spec = rasterize_weave(wp)
+        # Energy match against the full Irawan model: its MC-normalized
+        # specular term averages to ks/pi over cosine-weighted directions
+        # (irawan.cpp:139-169 configure), i.e. the specular acts as an
+        # ADDITIVE albedo ks on top of the full kd/pi diffuse.  The blend
+        # weights only steer lobe sampling; eval-side we compensate them
+        # so blend = (1-w)*diffuse(kd/(1-w)) + w*ward(ks/w) = kd-diffuse
+        # + ks-ward exactly (tests/test_irawan_oracle.py bounds the
+        # remaining directional error at ~14% vs 40% uncompensated).
         row = _compile_bsdf(
             {
                 "type": "blendbsdf",
@@ -126,13 +134,15 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
                 "bsdfs": [
                     {"type": "diffuse"},
                     {"type": "ward", "alpha_u": a_u, "alpha_v": a_v,
-                     "specular_reflectance": [float(x) for x in mean_ks]},
+                     "specular_reflectance": [
+                         float(x) / w_spec for x in mean_ks
+                     ]},
                 ],
             },
             textures, register_sub,
         )
         if textures is not None:
-            textures.append(kd_img)
+            textures.append(kd_img / (1.0 - w_spec))
             row["texture_id"] = len(textures) - 1
             textures.append(nrm_img)
             row["bump_tex_id"] = len(textures) - 1
