@@ -297,17 +297,18 @@ def shadow_transmittance(
     return tr
 
 
-def _fallback_cap(n: int) -> int:
+def _fallback_cap(n: int, shift: int = 4) -> int:
     # unproven rays re-traced through the blocklist kernel per wave;
     # measured unproven is 0.1% (bounce/shadow) to ~5% (coherent) of
-    # rays, so n/16 holds them all.  Beyond the cap stragglers keep
-    # their nearest-L pair result, which can only be wrong if a dropped
-    # farther candidate held the true hit.
-    return min(max(4096, n >> 4), n)
+    # rays, so n>>4 holds them all.  Bounce-wave call sites pass a
+    # larger shift (cheaper nonzero+gather glue); beyond the cap
+    # stragglers keep their nearest-L pair result, which can only be
+    # wrong if a dropped farther candidate held the true hit.
+    return min(max(4096, n >> shift), n)
 
 
 def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
-                         l_blk=None) -> Hit:
+                         l_blk=None, fb_shift=4) -> Hit:
     """Closest hit through the pair-expansion pipeline
     (ops/intersect_pairs.py) with the blocklist kernel re-tracing the
     rays whose nearest-L candidate list could not be proven complete.
@@ -333,7 +334,7 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
         use_pallas=on_tpu,
     )
-    cap = _fallback_cap(n)
+    cap = _fallback_cap(n, fb_shift)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
     fb = ~proven[idx]                      # mask duplicate fill entries
     t2, p2, u2, v2, v2ok = intersect_blocklist_raw(
@@ -348,7 +349,7 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
 
 
 def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
-                        l_blk=None) -> jnp.ndarray:
+                        l_blk=None, fb_shift=4) -> jnp.ndarray:
     """Any-hit visibility through the pair pipeline + blocklist fallback."""
     from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
         occluded_blocklist_raw,
@@ -365,7 +366,7 @@ def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
         any_hit=True, use_pallas=on_tpu,
     )
-    cap = _fallback_cap(n)
+    cap = _fallback_cap(n, fb_shift)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
     fb = ~proven[idx]
     occ2 = occluded_blocklist_raw(

@@ -54,6 +54,12 @@ INFD = jnp.float32(3.0e37)
 CAM_PAIR_CFG = (12, 12)
 SCAN_PAIR_CFG = (8, 8)
 PAIR_PEEL = False
+# fallback-cap shifts: cap = max(4096, n >> shift).  Camera waves are
+# ~5% unproven (needs n>>4); bounce/shadow waves are ~0.1% unproven so
+# their nonzero+gather+blocklist fallback glue can run at a fraction of
+# the capacity.
+CAM_FB_SHIFT = 4
+SCAN_FB_SHIFT = 4
 
 
 class PathAux(NamedTuple):
@@ -164,9 +170,10 @@ def trace(
                     intersect_pairs_full,
                 )
 
-                ksb, l_blk = pair_cfg if pair_cfg else (None, None)
+                ksb, l_blk, fb = pair_cfg if pair_cfg else (None, None, 4)
                 return intersect_pairs_full(
-                    scene.pairs, scene.blocks, o, d, tmax, ksb=ksb, l_blk=l_blk
+                    scene.pairs, scene.blocks, o, d, tmax, ksb=ksb,
+                    l_blk=l_blk, fb_shift=fb,
                 )
             return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
@@ -196,6 +203,7 @@ def trace(
                 return 1.0 - occluded_pairs_full(
                     scene.pairs, scene.blocks, o, d, tmax,
                     ksb=SCAN_PAIR_CFG[0], l_blk=SCAN_PAIR_CFG[1],
+                    fb_shift=SCAN_FB_SHIFT,
                 ).astype(jnp.float32)
             from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
 
@@ -233,7 +241,8 @@ def trace(
         # are empty (inert tiles) and the completeness proof is trivial
         hit = intersect(
             o, d, jnp.where(alive, INFD, -1.0),
-            pair_cfg=CAM_PAIR_CFG if peel else SCAN_PAIR_CFG,
+            pair_cfg=(CAM_PAIR_CFG + (CAM_FB_SHIFT,) if peel
+                      else SCAN_PAIR_CFG + (SCAN_FB_SHIFT,)),
         )
         escaped = alive & ~hit.valid
 

@@ -64,6 +64,23 @@ def kinds_present(em: Emitters):
     return tuple(sorted(set(np.asarray(em.kind).tolist())))
 
 
+def _pick_emitter(em: Emitters, u0: jnp.ndarray) -> jnp.ndarray:
+    """CDF inversion for the emitter pick.  jnp.searchsorted lowers to a
+    serial binary-search while-loop on TPU (the profiler's ~1 ms/bounce
+    fusion.225/select_reduce chain, NEXT.md guided-headline item); for
+    the emitter counts real scenes have, a dense (E, N) compare + sum is
+    one fully-parallel VPU pass.  Equivalent to
+    searchsorted(cdf, u0, side="right") clipped to the table."""
+    e = em.cdf.shape[0]
+    if e <= 1024:
+        eid = jnp.sum(
+            (em.cdf[:, None] <= u0[None, :]).astype(jnp.int32), axis=0
+        )
+    else:
+        eid = jnp.searchsorted(em.cdf, u0, side="right")
+    return jnp.clip(eid, 0, em.kind.shape[0] - 1).astype(jnp.int32)
+
+
 def sample_direct(
     em: Emitters, geo: Geometry, p: jnp.ndarray, u: jnp.ndarray, kinds=ALL_KINDS
 ) -> DirectSample:
@@ -72,9 +89,7 @@ def sample_direct(
     static tuple of EmitterKind values present in the scene: only those
     branches are compiled (the common area+env scene skips 3/5 of this)."""
     n = p.shape[0]
-    eid = jnp.clip(
-        jnp.searchsorted(em.cdf, u[..., 0], side="right"), 0, em.kind.shape[0] - 1
-    ).astype(jnp.int32)
+    eid = _pick_emitter(em, u[..., 0])
     # single packed row gather (Emitters.packed layout) — separate field
     # gathers materialize lane-padded (N,3) arrays on TPU
     from mitsuba_path_guiding_tpu.ops.gather_pallas import gather_rows_t
@@ -281,9 +296,7 @@ def sample_ray(
     from a disk covering the scene's bounding sphere (the reference does
     the same, e.g. src/emitters/constant.cpp sampleRay)."""
     n = u.shape[0]
-    eid = jnp.clip(
-        jnp.searchsorted(em.cdf, u[..., 0], side="right"), 0, em.kind.shape[0] - 1
-    ).astype(jnp.int32)
+    eid = _pick_emitter(em, u[..., 0])
     row = em.packed[eid].T
     kind = row[0].astype(jnp.int32)
     pmf = jnp.maximum(row[1], 1e-12)

@@ -78,15 +78,19 @@ def main():
     print(f"scene: {int(scene.geo.p0.shape[0])} tris, "
           f"build {time.time() - t0:.1f}s", flush=True)
 
+    # (name, peel, scan_cfg, cam_cfg, scan_fb_shift).  NOTE: scan_fb > 4
+    # requires peel=True — with peel off the ~5%-unproven camera wave
+    # runs in-scan and would overflow the shrunken fallback capacity.
     configs = [
-        ("baseline peel=F L=8", False, (8, 8), (12, 12)),
-        ("peel cam=(12,12) scan L=5", True, (8, 5), (12, 12)),
-        ("peel cam=(12,12) scan L=4", True, (8, 4), (12, 12)),
+        ("peel cam=(12,12) scan L=8 fb4", True, (8, 8), (12, 12), 4),
+        ("peel cam=(12,12) scan L=8 fb6", True, (8, 8), (12, 12), 6),
+        ("baseline peel=F L=8 fb4", False, (8, 8), (12, 12), 4),
     ]
-    for name, peel, scan, cam in configs:
+    for name, peel, scan, cam, fb in configs:
         path_mod.PAIR_PEEL = peel
         path_mod.SCAN_PAIR_CFG = scan
         path_mod.CAM_PAIR_CFG = cam
+        path_mod.SCAN_FB_SHIFT = fb
         jax.clear_caches()
         run_config(scene, name)
 
