@@ -105,6 +105,16 @@ def _vdb_to_dense_native(path: str, grid_name: str):
             np.stack([wlo, whi]))
 
 
+# HBM-residency bound (the framework's volcache stance): grids live in
+# device HBM for the whole render — there is no out-of-core streaming
+# path (the reference's volcache.cpp LRU block cache exists to fit CPU
+# RAM, a constraint XLA's device model replaces with this one).  A v5e
+# core has 16 GB HBM; leaving headroom for the wavefront + film +
+# guiding cache, grids above ~8 GB (f32 voxels, ~1290^3) will OOM at
+# compile.  The loader warns at half that so the failure is attributable.
+_HBM_GRID_WARN_BYTES = 4 << 30
+
+
 def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
     """Resolve a scene-dict volume spec to (grid (D,H,W), aabb (2,3)|None).
 
@@ -114,6 +124,9 @@ def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
       {"type": "gridvolume", "data": ndarray, "bounds": ((lo),(hi))}
       {"type": "vdbvolume", "filename": x.vdb, "grid": name}
       bare ndarray / nested list                            -> data grid
+
+    Grids are HBM-resident (see _HBM_GRID_WARN_BYTES); volumes larger
+    than device memory have no out-of-core path by design.
     """
     if not isinstance(spec, dict):
         data = np.asarray(spec, dtype=np.float32)
@@ -125,7 +138,9 @@ def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
         v = float(spec.get("value", 1.0))
         return np.full((1, 1, 1), v, dtype=np.float32), None
     if t == "vdbvolume":
-        return vdb_to_dense(spec["filename"], spec.get("grid", "density"))
+        data, aabb = vdb_to_dense(spec["filename"], spec.get("grid", "density"))
+        _check_grid_budget(data)
+        return data, aabb
     if t == "gridvolume":
         if "filename" in spec:
             fn = spec["filename"]
@@ -141,10 +156,26 @@ def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
             aabb = None
         if "bounds" in spec:
             aabb = np.asarray(spec["bounds"], dtype=np.float32).reshape(2, 3)
+        _check_grid_budget(data)
         return data, aabb
     if t == "hgridvolume":
-        return assemble_hgrid(spec)
+        data, aabb = assemble_hgrid(spec)
+        _check_grid_budget(data)
+        return data, aabb
     raise ValueError(f"unknown volume type {t}")
+
+
+def _check_grid_budget(data: np.ndarray) -> None:
+    if data.nbytes > _HBM_GRID_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"volume grid is {data.nbytes / 2**30:.1f} GiB; grids are "
+            "HBM-resident for the whole render (no out-of-core path) — "
+            "expect device OOM beyond ~8 GiB on a 16 GB chip",
+            ResourceWarning,
+            stacklevel=3,
+        )
 
 
 def assemble_hgrid(spec) -> tuple[np.ndarray, np.ndarray | None]:
