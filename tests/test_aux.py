@@ -421,3 +421,32 @@ def test_multichannel_render_and_exr_roundtrip(tmp_path):
     # header must list the prefixed channels
     head = open(path, "rb").read(400)
     assert b"albedo.R" in head and b"distance.B" in head and b"R\x00" in head
+
+
+def test_pick_emitter_matches_searchsorted():
+    """The dense (E, N) compare+sum CDF inversion (_pick_emitter,
+    models/emitter.py — searchsorted lowers to a serial binary search on
+    TPU) must agree with jnp.searchsorted(side='right') for random CDFs,
+    including u exactly on a CDF boundary and u ~ 1."""
+    from mitsuba_path_guiding_tpu.models.emitter import _pick_emitter
+
+    rng = np.random.default_rng(11)
+    for e in (1, 2, 7, 33):
+        w = rng.random(e) + 0.01
+        cdf = np.cumsum(w / w.sum()).astype(np.float32)
+        cdf[-1] = 1.0
+        u = np.concatenate([
+            rng.random(257).astype(np.float32),
+            cdf[:-1],                      # exact boundaries
+            np.array([0.0, 1.0 - 1e-7, 1.0], np.float32),
+        ])
+
+        class _Em:
+            pass
+
+        em = _Em()
+        em.cdf = jnp.asarray(cdf)
+        em.kind = jnp.zeros((e,), jnp.int32)
+        got = np.asarray(_pick_emitter(em, jnp.asarray(u)))
+        want = np.clip(np.searchsorted(cdf, u, side="right"), 0, e - 1)
+        np.testing.assert_array_equal(got, want)
