@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.film import neural_denoise as nd
-from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+from mitsuba_path_guiding_tpu.integrators.render import (
+    RenderConfig,
+    render,
+    render_scanned,
+)
 from mitsuba_path_guiding_tpu.scene.builder import build_scene
 from mitsuba_path_guiding_tpu.scene.scenes import (
     cornell_box, furnace, look_at, rotate, scale, translate, veach_mis,
@@ -104,11 +108,11 @@ def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz", seed=42):
     for i, desc in enumerate(descs):
         t0 = time.time()
         scene = build_scene(desc)
-        ref = np.asarray(render(scene, RenderConfig(
+        ref = np.asarray(render_scanned(scene, RenderConfig(
             width=RES, height=RES, spp=REF_SPP, max_depth=4, seed=1000 + i)))
         alb, nrm, dep = render_aov_buffers(scene, RES, RES, 7000 + i)
         for j in range(N_NOISY):
-            noisy = np.asarray(render(scene, RenderConfig(
+            noisy = np.asarray(render_scanned(scene, RenderConfig(
                 width=RES, height=RES, spp=NOISY_SPP, max_depth=4,
                 seed=100 * i + j)))
             xs.append(np.concatenate(
