@@ -70,9 +70,15 @@ def _pick_emitter(em: Emitters, u0: jnp.ndarray) -> jnp.ndarray:
     fusion.225/select_reduce chain, NEXT.md guided-headline item); for
     the emitter counts real scenes have, a dense (E, N) compare + sum is
     one fully-parallel VPU pass.  Equivalent to
-    searchsorted(cdf, u0, side="right") clipped to the table."""
+    searchsorted(cdf, u0, side="right") clipped to the table.
+
+    Threshold (ADVICE r3): the dense path builds an (E, N) boolean
+    intermediate — at a 1M-lane wavefront that is ~128 MB of compares at
+    E=128 and relies on XLA fusing it away; 128 keeps the worst case
+    bounded near the few-emitter regime this path is for, while larger
+    emitter tables fall back to searchsorted."""
     e = em.cdf.shape[0]
-    if e <= 1024:
+    if e <= 128:
         eid = jnp.sum(
             (em.cdf[:, None] <= u0[None, :]).astype(jnp.int32), axis=0
         )

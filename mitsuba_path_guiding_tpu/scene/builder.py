@@ -123,14 +123,18 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
         # specular term averages to ks/pi over cosine-weighted directions
         # (irawan.cpp:139-169 configure), i.e. the specular acts as an
         # ADDITIVE albedo ks on top of the full kd/pi diffuse.  The blend
-        # weights only steer lobe sampling; eval-side we compensate them
-        # so blend = (1-w)*diffuse(kd/(1-w)) + w*ward(ks/w) = kd-diffuse
-        # + ks-ward exactly (tests/test_irawan_oracle.py bounds the
-        # remaining directional error at ~14% vs 40% uncompensated).
+        # weight steers lobe sampling; eval-side we compensate so the
+        # compiled mix is exact: the kd texture override reaches BOTH
+        # sub-lobes (gather_params), and the ward lobe carries its own
+        # kd/pi diffuse term, so unscaled kd gives diffuse
+        # (1-w)*kd + w*kd = kd exactly, while specular ks/w gives
+        # w*ward(ks/w) = ward(ks) exactly (tests/test_irawan_oracle.py
+        # bounds the remaining directional error vs the full oracle
+        # through the REAL compiled eval path).
         row = _compile_bsdf(
             {
                 "type": "blendbsdf",
-                "weights": [1.0 - w_spec, w_spec],
+                "weight": w_spec,
                 "bsdfs": [
                     {"type": "diffuse"},
                     {"type": "ward", "alpha_u": a_u, "alpha_v": a_v,
@@ -142,7 +146,7 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
             textures, register_sub,
         )
         if textures is not None:
-            textures.append(kd_img / (1.0 - w_spec))
+            textures.append(kd_img)
             row["texture_id"] = len(textures) - 1
             textures.append(nrm_img)
             row["bump_tex_id"] = len(textures) - 1

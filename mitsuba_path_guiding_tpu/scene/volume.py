@@ -132,6 +132,7 @@ def load_volume_spec(spec) -> tuple[np.ndarray, np.ndarray | None]:
         data = np.asarray(spec, dtype=np.float32)
         if data.ndim != 3:
             raise ValueError("volume data must be a 3-D (D,H,W) array")
+        _check_grid_budget(data)
         return data, None
     t = spec.get("type", "gridvolume")
     if t == "constvolume":

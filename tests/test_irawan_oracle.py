@@ -290,7 +290,11 @@ def _compiled_eval(uv, wi, wo, kd_img, nrm_img, mean_ks, a_u, a_v, w_spec):
                          np.sum(v * n, -1)], axis=-1)
     wil, wol = to_local(wi), to_local(wo)
     spec = _ward_eval(wil, wol, a_u, a_v)[:, None] * mean_ks[None, :]
-    # builder compensation: (1-w) * diffuse(kd/(1-w)) + w * ward(ks/w)
+    # builder compensation: blend weight w with the kd texture override
+    # reaching BOTH sub-lobes (ward carries its own kd/pi diffuse), so
+    # diffuse = (1-w)*kd + w*kd = kd and specular = w*ward(ks/w) = ks;
+    # equivalence with the REAL eval path asserted in
+    # test_compiled_eval_matches_renderer_eval_pdf.
     f = np.where(w_spec > 0, kd / np.pi + spec, kd / np.pi)
     cos = np.maximum(wo[:, 2], 0.0)
     up_mask = (wi[:, 2] > 0) & (wo[:, 2] > 0)
@@ -361,3 +365,59 @@ def test_compiled_cloth_error_bound_vs_oracle(plain):
     # energy agreement after the builder's compensation (measured < 5%)
     e_ref, e_apx = ref.mean(), apx.mean()
     assert abs(e_apx - e_ref) / e_ref < 0.10, (e_apx, e_ref)
+
+
+def test_compiled_eval_matches_renderer_eval_pdf(plain):
+    """ADVICE r3 (medium): the NumPy restatement above must match what the
+    RENDERER actually evaluates.  Build the scene through scene/builder,
+    locate the compiled irawan blend row, and drive models/bsdf.eval_pdf
+    with the same kd atlas override the integrator passes
+    (integrators/path.py tex=(val, mask)) — the values must agree, which
+    pins the blend weight / energy compensation end to end."""
+    import jax.numpy as jnp
+
+    from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    _, _, (kd_img, _nrm, mean_ks, a_u, a_v, w_spec) = plain
+    desc = {
+        "sensor": {"type": "orthographic",
+                   "to_world": look_at([0, 0, -2], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "bsdf": {"type": "irawan"}}],
+        "emitters": [{"type": "point", "position": [0, 0, -2],
+                      "intensity": [1.0] * 3}],
+    }
+    scene = build_scene(desc)
+    packed = np.asarray(scene.mats.packed)
+    rows = np.where(packed[:, 0] == int(BSDFType.BLEND))[0]
+    assert rows.size == 1, "expected exactly one compiled irawan blend row"
+    mid = int(rows[0])
+    # the compiled blend weight must be w_spec, not a 0.5 default
+    np.testing.assert_allclose(packed[mid, 18], w_spec, rtol=1e-6)
+
+    rng = np.random.default_rng(7)
+    n = 512
+    wil = IrawanOracle._cos_hemi(rng.random((n, 2)))
+    wol = IrawanOracle._cos_hemi(rng.random((n, 2)))
+    uv = rng.random((n, 2))
+    h_img, w_img = kd_img.shape[:2]
+    px = np.clip((uv[:, 0] % 1.0 * w_img).astype(np.int64), 0, w_img - 1)
+    py = np.clip((uv[:, 1] % 1.0 * h_img).astype(np.int64), 0, h_img - 1)
+    kd = kd_img[py, px]
+
+    f, _ = bsdf_mod.eval_pdf(
+        scene.mats, jnp.full((n,), mid, jnp.int32),
+        jnp.asarray(wil, jnp.float32), jnp.asarray(wol, jnp.float32),
+        tex=(jnp.asarray(kd, jnp.float32), jnp.ones((n,), bool)),
+    )
+    f = np.asarray(f)
+
+    # intended math, directly in the local frame (the weave lobe is
+    # isotropic so the bump-frame azimuth rotation drops out)
+    spec = _ward_eval(wil, wol, a_u, a_v)[:, None] * mean_ks[None, :]
+    co = np.maximum(wol[:, 2], 0.0)[:, None]
+    up = ((wil[:, 2] > 0) & (wol[:, 2] > 0))[:, None]
+    exp = np.where(up, (kd / np.pi + spec) * co, 0.0)
+    np.testing.assert_allclose(f, exp, rtol=5e-3, atol=5e-4)
