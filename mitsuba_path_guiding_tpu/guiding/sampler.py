@@ -28,7 +28,8 @@ from mitsuba_path_guiding_tpu.scene.types import BSDFType
 def _is_delta_material(mats, mid):
     t = mats.type[mid]
     return (
-        (t == BSDFType.CONDUCTOR) | (t == BSDFType.DIELECTRIC) | (t == BSDFType.NULL)
+        (t == BSDFType.CONDUCTOR) | (t == BSDFType.DIELECTRIC)
+        | (t == BSDFType.NULL) | (t == BSDFType.THINDIELECTRIC)
     )
 
 

@@ -120,7 +120,10 @@ def _shade_rows(geo, prim):
 
 
 def _is_delta_type(t):
-    return (t == BSDFType.CONDUCTOR) | (t == BSDFType.DIELECTRIC)
+    return (
+        (t == BSDFType.CONDUCTOR) | (t == BSDFType.DIELECTRIC)
+        | (t == BSDFType.THINDIELECTRIC)
+    )
 
 
 def _spec_propagate(p, wi_l, lobe):
@@ -153,6 +156,18 @@ def _spec_propagate(p, wi_l, lobe):
     fac = jnp.where(is_diel[..., None], fac_d, fac_c)
     pdf = jnp.where(is_diel, pdf_d, jnp.ones_like(pdf_d))
     ok = jnp.where(is_diel, ok_d, jnp.ones_like(ok_d))
+
+    # thin dielectric (thindielectric.cpp): reflect lobe with the
+    # TIR-summed R' = 2R/(1+R), else pass straight through
+    F_t = fresnel_dielectric(jnp.abs(cz), eta_s)
+    Rp = jnp.where(F_t < 1.0, 2.0 * F_t / (1.0 + F_t), jnp.ones_like(F_t))
+    wo_t = jnp.where(lobe[..., None], reflect_local(wi_l), -wi_l)
+    fac_t = p.spec * jnp.where(lobe, Rp, 1.0 - Rp)[..., None]
+    is_thin = p.type == BSDFType.THINDIELECTRIC
+    wo = jnp.where(is_thin[..., None], wo_t, wo)
+    fac = jnp.where(is_thin[..., None], fac_t, fac)
+    pdf = jnp.where(is_thin, jnp.where(lobe, Rp, 1.0 - Rp), pdf)
+    ok = jnp.where(is_thin, lobe | (Rp < 1.0), ok)
     return wo, fac, pdf, ok
 
 

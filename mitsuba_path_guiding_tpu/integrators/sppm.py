@@ -18,12 +18,18 @@ L = L_emitted_avg + tau / (n_total_emitted * pi * R^2).
 Hitpoints sit at the first non-delta vertex of each camera path (specular
 chains are followed, like the reference's sppm camera pass).  The gather
 evaluates the FULL smooth BSDF (sppm.cpp:414 evaluates bsdf->eval per
-photon): photon flux is accumulated into K incident-direction bins in the
-hitpoint's shading frame during the grid scan, then ONE BSDF evaluation
-per (hitpoint, bin) against the camera direction weights the binned flux
-— per-photon lobe variation at bin resolution without paying a full
-material dispatch inside the 8x32-tap scan (K=16: 2 cos-theta bands x 8
-azimuth sectors; diffuse surfaces reduce exactly to albedo/pi).
+photon) along two routes:
+  - wide/diffuse hitpoints: photon flux is binned into K incident
+    directions in the hitpoint frame during the grid scan, then ONE BSDF
+    evaluation per (hitpoint, bin) weights the binned flux (K=16: 2
+    cos-theta bands x 8 azimuth sectors; diffuse reduces exactly to
+    albedo/pi),
+  - glossy hitpoints (ROUGH_CONDUCTOR/PHONG/WARD/ROUGH_PLASTIC families):
+    TRUE per-photon evaluation — the single-lobe family evals run inside
+    the tap scan on pre-gathered hitpoint params (VERDICT r3 item 8; the
+    binned route misrepresents lobes narrower than a bin, and the old
+    continue-as-specular dodge under MIN_GATHER_ALPHA biased the sampler
+    instead of fixing the estimator).
 """
 from __future__ import annotations
 
@@ -49,9 +55,13 @@ GRID_MAX = 512      # cells per axis cap (key fits int32)
 N_COS_BANDS = 2     # incident-direction bins for the glossy gather:
 N_AZIMUTH = 8       # cos-theta bands x azimuth sectors in the hp frame
 N_DIR_BINS = N_COS_BANDS * N_AZIMUTH
-# lobes narrower than roughly one direction bin continue as specular in
-# the camera pass instead of becoming (bin-discretized) hitpoints
-MIN_GATHER_ALPHA = 0.15
+# families whose hitpoints use the per-photon eval route (every rough
+# single-lobe family; nested/coated families fall back to the bins)
+PER_PHOTON_FAMILIES = (
+    BSDFType.ROUGH_CONDUCTOR, BSDFType.PHONG, BSDFType.WARD,
+    BSDFType.ROUGH_PLASTIC, BSDFType.ROUGH_DIELECTRIC,
+    BSDFType.ROUGH_DIFFUSE,
+)
 
 
 def _dir_bin_centers():
@@ -122,22 +132,11 @@ def camera_pass(scene, rkeys, width, height, u_pos, pixel_id,
             (mtype == BSDFType.CONDUCTOR)
             | (mtype == BSDFType.DIELECTRIC)
             | (mtype == BSDFType.NULL)
+            | (mtype == BSDFType.THINDIELECTRIC)
         )
-        # narrow glossy lobes (alpha below the direction-bin resolution)
-        # would be misrepresented by bin-center BSDF evaluation in the
-        # gather (ADVICE r2; ref sppm.cpp:414 evaluates per photon) —
-        # treat them as specular and continue the camera path instead,
-        # bounding the discretization bias by the alpha threshold
-        alpha_m = mats.packed[mid, 13]
-        rough_families = (
-            (mtype == BSDFType.ROUGH_CONDUCTOR)
-            | (mtype == BSDFType.PHONG)
-            | (mtype == BSDFType.WARD)
-        )
-        is_delta_mat = is_delta_mat | (
-            rough_families & (alpha_m < MIN_GATHER_ALPHA)
-        )
-        # record hitpoint at the first smooth vertex
+        # record hitpoint at the first smooth vertex (glossy lobes of any
+        # width become hitpoints — the gather evaluates them per photon,
+        # sppm.cpp:414; no continue-as-specular dodge)
         frame = Frame.from_normal(ns)
         wi_local = frame.to_local(-s["d"])
         rec = act & ~is_delta_mat & ~s["hp_valid"]
@@ -201,6 +200,7 @@ def photon_pass(scene, rkeys, max_depth=5, use_bvh=False,
             (mtype == BSDFType.CONDUCTOR)
             | (mtype == BSDFType.DIELECTRIC)
             | (mtype == BSDFType.NULL)
+            | (mtype == BSDFType.THINDIELECTRIC)
         )
         # deposit on smooth surfaces (photonmap stores at diffuse hits)
         deposit = act & ~is_delta_mat
@@ -243,11 +243,19 @@ def _cell_key(c, G):
     return (c[..., 0] * G + c[..., 1]) * G + c[..., 2]
 
 
-@partial(jax.jit, static_argnames=("G",))
-def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
-    """Per-hitpoint photon gather.  Returns (M_count (N,), phi (N,K,3)) —
-    photon count, and flux sums binned by incident direction in the
-    hitpoint frame (K = N_DIR_BINS; see module docstring glossy gather)."""
+@partial(jax.jit, static_argnames=("G", "narrow_types"))
+def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G,
+           hp_p=None, hp_wol=None, narrow_types=()):
+    """Per-hitpoint photon gather.  Returns (M_count (N,), phi (N,K,3),
+    phi_pp (N,3)) — photon count, flux sums binned by incident direction
+    in the hitpoint frame (K = N_DIR_BINS), and the per-photon-evaluated
+    f-weighted flux for the ``narrow_types`` families (sppm.cpp:414
+    bsdf->eval per photon; ``hp_p`` is the pre-gathered material row as a
+    bsdf._P, ``hp_wol`` the camera direction in the hitpoint frame)."""
+    from mitsuba_path_guiding_tpu.models.bsdf import (
+        _eval_smooth,
+        _flip_two_sided,
+    )
     key_ph = jnp.where(ph_ok, _cell_key(_cell_coords(ph_pos, lo, inv_cell, G), G), jnp.int32(2**30))
     # randomize within-cell order (stable argsort would put depth-0
     # deposits first, breaking the exchangeability the subsample reweight
@@ -270,8 +278,12 @@ def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
     n_hp = hp_pos.shape[0]
     count = jnp.zeros(n_hp, jnp.float32)
     phi = jnp.zeros((n_hp, N_DIR_BINS, 3), jnp.float32)
+    phi_pp = jnp.zeros((n_hp, 3), jnp.float32)
     hp_frame = Frame.from_normal(hp_ns)
     bin_ids = jnp.arange(N_DIR_BINS)
+    if narrow_types:
+        # hoisted two-sided flip for the in-scan family evals
+        wi2_pp, s_pp = _flip_two_sided(hp_p, hp_wol)
     r2 = hp_R * hp_R
     m_total = skeys.shape[0]
     seen_keys = []
@@ -322,7 +334,22 @@ def gather(hp_pos, hp_ns, hp_R, ph_pos, ph_wi, ph_pw, ph_ok, lo, inv_cell, G):
                     contrib = (sp_pw[idx] * scale[..., None])[:, None, :]
                     phi = phi + jnp.where(
                         (sel[:, None] & onehot)[..., None], contrib, 0.0)
-    return count, phi
+                    if narrow_types:
+                        # per-photon eval: f(camera, photon) on the
+                        # single-lobe rough families; _eval_smooth
+                        # returns f*cos(wo) — divide the photon-side
+                        # cosine back out (flux carries arrival geometry)
+                        wo2 = jnp.stack(
+                            [wil[..., 0], wil[..., 1], wil[..., 2] * s_pp],
+                            axis=-1)
+                        f_pp, _ = _eval_smooth(hp_p, wi2_pp, wo2,
+                                               narrow_types)
+                        f_pp = f_pp / jnp.maximum(
+                            jnp.abs(wil[..., 2]), 1e-3)[..., None]
+                        phi_pp = phi_pp + jnp.where(
+                            sel[..., None],
+                            f_pp * sp_pw[idx] * scale[..., None], 0.0)
+    return count, phi, phi_pp
 
 
 def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
@@ -378,9 +405,15 @@ def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
             scene, rk_ph, max_depth=cfg.max_depth, use_bvh=use_bvh,
             em_kinds=em_kinds, mat_types=mat_types,
         )
-        M_new, phi = gather(
+        narrow_types = tuple(
+            t for t in PER_PHOTON_FAMILIES if t in mat_types
+        )
+        hp_p = bsdf_mod.gather_params(scene.mats, hp_mid) \
+            if narrow_types else None
+        M_new, phi, phi_pp = gather(
             hp_pos, hp_ns, R_stat, ph_pos, ph_wi, ph_pw, ph_ok,
             lo, inv_cell, G,
+            hp_p=hp_p, hp_wol=hp_wol, narrow_types=narrow_types,
         )
         M_new = jnp.where(hp_valid, M_new, 0.0)
         # full-BSDF gather: one smooth-lobe evaluation per direction bin
@@ -395,6 +428,13 @@ def render_sppm(scene: SceneData, cfg, n_iterations: int = 8,
             fk, _ = bsdf_mod.eval_pdf_raw(
                 scene.mats, hp_mid, hp_wol, ck, types=mat_types)
             phi_f = phi_f + fk / centers[k, 2] * phi[:, k, :]
+        if narrow_types:
+            # glossy families take the per-photon route (sppm.cpp:414)
+            mtype_hp = scene.mats.packed[hp_mid, 0].astype(jnp.int32)
+            use_pp = jnp.zeros_like(hp_valid)
+            for t in narrow_types:
+                use_pp = use_pp | (mtype_hp == t)
+            phi_f = jnp.where(use_pp[..., None], phi_pp, phi_f)
         phi = jnp.where(
             hp_valid[..., None], hp_T * phi_f / photons_per_iter, 0.0,
         )

@@ -116,6 +116,7 @@ def _flip_two_sided(p: _P, wi):
         | (p.type == BSDFType.ROUGH_DIELECTRIC)
         | (p.type == BSDFType.NULL)
         | (p.type == BSDFType.HK)
+        | (p.type == BSDFType.THINDIELECTRIC)
     )
     s = jnp.where(transmissive | (cos_theta(wi) >= 0.0), 1.0, -1.0)
     return jnp.stack(
@@ -464,7 +465,8 @@ _SMOOTH_EVALS = {
 # families allowed as nested lobes of BLEND/MASK (plain, non-nested)
 _NESTABLE = tuple(
     t for t in _SMOOTH_EVALS
-) + (BSDFType.CONDUCTOR, BSDFType.DIELECTRIC, BSDFType.NULL)
+) + (BSDFType.CONDUCTOR, BSDFType.DIELECTRIC, BSDFType.NULL,
+     BSDFType.THINDIELECTRIC)
 
 
 ALL_TYPES = tuple(range(BSDFType.N_TYPES))
@@ -604,7 +606,11 @@ def _albedo_of(p: _P):
         (p.type == BSDFType.CONDUCTOR)
         | (p.type == BSDFType.ROUGH_CONDUCTOR)
     )
-    glassy = (p.type == BSDFType.DIELECTRIC) | (p.type == BSDFType.ROUGH_DIELECTRIC)
+    glassy = (
+        (p.type == BSDFType.DIELECTRIC)
+        | (p.type == BSDFType.ROUGH_DIELECTRIC)
+        | (p.type == BSDFType.THINDIELECTRIC)
+    )
     a = p.refl
     a = jnp.where(spec_like[..., None], p.spec, a)
     a = jnp.where(glassy[..., None], jnp.ones_like(a), a)
@@ -755,6 +761,24 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
         )
         pdf_d = jnp.where(refl_choice, F_d, 1.0 - F_d)
         put(p.type == T.DIELECTRIC, wo_d, w_d, pdf_d, jnp.ones_like(sel))
+
+    if has(T.THINDIELECTRIC):
+        # zero-thickness slab (reference src/bsdfs/thindielectric.cpp):
+        # interior TIR bounces sum to R' = R + T R T (1 + R^2 + ...) =
+        # R + T^2 R / (1 - R^2) = 2R/(1+R); transmitted rays exit
+        # PARALLEL (no refraction offset).  Both faces see the exterior
+        # medium, so the slab is symmetric in the face sign -> |cos|.
+        F_t = fresnel_dielectric(jnp.abs(cos_theta(wi)), eta_s)
+        Rp = jnp.where(F_t < 1.0, 2.0 * F_t / (1.0 + F_t), jnp.ones_like(F_t))
+        refl_t = ul < Rp
+        wo_t = jnp.where(refl_t[..., None], reflect_local(wi), -wi)
+        put(
+            p.type == T.THINDIELECTRIC,
+            wo_t,
+            p.spec,
+            jnp.where(refl_t, Rp, 1.0 - Rp),
+            jnp.ones_like(sel),
+        )
 
     if has(T.NULL):
         put(

@@ -51,7 +51,7 @@ _BSDF_TYPES = {
     "roughdiffuse": BSDFType.ROUGH_DIFFUSE,
     "conductor": BSDFType.CONDUCTOR,
     "dielectric": BSDFType.DIELECTRIC,
-    "thindielectric": BSDFType.DIELECTRIC,  # approximated as dielectric
+    "thindielectric": BSDFType.THINDIELECTRIC,
     "roughconductor": BSDFType.ROUGH_CONDUCTOR,
     "roughdielectric": BSDFType.ROUGH_DIELECTRIC,
     "plastic": BSDFType.PLASTIC,

@@ -36,7 +36,10 @@ class BSDFType:
     #                      nested BSDF (Fresnel transmittances + absorption)
     HK = 16              # bsdfs/hk.cpp — Hanrahan-Krueger thin single-
     #                      scattering slab (glossy refl/trans + delta trans)
-    N_TYPES = 17
+    THINDIELECTRIC = 17  # bsdfs/thindielectric.cpp — zero-thickness glass
+    #                      slab: TIR-summed reflectance R' = 2R/(1+R),
+    #                      straight-through transmission (no refraction bend)
+    N_TYPES = 18
 
 
 class EmitterKind:

@@ -151,6 +151,7 @@ def test_white_furnace_energy_conservation():
         make_mats(BSDFType.ROUGH_CONDUCTOR, spec=(1, 1, 1), eta=[0, 0, 0], k=[1, 1, 1], alpha=0.4),
         make_mats(BSDFType.DIELECTRIC),
         make_mats(BSDFType.ROUGH_DIELECTRIC, alpha=0.3),
+        make_mats(BSDFType.THINDIELECTRIC),
     ]:
         n = 50_000
         wi = jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.945], jnp.float32), (n, 3))
@@ -447,3 +448,115 @@ def test_hk_delta_transmission_behavior():
     thick = B.sample(_hk_mats(sigma_s=(3.0,) * 3, sigma_a=(1.0,) * 3,
                               thickness=2.0), mid, wi, u)
     assert float(np.asarray(thick.is_delta).mean()) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# thindielectric (reference src/bsdfs/thindielectric.cpp): zero-thickness
+# slab, TIR-summed reflectance, straight-through transmission
+# ---------------------------------------------------------------------------
+
+def _slab_walk_reflectance(cos_i, eta, n=400_000, seed=11):
+    """Brute-force random walk through a two-interface slab (the physical
+    system thindielectric.cpp sums analytically): enter/reflect at the top
+    face, interior bounces against both faces at the refracted angle
+    (reciprocity: the interior Fresnel R equals the exterior one), exit
+    up or down.  Returns the Monte-Carlo total reflectance."""
+    from mitsuba_path_guiding_tpu.core.math import fresnel_dielectric
+
+    R = float(np.asarray(fresnel_dielectric(jnp.asarray(cos_i), eta)))
+    rng = np.random.default_rng(seed)
+    up = np.zeros(n, bool)
+    alive = np.ones(n, bool)
+    inside = np.zeros(n, bool)
+    heading_down = np.ones(n, bool)
+    for _ in range(64):
+        r = rng.random(n)
+        refl = r < R
+        # outside, first hit: reflect -> exit up; enter -> inside
+        newly_in = alive & ~inside & ~refl
+        up |= alive & ~inside & refl
+        alive &= ~(alive & ~inside & refl)
+        inside |= newly_in
+        # inside: each face hit either exits (prob 1-R) or bounces
+        bounce = alive & inside & refl
+        exit_ = alive & inside & ~refl & ~newly_in
+        up |= exit_ & ~heading_down
+        alive &= ~exit_
+        heading_down = np.where(bounce, ~heading_down, heading_down)
+    return up.mean()
+
+
+def test_thindielectric_sample_stats():
+    """Sampled lobes are exact mirror / pass-through deltas; the reflect
+    fraction matches BOTH the closed form R' = 2R/(1+R) and a brute-force
+    two-interface slab walk."""
+    from mitsuba_path_guiding_tpu.core.math import fresnel_dielectric
+
+    eta = 1.5
+    mats = make_mats(BSDFType.THINDIELECTRIC, eta=eta)
+    n = 200_000
+    for theta in (0.2, 0.9, 1.35):
+        wi = jnp.broadcast_to(
+            jnp.asarray([np.sin(theta), 0.0, np.cos(theta)], jnp.float32),
+            (n, 3),
+        )
+        mid = jnp.zeros((n,), jnp.int32)
+        u = jax.random.uniform(jax.random.PRNGKey(int(theta * 100)), (n, 3))
+        bs = B.sample(mats, mid, wi, u)
+        assert np.asarray(bs.is_delta).all()
+        np.testing.assert_allclose(np.asarray(bs.weight), 1.0, atol=1e-6)
+        wo = np.asarray(bs.wo)
+        mirror = np.broadcast_to(
+            [-np.sin(theta), 0.0, np.cos(theta)], (n, 3))
+        through = np.broadcast_to(
+            [-np.sin(theta), 0.0, -np.cos(theta)], (n, 3))
+        is_m = np.abs(wo - mirror).max(-1) < 1e-5
+        is_t = np.abs(wo - through).max(-1) < 1e-5
+        assert (is_m | is_t).all()
+        R = float(np.asarray(fresnel_dielectric(jnp.cos(theta), eta)))
+        Rp = 2.0 * R / (1.0 + R)
+        frac = is_m.mean()
+        assert abs(frac - Rp) < 0.005, (theta, frac, Rp)
+        walk = _slab_walk_reflectance(np.cos(theta), eta)
+        assert abs(frac - walk) < 0.01, (theta, frac, walk)
+
+
+def test_thindielectric_two_sided_symmetric():
+    """Both faces see the exterior medium: reflectance from below equals
+    reflectance from above at the same |cos| (thindielectric.cpp uses
+    abs(cosTheta) throughout)."""
+    mats = make_mats(BSDFType.THINDIELECTRIC, eta=1.5)
+    n = 100_000
+    mid = jnp.zeros((n,), jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
+    fracs = []
+    for sz in (1.0, -1.0):
+        wi = jnp.broadcast_to(
+            jnp.asarray([0.6, 0.0, 0.8 * sz], jnp.float32), (n, 3))
+        bs = B.sample(mats, mid, wi, u)
+        wo = np.asarray(bs.wo)
+        fracs.append((wo[:, 2] * sz > 0).mean())  # same-side = reflected
+    assert abs(fracs[0] - fracs[1]) < 0.005, fracs
+
+
+def test_thindielectric_furnace_invisible():
+    """A thin pane in a constant-radiance furnace is invisible: R'+T'=1
+    and the transmitted ray is unbent, so the rendered image equals the
+    environment radiance exactly."""
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at
+
+    desc = {
+        "sensor": {"type": "perspective", "fov": 40,
+                   "to_world": look_at([0, 0, -3], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "bsdf": {"type": "thindielectric"},
+                    "to_world": [[2, 0, 0, 0], [0, 2, 0, 0],
+                                 [0, 0, 1, 0], [0, 0, 0, 1]]}],
+        "emitters": [{"type": "constant", "radiance": [0.7, 0.5, 0.3]}],
+    }
+    img = np.asarray(render(build_scene(desc),
+                            RenderConfig(width=16, height=16, spp=64,
+                                         max_depth=4)))
+    np.testing.assert_allclose(
+        img, np.broadcast_to([0.7, 0.5, 0.3], img.shape), rtol=0.02)

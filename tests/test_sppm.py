@@ -52,7 +52,7 @@ def test_grid_gather_matches_brute():
     extent = float(jnp.max(scene.aabb_max - scene.aabb_min))
     cell = 2 * r
     G = min(int(np.ceil(extent / cell)) + 1, 512)
-    cnt, phi = gather(hps, ns, jnp.full((3,), r), pos, wi, pw, ok, lo, 1.0 / cell, G)
+    cnt, phi, _pp = gather(hps, ns, jnp.full((3,), r), pos, wi, pw, ok, lo, 1.0 / cell, G)
     posn, pwn, okn = np.asarray(pos), np.asarray(pw), np.asarray(ok)
     for i, hp in enumerate(np.asarray(hps)):
         d2 = ((posn - hp) ** 2).sum(-1)
@@ -97,6 +97,26 @@ def test_sppm_glossy_gather_matches_forward():
                                n_iterations=6, photons_per_iter=1 << 15))
     assert np.isfinite(s).all()
     # direction-binned lobe evaluation: means agree, image correlates
+    np.testing.assert_allclose(s.mean(), f.mean(), rtol=0.2)
+    corr = np.corrcoef(f.mean(-1).ravel(), s.mean(-1).ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_sppm_narrow_glossy_per_photon_eval():
+    """Low-roughness gather (alpha far below the direction-bin
+    resolution) must converge to the path-traced reference via the
+    per-photon eval route (VERDICT r3 item 8; reference sppm.cpp:414
+    evaluates bsdf->eval per photon — no continue-as-specular dodge)."""
+    desc = cornell_box()
+    desc["shapes"][0]["bsdf"] = {
+        "type": "roughconductor", "alpha": 0.06, "material": "none",
+        "specular_reflectance": [0.9, 0.9, 0.9],
+    }
+    scene = build_scene(desc)
+    f = np.asarray(render(scene, RenderConfig(width=24, height=24, spp=192, max_depth=4, seed=0)))
+    s = np.asarray(render_sppm(scene, RenderConfig(width=24, height=24, spp=1, max_depth=4, seed=0),
+                               n_iterations=8, photons_per_iter=1 << 15))
+    assert np.isfinite(s).all()
     np.testing.assert_allclose(s.mean(), f.mean(), rtol=0.2)
     corr = np.corrcoef(f.mean(-1).ravel(), s.mean(-1).ravel())[0, 1]
     assert corr > 0.9, corr
