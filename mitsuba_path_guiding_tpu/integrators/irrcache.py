@@ -16,12 +16,19 @@ TPU-native re-design (no octree, no lazy insertion):
 - R_i is the harmonic mean of the gather-ray hit distances (irrcache.h's
   record validity radius);
 - interpolation is a chunked dense sweep over the record table (records
-  are few thousand — brute-force beats pointer-chasing octrees on TPU).
-Rotational/translational gradients: PARITY.md (round 2+).
+  are few thousand — brute-force beats pointer-chasing octrees on TPU);
+- irradiance GRADIENTS (irrcache.h:24-190 rotGradient/transGradient;
+  Ward & Heckbert 1992 "Irradiance Gradients"): the gather is stratified
+  into M cos-theta bands x N azimuth sectors, per-cell radiance and hit
+  distances feed the cell-wall marching formulas, and interpolation
+  extrapolates each record E_i + (x-x_i).gradT_i + (n_i x n).gradR_i —
+  decomposed into (N, R) @ (R, 3) matmuls so the MXU sweep survives.
 """
 from __future__ import annotations
 
 from typing import NamedTuple
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +52,66 @@ class IrradianceCache(NamedTuple):
     E: jnp.ndarray       # (R, 3) indirect irradiance
     R_harm: jnp.ndarray  # (R,) harmonic mean gather distance
     valid: jnp.ndarray   # (R,)
+    grad_t: jnp.ndarray  # (R, 3, 3) translational gradient [axis, channel]
+    grad_r: jnp.ndarray  # (R, 3, 3) rotational gradient [axis, channel]
+
+
+def _wh_gradients(L, r, M, N):
+    """Ward-Heckbert cell-wall gradients from the stratified gather.
+
+    ``L`` (R, M, N, 3) per-cell radiance, ``r`` (R, M, N) hit distances
+    (INFD on miss -> that wall contributes nothing).  Bands are the
+    cosine-stratified sin^2(theta_j-) = j/M boundaries; sectors are
+    phi_k- = 2 pi k / N.  Returns (grad_t, grad_r), each (R, 3, 3)
+    [local-frame axis, channel] — caller rotates axes to world.
+    Formulas: Ward & Heckbert 1992 eq. 7/8 (the reference's irrcache.h
+    rotGradient/transGradient roles)."""
+    j = jnp.arange(M, dtype=jnp.float32)
+    k = jnp.arange(N, dtype=jnp.float32)
+    # cell centers
+    s2c = (j + 0.5) / M
+    ct_c = jnp.sqrt(1.0 - s2c)
+    tan_c = jnp.sqrt(s2c) / jnp.maximum(ct_c, 1e-4)
+    phi_c = 2.0 * jnp.pi * (k + 0.5) / N
+    # boundaries
+    st_lo = jnp.sqrt(j / M)                  # sin(theta_{j-})
+    ct_lo = jnp.sqrt(1.0 - j / M)
+    st_hi = jnp.sqrt((j + 1.0) / M)
+    phi_lo = 2.0 * jnp.pi * k / N
+
+    inv_r = jnp.where(r >= INFD, 0.0, 1.0 / jnp.maximum(r, 1e-4))
+
+    # rotational: (pi/(MN)) sum tan(theta_j) L_jk phihat_k
+    phat = jnp.stack([-jnp.sin(phi_c), jnp.cos(phi_c),
+                      jnp.zeros_like(phi_c)], axis=-1)      # (N, 3)
+    wrot = (jnp.pi / (M * N)) * tan_c[None, :, None, None] \
+        * L                                                  # (R,M,N,3)
+    grad_r = jnp.einsum("rmnc,na->rac", wrot, phat)
+
+    # translational, theta-walls (j = 1..M-1 vs j-1), direction uhat_k
+    uhat = jnp.stack([jnp.cos(phi_c), jnp.sin(phi_c),
+                      jnp.zeros_like(phi_c)], axis=-1)      # (N, 3)
+    dL_t = L[:, 1:] - L[:, :-1]                              # (R,M-1,N,3)
+    # divide by MIN of the two cell distances (Ward-Heckbert eq. 8's
+    # min(r_jk, r_{j-1,k})), i.e. the max of the inverses
+    minv_t = jnp.maximum(inv_r[:, 1:], inv_r[:, :-1])
+    coef_t = (2.0 * jnp.pi / N) * (st_lo * ct_lo * ct_lo)[1:]
+    wall_t = coef_t[None, :, None, None] * minv_t[..., None] * dL_t
+    grad_t = jnp.einsum("rmnc,na->rac", wall_t, uhat)
+
+    # translational, phi-walls (k vs k-1, wrapping), direction phihat at
+    # the boundary azimuth; per band the wall integral is
+    # integral cos(theta) d(theta) = sin(theta_{j+}) - sin(theta_{j-})
+    phat_lo = jnp.stack([-jnp.sin(phi_lo), jnp.cos(phi_lo),
+                         jnp.zeros_like(phi_lo)], axis=-1)  # (N, 3)
+    L_prev = jnp.roll(L, 1, axis=2)
+    inv_prev = jnp.roll(inv_r, 1, axis=2)
+    dL_p = L - L_prev
+    minv_p = jnp.maximum(inv_r, inv_prev)
+    coef_p = st_hi - st_lo                                  # (M,)
+    wall_p = coef_p[None, :, None, None] * minv_p[..., None] * dL_p
+    grad_t = grad_t + jnp.einsum("rmnc,na->rac", wall_p, phat_lo)
+    return grad_t, grad_r
 
 
 def build_irradiance_cache(
@@ -74,14 +141,32 @@ def build_irradiance_cache(
         sensor_kind=int(scene.sensor.kind),
     )
 
-    # full hemispherical irradiance: K cosine rays per record in one wave
-    K = rays_per_record
+    # full hemispherical irradiance: M x N STRATIFIED cosine cells per
+    # record in one wave (Ward-Heckbert bands sin^2(theta_j-) = j/M,
+    # sectors phi_k- = 2 pi k/N — jittered cell samples double as the
+    # gradient stencil)
+    # the cell grid is capped at 4x16 so each cell averages >= S samples
+    # — single-sample cells make the wall differences pure path noise
+    cells_target = min(rays_per_record, 64)
+    Mb = max(int(round(np.sqrt(cells_target / 4.0))), 1)
+    Nb = max(cells_target // Mb, 1)
+    S = max(rays_per_record // (Mb * Nb), 1)
+    K = Mb * Nb * S
     rpos = jnp.repeat(hp_pos, K, axis=0)
     rns = jnp.repeat(hp_ns, K, axis=0)
     lane = jnp.arange(n_rec * K, dtype=jnp.int32)
     rk_g = rng.ray_keys(key, lane + (1 << 22), jnp.zeros_like(lane))
     u_g = event_uniform(rk_g, 3 << 20, 2)
-    d_g = Frame.from_normal(rns).to_world(square_to_cosine_hemisphere(u_g))
+    cell_id = (lane % K) // S
+    jj = (cell_id // Nb).astype(jnp.float32)
+    kk = (cell_id % Nb).astype(jnp.float32)
+    s2 = (jj + u_g[..., 0]) / Mb          # sin^2 theta (cosine-stratified)
+    st = jnp.sqrt(s2)
+    ct = jnp.sqrt(1.0 - s2)
+    phi = 2.0 * jnp.pi * (kk + u_g[..., 1]) / Nb
+    d_loc = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    rframe = Frame.from_normal(rns)
+    d_g = rframe.to_world(d_loc)
     o_g = _offset_ray(rpos, rns, d_g)
     # camera segment + gather segment already used 2 of the path budget
     L, aux, _ = trace(
@@ -97,6 +182,26 @@ def build_irradiance_cache(
     inv_sum = jnp.sum(jnp.where(hit_ok, 1.0 / jnp.maximum(t_hit, 1e-6), 0.0), axis=1)
     n_hit = jnp.maximum(jnp.sum(hit_ok, axis=1), 1)
     R_harm = jnp.where(inv_sum > 0, n_hit / jnp.maximum(inv_sum, 1e-9), 1e6)
+
+    # Ward-Heckbert gradients from the stratified cells, axes -> world.
+    # The gradient stencil excludes emission seen at the FIRST gather hit
+    # (aux.first_le; gather rays have T=1, w_hit=1 there): that component
+    # is the direct irradiance, which the cache subtracts from E — its
+    # steep 1/d^2 variation must not leak into the indirect gradients.
+    L_ind = L - aux.first_le
+    L_cell = L_ind.reshape(n_rec, Mb, Nb, S, 3).mean(axis=3)
+    # per-cell harmonic-mean hit distance over finite hits (INFD = open)
+    t_c = t_hit.reshape(n_rec, Mb, Nb, S)
+    fin = (t_c > 0.0) & (t_c < INFD)  # depth_t stays 0.0 on full miss
+    inv_c = jnp.sum(jnp.where(fin, 1.0 / jnp.maximum(t_c, 1e-6), 0.0), axis=3)
+    cnt_c = jnp.sum(fin, axis=3)
+    r_cell = jnp.where(inv_c > 0, cnt_c / jnp.maximum(inv_c, 1e-9), INFD)
+    gt_loc, gr_loc = _wh_gradients(L_cell, r_cell, Mb, Nb)
+    hframe = Frame.from_normal(hp_ns)
+    grad_t = jnp.stack(
+        [hframe.to_world(gt_loc[:, :, c]) for c in range(3)], axis=-1)
+    grad_r = jnp.stack(
+        [hframe.to_world(gr_loc[:, :, c]) for c in range(3)], axis=-1)
 
     # exact direct irradiance (M NEE samples) -> E_ind = E_full - E_dir
     M = 32
@@ -118,15 +223,23 @@ def build_irradiance_cache(
 
     E_ind = jnp.maximum(E_full - E_dir, 0.0)
     return IrradianceCache(
-        pos=hp_pos, normal=hp_ns, E=E_ind, R_harm=R_harm, valid=hp_valid
+        pos=hp_pos, normal=hp_ns, E=E_ind, R_harm=R_harm, valid=hp_valid,
+        grad_t=grad_t, grad_r=grad_r,
     )
 
 
-@jax.jit
-def _interp_chunk(cache: IrradianceCache, p, ns, max_error: float = 0.25):
+@partial(jax.jit, static_argnames=("use_gradients",))
+def _interp_chunk(cache: IrradianceCache, p, ns, max_error: float = 0.25,
+                  use_gradients: bool = True):
     """Ward-weighted interpolation (irrcache.h weight + error cutoff) as
     MXU matmuls: distances via |p|^2 + |x_i|^2 - 2 p.x_i and the weighted
-    sum as one (N, R) @ (R, 3) product — no (N, R, 3) intermediate."""
+    sum as one (N, R) @ (R, 3) product — no (N, R, 3) intermediate.
+
+    With gradients, each record extrapolates
+    E_i + (p - x_i) . gradT_i + (n_i x n) . gradR_i; the per-(pixel,
+    record) extrapolation decomposes into 7 additional (N, R) @ (R, 3)
+    matmuls (p and n factor out of the weighted sum), keeping the sweep
+    on the MXU."""
     d2 = (
         jnp.sum(p * p, axis=-1)[:, None]
         + jnp.sum(cache.pos * cache.pos, axis=-1)[None, :]
@@ -138,7 +251,27 @@ def _interp_chunk(cache: IrradianceCache, p, ns, max_error: float = 0.25):
                + jnp.sqrt(jnp.maximum(1.0 - ndot, 0.0)) + 1e-6)
     w = jnp.where(cache.valid[None, :] & (w > 1.0 / max_error), w, 0.0)
     wsum = w.sum(axis=1)
-    E = (w @ cache.E) / jnp.maximum(wsum, 1e-9)[..., None]
+    if use_gradients:
+        # translational: sum_i w_i (p - x_i).Gt_i
+        #   = sum_d p_d (w @ Gt[:, d]) - w @ (sum_d x_d Gt[:, d])
+        A = jnp.einsum("rd,rdc->rc", cache.pos, cache.grad_t)
+        acc = w @ (cache.E - A)
+        for dd in range(3):
+            acc = acc + p[:, dd:dd + 1] * (w @ cache.grad_t[:, dd, :])
+        # rotational: (n_i x n).Gr_i = sum_b n_b D_i[b] with
+        # D_i[b] = (cross-structure of n_i against the axis index of Gr)
+        ni, Gr = cache.normal, cache.grad_r
+        D = (
+            ni[:, 2:3] * Gr[:, 1, :] - ni[:, 1:2] * Gr[:, 2, :],
+            ni[:, 0:1] * Gr[:, 2, :] - ni[:, 2:3] * Gr[:, 0, :],
+            ni[:, 1:2] * Gr[:, 0, :] - ni[:, 0:1] * Gr[:, 1, :],
+        )
+        for b in range(3):
+            acc = acc + ns[:, b:b + 1] * (w @ D[b])
+        E = acc / jnp.maximum(wsum, 1e-9)[..., None]
+        E = jnp.maximum(E, 0.0)  # extrapolation may undershoot
+    else:
+        E = (w @ cache.E) / jnp.maximum(wsum, 1e-9)[..., None]
     # no usable record: fall back to the nearest valid one (the reference
     # would insert a new record; a static wavefront reuses the closest)
     d_v = jnp.where(cache.valid[None, :], d, jnp.inf)
@@ -148,13 +281,14 @@ def _interp_chunk(cache: IrradianceCache, p, ns, max_error: float = 0.25):
 
 
 def interpolate_irradiance(cache: IrradianceCache, p, ns, max_error: float = 0.25,
-                           chunk: int = 16384):
+                           chunk: int = 16384, use_gradients: bool = True):
     """Pixel-chunked wrapper keeping the (N, R) working set bounded."""
     n = p.shape[0]
     if n <= chunk:
-        return _interp_chunk(cache, p, ns, max_error)
+        return _interp_chunk(cache, p, ns, max_error, use_gradients)
     outs = [
-        _interp_chunk(cache, p[i : i + chunk], ns[i : i + chunk], max_error)
+        _interp_chunk(cache, p[i : i + chunk], ns[i : i + chunk], max_error,
+                      use_gradients)
         for i in range(0, n, chunk)
     ]
     return jnp.concatenate(outs, axis=0)
@@ -163,6 +297,7 @@ def interpolate_irradiance(cache: IrradianceCache, p, ns, max_error: float = 0.2
 def render_irrcache(
     scene: SceneData, cfg, n_records: int = 1024, rays_per_record: int = 64,
     max_error: float = 0.25, cache: IrradianceCache | None = None,
+    use_gradients: bool = True,
 ):
     """Meta-integrator: exact emission + NEE direct + interpolated indirect
     irradiance on the diffuse lobe.  Returns (H, W, 3)."""
@@ -207,7 +342,8 @@ def render_irrcache(
             * (cos_x / jnp.maximum(ds.pdf, 1e-12))[..., None],
             0.0,
         )
-        E = interpolate_irradiance(cache, hp_pos, hp_ns, max_error)
+        E = interpolate_irradiance(cache, hp_pos, hp_ns, max_error,
+                                   use_gradients=use_gradients)
         L_ind = jnp.where(hp_valid[..., None], hp_alb / jnp.pi * E, 0.0)
         acc = acc + L_em + hp_T * (L_dir + L_ind)
     return (acc / jnp.float32(spp)).reshape(h, w, 3)

@@ -70,6 +70,9 @@ class PathAux(NamedTuple):
     normal: jnp.ndarray  # (N, 3)
     depth_t: jnp.ndarray # (N,)
     n_bounces: jnp.ndarray  # (N,) realized path length (avgPathLength stat)
+    first_le: jnp.ndarray  # (N, 3) emission seen at the first hit (lets
+    #                        callers split L into direct-at-first-hit vs
+    #                        rest — the irrcache gradient stencil needs it)
 
 
 class PathRecord(NamedTuple):
@@ -223,6 +226,7 @@ def trace(
         normal=jnp.zeros((n, 3)),
         depth_t=jnp.zeros((n,)),
         n_bounces=jnp.zeros((n,), jnp.int32),
+        first_le=jnp.zeros((n, 3)),
     )
 
     # uniform layout per bounce: 0:3 NEE, 3:6 BSDF (2 dir + lobe),
@@ -387,6 +391,7 @@ def trace(
             normal=jnp.where(first[..., None], ns, aux.normal),
             depth_t=jnp.where(first, hit.t, aux.depth_t),
             n_bounces=aux.n_bounces + act.astype(jnp.int32),
+            first_le=jnp.where(first[..., None], Le, aux.first_le),
         )
 
         # --- next-event estimation (path.cpp:176-207)

@@ -154,6 +154,7 @@ def trace_vol(
         normal=jnp.zeros((n, 3)),
         depth_t=jnp.zeros((n,)),
         n_bounces=jnp.zeros((n,), jnp.int32),
+        first_le=jnp.zeros((n, 3)),
     )
 
     # guided distance sampling state (guiding/distance.py; BASELINE
@@ -393,6 +394,8 @@ def trace_vol(
             normal=jnp.where(first[..., None], jnp.where(is_medium[..., None], -d, ns), aux.normal),
             depth_t=jnp.where(first, jnp.where(is_medium, t_med, hit.t), aux.depth_t),
             n_bounces=aux.n_bounces + (is_surface | is_medium).astype(jnp.int32),
+            first_le=jnp.where(
+                (first & is_surface)[..., None], Le, aux.first_le),
         )
 
         # --- NEE from the event point (attenuated: volpath.cpp:125-314)
