@@ -38,6 +38,16 @@ class PairTable(NamedTuple):
     #                        — outward-conservative in bf16)
     nonempty: jnp.ndarray  # (B_ne,) int32 ids of blocks holding triangles
     #                        (dummy sort entries are emitted only for these)
+    tri_cols: jnp.ndarray  # (B, 16, 5*LEAF) f32 Pluecker column table for
+    #                        the MXU intersection matmul: per triangle 5
+    #                        columns (3 edge-Pluecker side tests, plane
+    #                        numerator, plane denominator) against the
+    #                        16-row ray feature vector [d, o x d, o, 1, 0..]
+    prim_loc: jnp.ndarray  # (Ttot,) int32: original tri id -> blk*LEAF+slot
+    #                        (winner re-evaluation gathers exact MT inputs)
+    tri_flat: jnp.ndarray  # (B*LEAF, 10) f32 row-major copy of tri_rows —
+    #                        ONE row gather per winner (9 strided column
+    #                        gathers from tri_rows measured 35 ms/call)
 
     @property
     def leaf(self) -> int:  # triangles per block
@@ -77,6 +87,21 @@ def _two_level_cut(child0, child1, leaf: int, sb_blk: int):
     sbs = []
     for r in cut(0, leaf * sb_blk):
         blks = [(int(start[n]), int(count[n])) for n in cut(r, leaf)]
+        # greedy merge of DFS-adjacent under-filled blocks: a binary SAH
+        # split of a 130-tri subtree yields two ~65-tri leaves — without
+        # merging, average fill is ~45%, doubling the block count and
+        # with it the dummy sort entries, kernel tiles, and list slots.
+        # Adjacent cut leaves are contiguous prim ranges, so a merge is
+        # just (start_a, count_a + count_b); the merged AABB is the
+        # union of two spatially-adjacent subtrees (same looseness class
+        # as the superblock level).
+        merged = []
+        for s_, c_ in blks:
+            if merged and merged[-1][1] + c_ <= leaf:
+                merged[-1] = (merged[-1][0], merged[-1][1] + c_)
+            else:
+                merged.append((s_, c_))
+        blks = merged
         for i in range(0, len(blks), sb_blk):
             sbs.append(blks[i : i + sb_blk])
     return sbs
@@ -153,6 +178,34 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> Pair
         _bf16_floor(tbl.T),
     )
 
+    # Pluecker column table for the MXU intersection matmul (see
+    # ops/intersect_pairs.py): ray features F = [d(0:3), o x d(3:6),
+    # o(6:9), 1(9), 0(10:16)]; per-tri columns (group-major g*LEAF + j):
+    #   g=0..2 edge (a->b): rows0:3 = a x b, rows3:6 = b - a
+    #           -> s = d.(a x b) + (b - a).(o x d)  (Pluecker side)
+    #   g=3 num: rows6:9 = -n, row9 = n.v0  -> num = n.(v0 - o)
+    #   g=4 den: rows0:3 = n                -> den = n.d ;  t = num/den
+    vflat = valid.reshape(-1)
+    w0, w1, w2 = v0, v1, v2
+    nvec = np.cross(e1[safe], e2[safe])
+    cols = np.zeros((bpad * leaf, 5, 16), np.float32)
+    for g, (a, b) in enumerate(((w0, w1), (w1, w2), (w2, w0))):
+        cols[:, g, 0:3] = np.cross(a, b)
+        cols[:, g, 3:6] = b - a
+    cols[:, 3, 6:9] = -nvec
+    cols[:, 3, 9] = (nvec * w0).sum(-1)
+    cols[:, 4, 0:3] = nvec
+    cols[~vflat] = 0.0  # padding tris: s=0, den=0 -> always miss
+    tri_cols = np.ascontiguousarray(
+        cols.reshape(bpad, leaf, 5, 16).transpose(0, 3, 2, 1)
+        .reshape(bpad, 16, 5 * leaf)
+    )
+
+    n_tri = int(p0.shape[0])
+    prim_loc = np.zeros((max(n_tri, 1),), np.int32)
+    where_real = flat >= 0
+    prim_loc[flat[where_real]] = np.nonzero(where_real)[0].astype(np.int32)
+
     return PairTable(
         tri_rows=jnp.asarray(tri_rows),
         blk_lo=jnp.asarray(blk_lo),
@@ -161,6 +214,9 @@ def build_pair_table(p0, e1, e2, bvh, leaf: int = 128, sb_blk: int = 32) -> Pair
         sb_hi=jnp.asarray(sb_hi),
         tblT=jnp.asarray(tblT).astype(jnp.bfloat16),
         nonempty=jnp.asarray(np.where(~empty)[0].astype(np.int32)),
+        tri_cols=jnp.asarray(tri_cols),
+        prim_loc=jnp.asarray(prim_loc),
+        tri_flat=jnp.asarray(rows),
     )
 
 

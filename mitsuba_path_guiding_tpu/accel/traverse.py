@@ -308,7 +308,7 @@ def _fallback_cap(n: int, shift: int = 4) -> int:
 
 
 def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
-                         l_blk=None, fb_shift=4) -> Hit:
+                         l_blk=None, fb_shift=4, cap_factor=None) -> Hit:
     """Closest hit through the pair-expansion pipeline
     (ops/intersect_pairs.py) with the blocklist kernel re-tracing the
     rays whose nearest-L candidate list could not be proven complete.
@@ -332,7 +332,7 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
     on_tpu = jax.default_backend() == "tpu"
     t, prim, u, v, valid, proven = intersect_pairs_raw(
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
-        use_pallas=on_tpu,
+        use_pallas=on_tpu, cap_factor=cap_factor,
     )
     cap = _fallback_cap(n, fb_shift)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]
@@ -349,7 +349,7 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
 
 
 def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
-                        l_blk=None, fb_shift=4) -> jnp.ndarray:
+                        l_blk=None, fb_shift=4, cap_factor=None) -> jnp.ndarray:
     """Any-hit visibility through the pair pipeline + blocklist fallback."""
     from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
         occluded_blocklist_raw,
@@ -364,7 +364,7 @@ def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
     on_tpu = jax.default_backend() == "tpu"
     occ, proven = intersect_pairs_raw(
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
-        any_hit=True, use_pallas=on_tpu,
+        any_hit=True, use_pallas=on_tpu, cap_factor=cap_factor,
     )
     cap = _fallback_cap(n, fb_shift)
     idx = jnp.nonzero(~proven, size=cap, fill_value=0)[0]

@@ -54,6 +54,12 @@ INFD = jnp.float32(3.0e37)
 CAM_PAIR_CFG = (12, 12)
 SCAN_PAIR_CFG = (8, 8)
 PAIR_PEEL = False
+# pair-compaction budget (ops/intersect_pairs.py cap_factor): the kernel
+# grid + pair gathers process only cap*N + dummies sorted entries.
+# Bounce/shadow waves average ~2.1 valid slots/ray, so cap=5 keeps a
+# >2x margin while cutting the IMAX-tail tiles; rays whose lists reach
+# the cut block are re-traced by the fallback.  None = full length.
+PAIR_CAP = 5
 # fallback-cap shifts: cap = max(4096, n >> shift).  Camera waves are
 # ~5% unproven (needs n>>4); bounce/shadow waves are ~0.1% unproven so
 # their nonzero+gather+blocklist fallback glue can run at a fraction of
@@ -176,7 +182,7 @@ def trace(
                 ksb, l_blk, fb = pair_cfg if pair_cfg else (None, None, 4)
                 return intersect_pairs_full(
                     scene.pairs, scene.blocks, o, d, tmax, ksb=ksb,
-                    l_blk=l_blk, fb_shift=fb,
+                    l_blk=l_blk, fb_shift=fb, cap_factor=PAIR_CAP,
                 )
             return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
@@ -206,7 +212,7 @@ def trace(
                 return 1.0 - occluded_pairs_full(
                     scene.pairs, scene.blocks, o, d, tmax,
                     ksb=SCAN_PAIR_CFG[0], l_blk=SCAN_PAIR_CFG[1],
-                    fb_shift=SCAN_FB_SHIFT,
+                    fb_shift=SCAN_FB_SHIFT, cap_factor=PAIR_CAP,
                 ).astype(jnp.float32)
             from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
 

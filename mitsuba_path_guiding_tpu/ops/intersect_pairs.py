@@ -20,14 +20,20 @@ Pipeline (all XLA — sorts/gathers/dense math; no scalar control flow):
      the L+1 nearest blocks per ray extracted the same way.  The
      (L+1)-th key is the DROPPED bound used for the completeness proof.
   3. pair sort      — the (L, N) slots flatten to (ray, block) pairs
-     sorted by block id (XLA sort, ~11 ms at 4.6M).  128 sentinel
-     "dummy" pairs per block guarantee every 128-pair tile contains
-     real pairs of at most ONE block (the MoE capacity-padding trick),
-     so each tile gathers exactly one (10, 128) triangle record.
-  4. dense MT       — (tiles, 128 tris, 128 pairs) fused
-     Moeller-Trumbore + winner reduction; ~100% of lanes are useful
-     tests (vs ~4% for the union-tile kernel on bounce waves).
-  5. un-sort        — second key sort returns per-pair winners to
+     sorted by block id (XLA sort).  128 sentinel "dummy" pairs per
+     block guarantee every 128-pair tile contains real pairs of at most
+     ONE block (the MoE capacity-padding trick), so each tile gathers
+     exactly one triangle record.
+  4. MXU Pluecker   — each tile is ONE (16, 128 pairs) x (16, 640) f32
+     matmul on the systolic array (3 edge-Pluecker side tests + plane
+     num/den per triangle — MT's bilinear cross products factored into
+     inner products) + a short VPU epilogue (sign test, t = num/den,
+     min-reduce).  Round-4 redesign: the round-3 dense VPU MT ran ~50
+     of the ~60 flops per test on the VPU; the matmul moves them to
+     the MXU.  Winners are re-evaluated with exact classic MT outside
+     the kernel (bit-compatible t/u/v with the brute oracle; rejected
+     winners fall back via proven=False).
+  5. un-sort        — second key sort returns per-pair (t, prim) to
      (L, N) ray-major slots; min over L gives the per-ray hit.
 
 Correctness: lists are exact per-ray slab results capped at the L
@@ -362,16 +368,202 @@ def _mt_tiles(tri_rows, tile_block, po, pd, ptmax, any_hit):
     return t_best, prim, u_best, v_best
 
 
-@partial(jax.jit, static_argnames=("ksb", "l_blk", "any_hit", "use_pallas"))
+# sign-test slack for the closest-hit Pluecker inside test, relative to
+# the side-value magnitudes: boundary hits the matmul rounds the other
+# way from exact MT are admitted as candidates and settled by the exact
+# winner re-evaluation (false admissions that survive to the winner are
+# rejected there and routed to the fallback via proven=False)
+PLK_EPS = 1e-6
+
+
+def _plk_epilogue(out5, tid, tmax, any_hit, tri_axis):
+    """Shared Pluecker epilogue: out5 holds the 5 matmul result groups
+    [s0, s1, s2, num, den] (each (..., LEAF) with triangles on
+    ``tri_axis``), tid broadcastable to a group.  Returns (t_best,
+    prim_f) reduced over the triangle axis."""
+    s0, s1, s2, num, den = out5
+    smin = jnp.minimum(jnp.minimum(s0, s1), s2)
+    smax = jnp.maximum(jnp.maximum(s0, s1), s2)
+    if any_hit:
+        inside = (smin >= 0.0) | (smax <= 0.0)
+    else:
+        eps = PLK_EPS * (jnp.abs(s0) + jnp.abs(s1) + jnp.abs(s2))
+        inside = (smin >= -eps) | (smax <= eps)
+    ok_den = den != 0.0
+    t = num / jnp.where(ok_den, den, 1.0)
+    hit = inside & ok_den & (t > EPS_T) & (t < tmax) & (tid >= 0.0)
+    t = jnp.where(hit, t, INF)
+    t_best = jnp.min(t, axis=tri_axis)
+    if any_hit:
+        return t_best, jnp.where(t_best < INF, 1.0, -1.0)
+    big = jnp.float32(2.0e9)
+    is_best = t == jnp.expand_dims(t_best, tri_axis)
+    prim = jnp.min(jnp.where(is_best, tid + jnp.zeros_like(t), big),
+                   axis=tri_axis)
+    return t_best, jnp.where(t_best < INF, prim, -1.0)
+
+
+def _plk_pallas_kernel(tile_block_ref, tri_cols_ref, tri_rows_ref, pd_ref,
+                       out_ref, any_hit=False):
+    """One 128-pair tile on the MXU: intersection as ONE f32 matmul.
+
+    The per-(pair, triangle) Moeller-Trumbore cross products are
+    bilinear in (ray, triangle), so they factor into an inner product:
+    ray features F = [d, o x d, o, 1, 0pad] (16) against 5 precomputed
+    triangle columns (3 edge-Pluecker side tests s_i = d.(a x b) +
+    (b-a).(o x d), plane numerator n.(v0-o), denominator n.d).  The
+    (16, 128 pairs) x (16, 640 cols) dot runs on the systolic array
+    (~50 of the ~60 flops per test), leaving the VPU a short epilogue:
+    sign-consistency inside test, t = num/den, range checks, min-reduce.
+    Exact u/v/t for the winning primitive are re-evaluated OUTSIDE the
+    kernel by classic MT (intersect_pairs_raw), so the kernel returns
+    only (t, prim).
+
+    tri_cols (1, 16, 5*LEAF) is auto-DMA'd from the prefetched per-tile
+    block id; inert tiles (block < 0) skip everything."""
+    i = pl.program_id(0)
+    inert = tile_block_ref[i] < 0
+    tile = out_ref.shape[1]
+
+    @pl.when(inert)
+    def _():
+        out_ref[0, :] = jnp.full((tile,), INF)
+        out_ref[1, :] = jnp.full((tile,), -1.0)
+
+    @pl.when(jnp.logical_not(inert))
+    def _():
+        acc = jax.lax.dot_general(
+            pd_ref[...], tri_cols_ref[0],
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                             # (tile, 5*LEAF)
+        groups = tuple(
+            acc[:, g * LEAF:(g + 1) * LEAF] for g in range(5)
+        )
+        tid = tri_rows_ref[0, 9, :][None, :]
+        tmax = pd_ref[10, :][:, None]
+        t_best, prim = _plk_epilogue(groups, tid, tmax, any_hit,
+                                     tri_axis=1)
+        out_ref[0, :] = t_best
+        out_ref[1, :] = prim
+
+
+def _plk_tiles_pallas(tri_cols, tri_rows, tile_block, pd16_tiles, any_hit,
+                      interpret=False):
+    """Pallas stage 4.  tri_cols (B, 16, 5*LEAF); tri_rows (B, 10, LEAF);
+    tile_block (T,) int32; pd16_tiles (16, T*tile).  Returns (2, T*tile)
+    rows t/prim."""
+    n_tiles = tile_block.shape[0]
+    tile = pd16_tiles.shape[1] // n_tiles
+    bmax = tri_rows.shape[0] - 1
+    out = pl.pallas_call(
+        partial(_plk_pallas_kernel, any_hit=any_hit),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 16, 5 * LEAF),
+                    # clamp both ends: an out-of-range id would DMA out of
+                    # bounds and abort the TPU
+                    lambda i, blk: (jnp.clip(blk[i], 0, bmax), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 10, LEAF),
+                    lambda i, blk: (jnp.clip(blk[i], 0, bmax), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (16, tile), lambda i, blk: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, tile), lambda i, blk: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n_tiles * tile), jnp.float32),
+        interpret=interpret,
+    )(tile_block, tri_cols, tri_rows, pd16_tiles)
+    return out
+
+
+def _plk_tiles(tri_cols, tri_rows, tile_block, pd16_tiles, any_hit):
+    """XLA stage 4 (CPU tests / interpret): same Pluecker math as the
+    Pallas kernel, batched over tiles.  pd16_tiles (T, tile, 16)."""
+    C = tri_cols[jnp.maximum(tile_block, 0)]          # (T, 16, 5L)
+    acc = jnp.einsum(
+        "tpf,tfc->tpc", pd16_tiles, C,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                 # (T, tile, 5L)
+    groups = tuple(
+        acc[:, :, g * LEAF:(g + 1) * LEAF] for g in range(5)
+    )
+    tid = tri_rows[jnp.maximum(tile_block, 0), 9, :][:, None, :]
+    tmax = pd16_tiles[:, :, 10][:, :, None]
+    t_best, prim = _plk_epilogue(groups, tid, tmax, any_hit, tri_axis=2)
+    # inert tiles (dummy/tail)
+    inert = (tile_block < 0)[:, None]
+    t_best = jnp.where(inert, INF, t_best)
+    prim = jnp.where(inert, -1.0, prim)
+    return t_best, prim
+
+
+def _mt_exact_winner(pt: PairTable, prim, o, d, tmax):
+    """Exact Moeller-Trumbore re-evaluation of each ray's winning
+    primitive: returns (t, u, v, ok).  Keeps the reported t/u/v bitwise
+    in classic-MT arithmetic (matching the brute oracle and the fallback
+    kernel); a Pluecker winner the exact test rejects is routed to the
+    fallback by the caller via proven=False."""
+    loc = pt.prim_loc[jnp.clip(prim, 0, pt.prim_loc.shape[0] - 1)]
+    rows = pt.tri_flat[loc]                           # ONE (N, 10) gather
+    p0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    pv = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0,
+                        1.0 / jnp.where(det == 0.0, 1.0, det))
+    tv = o - p0
+    u = jnp.sum(tv * pv, axis=-1) * inv_det
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(d * qv, axis=-1) * inv_det
+    t = jnp.sum(e2 * qv, axis=-1) * inv_det
+    ok = (
+        (inv_det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > EPS_T) & (t < tmax)
+    )
+    return t, u, v, ok
+
+
+@partial(jax.jit, static_argnames=("ksb", "l_blk", "any_hit", "use_pallas",
+                                   "cap_factor", "engine"))
 def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
                         l_blk: int = PAIR_L, any_hit: bool = False,
-                        use_pallas: bool = True):
+                        use_pallas: bool = True,
+                        cap_factor: int | None = None,
+                        engine: str = "mt"):
     """Closest-hit (or any-hit) through the pair pipeline.
 
     Returns (t, prim int32, u, v, valid, proven) — ``proven`` False
     marks rays whose nearest-L list was incomplete AND whose best hit
     does not bound the dropped candidates; the caller must re-trace
-    those through a fallback path."""
+    those through a fallback path.
+
+    ``cap_factor``: static pair-compaction budget.  The sorted pair
+    array is N*l_blk + dummies long, but only ~2.1 slots/ray are VALID
+    on bounce waves (NEXT.md) — the IMAX tail is pure overhead for the
+    kernel grid and the pair-data gathers.  With cap_factor=c the
+    post-sort pipeline processes only the first c*N + dummies entries;
+    any ray whose candidate list reaches a block at or past the cut is
+    conservatively marked unproven (its pairs may have been dropped)
+    and re-traced by the caller's fallback.  None = no compaction.
+
+    ``engine``: "mt" (dense VPU Moeller-Trumbore tiles, round-3 kernel —
+    measured faster at TILE=128 where per-tile fixed costs dominate) or
+    "plk" (MXU Pluecker matmul tiles + exact winner re-evaluation)."""
     n = o.shape[0]
     leaf = pt.tri_rows.shape[2]
     assert leaf == LEAF, "pair MT expects LEAF == 128"
@@ -400,6 +592,25 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     )
     skeys, spays = jax.lax.sort((keys, pays), num_keys=1)
 
+    # ---- static compaction: run the kernel + gathers on a prefix only.
+    # The cut tail of the SORTED order still participates in the
+    # un-sort (its original payloads, with inert miss results), so the
+    # payload domain stays complete; rays whose lists reach a block at
+    # or past the cut are conservatively unproven (fallback re-traces).
+    p_full = skeys.shape[0]
+    spays_full = spays
+    cut_rays = None
+    if cap_factor is not None:
+        p_cap = cap_factor * n + n_dummy
+        p_cap = min(((p_cap + TILE - 1) // TILE) * TILE, p_full)
+        if p_cap < p_full:
+            cut_key = skeys[p_cap]
+            cut_blk = jnp.where(cut_key == IMAX, jnp.int32(IMAX),
+                                cut_key // 2)
+            cut_rays = jnp.any((ids >= 0) & (ids >= cut_blk), axis=0)
+            skeys = skeys[:p_cap]
+            spays = spays[:p_cap]
+
     # ---- pair data gathers (ray-major source, component rows)
     is_real = (skeys != IMAX) & (skeys % 2 == 0)      # real pair, not dummy
     ray_idx = jnp.where(spays != IMAX, spays % n, 0)
@@ -413,29 +624,61 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     tile_block = jnp.max(
         jnp.where((tk != IMAX) & (tk % 2 == 0), tk // 2, -1), axis=1
     )
-    if use_pallas:
-        pdt = jnp.concatenate([pdata[0:6], ptm[None, :]], axis=0)  # (7, P)
-        outp = _mt_tiles_pallas(pt.tri_rows, tile_block, pdt, any_hit)
-        res = (outp[0],) if any_hit else (
-            outp[0], outp[1], outp[2], outp[3]
-        )
-    else:
-        po = pdata[0:3].reshape(3, n_tiles, TILE)
-        pdir = pdata[3:6].reshape(3, n_tiles, TILE)
-        ptm_t = ptm.reshape(n_tiles, TILE)
-        t_b, prim_b, u_b, v_b = _mt_tiles(
-            pt.tri_rows, tile_block, po, pdir, ptm_t, any_hit
-        )
-        if any_hit:
-            res = (t_b.reshape(-1),)
+    if engine == "plk":
+        # 16-row Pluecker ray features [d, o x d, o, 1, tmax, 0pad] built
+        # AFTER the gather (the cross is 6 VPU ops/pair — cheaper than
+        # gathering 9 extra precomputed rows per pair)
+        po_, pd_ = pdata[0:3], pdata[3:6]
+        m0 = po_[1] * pd_[2] - po_[2] * pd_[1]
+        m1 = po_[2] * pd_[0] - po_[0] * pd_[2]
+        m2 = po_[0] * pd_[1] - po_[1] * pd_[0]
+        p_cnt = ptm.shape[0]
+        ones = jnp.ones((1, p_cnt), jnp.float32)
+        zeros = jnp.zeros((5, p_cnt), jnp.float32)
+        pd16 = jnp.concatenate(
+            [pd_, jnp.stack([m0, m1, m2]), po_, ones, ptm[None, :], zeros],
+            axis=0,
+        )                                             # (16, P)
+        if use_pallas:
+            outp = _plk_tiles_pallas(pt.tri_cols, pt.tri_rows, tile_block,
+                                     pd16, any_hit)
+            res = (outp[0], outp[1])
         else:
-            res = (t_b.reshape(-1), prim_b.reshape(-1), u_b.reshape(-1),
-                   v_b.reshape(-1))
+            pd16_t = pd16.T.reshape(n_tiles, TILE, 16)
+            t_b, prim_b = _plk_tiles(pt.tri_cols, pt.tri_rows, tile_block,
+                                     pd16_t, any_hit)
+            res = (t_b.reshape(-1), prim_b.reshape(-1))
+    else:
+        if use_pallas:
+            pdt = jnp.concatenate([pdata[0:6], ptm[None, :]], axis=0)
+            outp = _mt_tiles_pallas(pt.tri_rows, tile_block, pdt, any_hit)
+            res = (outp[0],) if any_hit else tuple(outp[c] for c in range(4))
+        else:
+            po = pdata[0:3].reshape(3, n_tiles, TILE)
+            pdir = pdata[3:6].reshape(3, n_tiles, TILE)
+            ptm_t = ptm.reshape(n_tiles, TILE)
+            t_b, prim_b, u_b, v_b = _mt_tiles(
+                pt.tri_rows, tile_block, po, pdir, ptm_t, any_hit
+            )
+            if any_hit:
+                res = (t_b.reshape(-1),)
+            else:
+                res = (t_b.reshape(-1), prim_b.reshape(-1),
+                       u_b.reshape(-1), v_b.reshape(-1))
+    if res[0].shape[0] < p_full:
+        # pad results back to the full sorted order: cut pairs read as
+        # misses against their ORIGINAL payloads (spays_full)
+        pad = p_full - res[0].shape[0]
+        fills = (INF, -1.0, 0.0, 0.0)
+        res = tuple(
+            jnp.concatenate([r, jnp.full((pad,), fills[i])])
+            for i, r in enumerate(res)
+        )
 
     # ---- stage 5: un-sort to (L, N) ray-major slots, reduce per ray
-    back = jax.lax.sort((spays,) + res, num_keys=1)
     ln = l_blk * n
     if any_hit:
+        back = jax.lax.sort((spays_full, res[0]), num_keys=1)
         t_ray = back[1][:ln].reshape(l_blk, n)
         occ = jnp.any(t_ray < INF, axis=0)
         # proof for any-hit: an occluder found anywhere suffices; a miss
@@ -447,34 +690,63 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
             jnp.int32(-65536),
         )
         proven = occ | (dropped >= tmax_key)
+        if cut_rays is not None:
+            # a found occluder stands regardless of cut pairs; a miss
+            # does not
+            proven = occ | (proven & ~cut_rays)
         return occ, proven
-    t_ray = back[1][:ln].reshape(l_blk, n)
-    prim_ray = back[2][:ln].reshape(l_blk, n)
-    u_ray = back[3][:ln].reshape(l_blk, n)
-    v_ray = back[4][:ln].reshape(l_blk, n)
-    t_best = jnp.min(t_ray, axis=0)
-    is_b = t_ray == t_best[None, :]
-    big = jnp.float32(2.0e9)
-    prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
-    first = is_b & (prim_ray == prim_best[None, :])
-    u_best = jnp.sum(jnp.where(first, u_ray, 0.0), axis=0)
-    v_best = jnp.sum(jnp.where(first, v_ray, 0.0), axis=0)
-    hit_valid = t_best < INF
+
+    if engine == "plk":
+        back = jax.lax.sort((spays_full, res[0], res[1]), num_keys=1)
+        t_ray = back[1][:ln].reshape(l_blk, n)
+        prim_ray = back[2][:ln].reshape(l_blk, n)
+        t_best = jnp.min(t_ray, axis=0)
+        is_b = t_ray == t_best[None, :]
+        big = jnp.float32(2.0e9)
+        prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
+        hit_valid = t_best < INF
+        prim_i = jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32)
+
+        # exact winner re-evaluation: classic MT on the winning primitive
+        # restores bit-compatible t/u/v (brute oracle + fallback kernel
+        # arithmetic).  A Pluecker winner the exact test rejects (loose
+        # inside-eps admission) is NOT proven — the fallback re-traces it.
+        t_ex, u_ex, v_ex, ok_ex = _mt_exact_winner(pt, prim_i, o, d, tmax)
+        confirmed = hit_valid & ok_ex
+        t_fin = jnp.where(confirmed, t_ex, INF)
+        u_best = jnp.where(confirmed, u_ex, 0.0)
+        v_best = jnp.where(confirmed, v_ex, 0.0)
+        not_ok = hit_valid & ~ok_ex
+        prim_fin = jnp.where(confirmed, prim_i, -1).astype(jnp.int32)
+    else:
+        back = jax.lax.sort(
+            (spays_full, res[0], res[1], res[2], res[3]), num_keys=1
+        )
+        t_ray = back[1][:ln].reshape(l_blk, n)
+        prim_ray = back[2][:ln].reshape(l_blk, n)
+        u_ray = back[3][:ln].reshape(l_blk, n)
+        v_ray = back[4][:ln].reshape(l_blk, n)
+        t_best = jnp.min(t_ray, axis=0)
+        is_b = t_ray == t_best[None, :]
+        big = jnp.float32(2.0e9)
+        prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
+        first = is_b & (prim_ray == prim_best[None, :])
+        u_best = jnp.sum(jnp.where(first, u_ray, 0.0), axis=0)
+        v_best = jnp.sum(jnp.where(first, v_ray, 0.0), axis=0)
+        hit_valid = t_best < INF
+        t_fin = jnp.where(hit_valid, t_best, INF)
+        confirmed = hit_valid
+        not_ok = jnp.zeros_like(hit_valid)
+        prim_fin = jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32)
 
     # completeness proof: best hit at or before the first dropped
     # candidate's (rounded-down) entry distance — or nothing dropped
     t_key = jnp.bitwise_and(
-        jax.lax.bitcast_convert_type(
-            jnp.where(hit_valid, t_best, INF), jnp.int32
-        ),
+        jax.lax.bitcast_convert_type(t_fin, jnp.int32),
         jnp.int32(-65536),
     )
-    proven = t_key <= jnp.bitwise_and(dropped, jnp.int32(-65536))
-    return (
-        jnp.where(hit_valid, t_best, INF),
-        jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32),
-        u_best,
-        v_best,
-        hit_valid,
-        proven,
-    )
+    proven = (t_key <= jnp.bitwise_and(dropped, jnp.int32(-65536))) \
+        & ~not_ok
+    if cut_rays is not None:
+        proven = proven & ~cut_rays
+    return (t_fin, prim_fin, u_best, v_best, confirmed, proven)

@@ -41,11 +41,15 @@ def soup():
     return _Geo(p0, e1, e2), pt, jnp.asarray(rays_o), jnp.asarray(rays_d)
 
 
-def test_pairs_closest_hit_matches_brute(soup):
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["mt", "plk"])
+def test_pairs_closest_hit_matches_brute(soup, engine):
     geo, pt, o, d = soup
     tmax = jnp.full((o.shape[0],), INF)
     t, prim, u, v, valid, proven = intersect_pairs_raw(
-        pt, o, d, tmax, use_pallas=False
+        pt, o, d, tmax, use_pallas=False, engine=engine
     )
     hb = intersect_brute(geo, o, d)
     pv = np.asarray(proven)
@@ -58,11 +62,12 @@ def test_pairs_closest_hit_matches_brute(soup):
                        rtol=1e-3, atol=1e-4)
 
 
-def test_pairs_any_hit_matches_brute(soup):
+@pytest.mark.parametrize("engine", ["mt", "plk"])
+def test_pairs_any_hit_matches_brute(soup, engine):
     geo, pt, o, d = soup
     tmax = jnp.full((o.shape[0],), 5.0)
     occ, proven = intersect_pairs_raw(
-        pt, o, d, tmax, any_hit=True, use_pallas=False
+        pt, o, d, tmax, any_hit=True, use_pallas=False, engine=engine
     )
     occ_b = occluded_brute(geo, o, d, tmax)
     pv = np.asarray(proven)
@@ -91,3 +96,25 @@ def test_pairs_full_fallback_is_exact(soup):
     occ = occluded_pairs_full(pt, bl, o, d, tmax)
     occ_b = occluded_brute(geo, o, d, tmax)
     assert (np.asarray(occ) == np.asarray(occ_b)).all()
+
+
+def test_pairs_compaction_exact(soup):
+    """cap_factor compaction must stay exact: rays whose pairs were cut
+    are marked unproven (conservative), everything proven must still
+    agree with brute force (VERDICT r4 sort-floor/compaction redesign)."""
+    geo, pt, o, d = soup
+    tmax = jnp.full((o.shape[0],), INF)
+    for cap in (2, 4):
+        t, prim, u, v, valid, proven = intersect_pairs_raw(
+            pt, o, d, tmax, use_pallas=False, cap_factor=cap
+        )
+        hb = intersect_brute(geo, o, d)
+        pv = np.asarray(proven)
+        assert (np.asarray(prim)[pv] == np.asarray(hb.prim)[pv]).all(), cap
+        occ, pv2 = intersect_pairs_raw(
+            pt, o, d, jnp.full((o.shape[0],), 5.0), any_hit=True,
+            use_pallas=False, cap_factor=cap
+        )
+        occ_b = occluded_brute(geo, o, d, jnp.full((o.shape[0],), 5.0))
+        pv2 = np.asarray(pv2)
+        assert (np.asarray(occ)[pv2] == np.asarray(occ_b)[pv2]).all(), cap
