@@ -38,7 +38,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=64)
 def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: bool = False,
-                  levels: int | None = None, parallax: bool = False):
+                  levels: int | None = None, parallax: bool = False,
+                  min_rough: float = 0.0):
     """Returns the ``guide`` callback consumed by integrators.path.trace.
     ``mat_types`` (static) restricts BSDF compilation to families present.
 
@@ -76,6 +77,17 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
             params = product_params(params, frame.n)
         valid = params[-1]
         usable = valid & ~_is_delta_material(mats, mid)
+        if min_rough > 0.0:
+            # glossy gating (the practical-path-guiding BSDF-fraction
+            # heuristic): a coarse cache mixture cannot out-sample a
+            # narrow BSDF lobe — guide only lobes at least this rough;
+            # diffuse-class families always qualify
+            t = mats.type[mid]
+            diffuseish = (
+                (t == BSDFType.DIFFUSE) | (t == BSDFType.ROUGH_DIFFUSE)
+                | (t == BSDFType.DIFFTRANS)
+            )
+            usable = usable & (diffuseish | (mats.alpha[mid] >= min_rough))
         a = jnp.where(usable, alpha, 0.0)
 
         # BSDF branch (also supplies the delta path)

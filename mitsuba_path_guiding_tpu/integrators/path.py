@@ -56,9 +56,10 @@ SCAN_PAIR_CFG = (8, 8)
 PAIR_PEEL = False
 # pair-compaction budget (ops/intersect_pairs.py cap_factor): the kernel
 # grid + pair gathers process only cap*N + dummies sorted entries.
-# Bounce/shadow waves average ~2.1 valid slots/ray, so cap=5 keeps a
-# >2x margin while cutting the IMAX-tail tiles; rays whose lists reach
-# the cut block are re-traced by the fallback.  None = full length.
+# Bounce/shadow waves average ~2.1 valid slots/ray, but the scan body
+# also serves the CAMERA wave (~4.6 valid/ray): cap=5 keeps the cut in
+# the IMAX tail for all of them (measured: cap=3 regressed 4.9 -> 4.3
+# Mrays/s by cutting real camera pairs into the fallback).  None = full.
 PAIR_CAP = 5
 # fallback-cap shifts: cap = max(4096, n >> shift).  Camera waves are
 # ~5% unproven (needs n>>4); bounce/shadow waves are ~0.1% unproven so
@@ -66,6 +67,12 @@ PAIR_CAP = 5
 # the capacity.
 CAM_FB_SHIFT = 4
 SCAN_FB_SHIFT = 4
+# any-hit shadow routing A/B: on the synthetic interior (247k tris) the
+# union-tile blocklist any-hit beat the pair pipeline 49 vs 77 ms at
+# 262k rays, but on door_room the full bench REGRESSED 4.87 -> 4.56
+# Mrays/s (the blocklist's per-tile union lists blow up on door_room's
+# deeper bounce distributions).  Pairs stay the default.
+SHADOW_BLOCKLIST = False
 
 
 class PathAux(NamedTuple):
@@ -204,7 +211,7 @@ def trace(
                 geo, bvh, mats.packed, o, d, tmax, use_bvh=use_bvh
             )
         if twolevel:
-            if scene.pairs is not None:
+            if scene.pairs is not None and not SHADOW_BLOCKLIST:
                 from mitsuba_path_guiding_tpu.accel.traverse import (
                     occluded_pairs_full,
                 )

@@ -218,8 +218,6 @@ def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
     def _():
         out_ref[0, :] = jnp.full((tile,), INF)
         out_ref[1, :] = jnp.full((tile,), -1.0)
-        out_ref[2, :] = jnp.zeros((tile,))
-        out_ref[3, :] = jnp.zeros((tile,))
 
     @pl.when(jnp.logical_not(inert))
     def _():
@@ -266,22 +264,18 @@ def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
         out_ref[0, :] = t_best
         if any_hit:
             out_ref[1, :] = jnp.where(t_best < INF, 1.0, -1.0)
-            out_ref[2, :] = jnp.zeros((tile,))
-            out_ref[3, :] = jnp.zeros((tile,))
         else:
             big = jnp.float32(2.0e9)
             is_best = t == t_best[None, :]
             prim = jnp.min(jnp.where(is_best, tid, big), axis=0)
-            first = is_best & (tid == prim[None, :])
             out_ref[1, :] = jnp.where(t_best < INF, prim, -1.0)
-            out_ref[2, :] = jnp.sum(jnp.where(first, u, 0.0), axis=0)
-            out_ref[3, :] = jnp.sum(jnp.where(first, v, 0.0), axis=0)
 
 
 def _mt_tiles_pallas(tri_rows, tile_block, pdata_tiles, any_hit,
                      interpret=False):
     """Pallas stage 4.  tri_rows (B, 10, 128); tile_block (T,) int32;
-    pdata_tiles (7, T*128).  Returns (4, T*128) rows t/prim/u/v."""
+    pdata_tiles (7, T*128).  Returns (2, T*128) rows t/prim (u/v of the
+    winner are re-evaluated exactly outside the kernel)."""
     n_tiles = tile_block.shape[0]
     tile = pdata_tiles.shape[1] // n_tiles
     bmax = tri_rows.shape[0] - 1
@@ -304,10 +298,10 @@ def _mt_tiles_pallas(tri_rows, tile_block, pdata_tiles, any_hit,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (4, tile), lambda i, blk: (0, i), memory_space=pltpu.VMEM
+                (2, tile), lambda i, blk: (0, i), memory_space=pltpu.VMEM
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((4, n_tiles * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, n_tiles * tile), jnp.float32),
         interpret=interpret,
     )(tile_block, tri_rows, pdata_tiles)
     return out
@@ -358,14 +352,11 @@ def _mt_tiles(tri_rows, tile_block, po, pd, ptmax, any_hit):
     t = jnp.where(hit, t, INF)
     t_best = jnp.min(t, axis=1)                       # (T, 128)
     if any_hit:
-        return t_best, None, None, None
+        return t_best, None
     big = jnp.float32(2.0e9)
     is_best = t == t_best[:, None, :]
     prim = jnp.min(jnp.where(is_best, tid, big), axis=1)
-    first = is_best & (tid == prim[:, None, :])
-    u_best = jnp.sum(jnp.where(first, u, 0.0), axis=1)
-    v_best = jnp.sum(jnp.where(first, v, 0.0), axis=1)
-    return t_best, prim, u_best, v_best
+    return t_best, prim
 
 
 # sign-test slack for the closest-hit Pluecker inside test, relative to
@@ -652,19 +643,16 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
         if use_pallas:
             pdt = jnp.concatenate([pdata[0:6], ptm[None, :]], axis=0)
             outp = _mt_tiles_pallas(pt.tri_rows, tile_block, pdt, any_hit)
-            res = (outp[0],) if any_hit else tuple(outp[c] for c in range(4))
+            res = (outp[0], outp[1])
         else:
             po = pdata[0:3].reshape(3, n_tiles, TILE)
             pdir = pdata[3:6].reshape(3, n_tiles, TILE)
             ptm_t = ptm.reshape(n_tiles, TILE)
-            t_b, prim_b, u_b, v_b = _mt_tiles(
+            t_b, prim_b = _mt_tiles(
                 pt.tri_rows, tile_block, po, pdir, ptm_t, any_hit
             )
-            if any_hit:
-                res = (t_b.reshape(-1),)
-            else:
-                res = (t_b.reshape(-1), prim_b.reshape(-1),
-                       u_b.reshape(-1), v_b.reshape(-1))
+            res = (t_b.reshape(-1),) if any_hit else (
+                t_b.reshape(-1), prim_b.reshape(-1))
     if res[0].shape[0] < p_full:
         # pad results back to the full sorted order: cut pairs read as
         # misses against their ORIGINAL payloads (spays_full)
@@ -696,48 +684,29 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
             proven = occ | (proven & ~cut_rays)
         return occ, proven
 
-    if engine == "plk":
-        back = jax.lax.sort((spays_full, res[0], res[1]), num_keys=1)
-        t_ray = back[1][:ln].reshape(l_blk, n)
-        prim_ray = back[2][:ln].reshape(l_blk, n)
-        t_best = jnp.min(t_ray, axis=0)
-        is_b = t_ray == t_best[None, :]
-        big = jnp.float32(2.0e9)
-        prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
-        hit_valid = t_best < INF
-        prim_i = jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32)
+    back = jax.lax.sort((spays_full, res[0], res[1]), num_keys=1)
+    t_ray = back[1][:ln].reshape(l_blk, n)
+    prim_ray = back[2][:ln].reshape(l_blk, n)
+    t_best = jnp.min(t_ray, axis=0)
+    is_b = t_ray == t_best[None, :]
+    big = jnp.float32(2.0e9)
+    prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
+    hit_valid = t_best < INF
+    prim_i = jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32)
 
-        # exact winner re-evaluation: classic MT on the winning primitive
-        # restores bit-compatible t/u/v (brute oracle + fallback kernel
-        # arithmetic).  A Pluecker winner the exact test rejects (loose
-        # inside-eps admission) is NOT proven — the fallback re-traces it.
-        t_ex, u_ex, v_ex, ok_ex = _mt_exact_winner(pt, prim_i, o, d, tmax)
-        confirmed = hit_valid & ok_ex
-        t_fin = jnp.where(confirmed, t_ex, INF)
-        u_best = jnp.where(confirmed, u_ex, 0.0)
-        v_best = jnp.where(confirmed, v_ex, 0.0)
-        not_ok = hit_valid & ~ok_ex
-        prim_fin = jnp.where(confirmed, prim_i, -1).astype(jnp.int32)
-    else:
-        back = jax.lax.sort(
-            (spays_full, res[0], res[1], res[2], res[3]), num_keys=1
-        )
-        t_ray = back[1][:ln].reshape(l_blk, n)
-        prim_ray = back[2][:ln].reshape(l_blk, n)
-        u_ray = back[3][:ln].reshape(l_blk, n)
-        v_ray = back[4][:ln].reshape(l_blk, n)
-        t_best = jnp.min(t_ray, axis=0)
-        is_b = t_ray == t_best[None, :]
-        big = jnp.float32(2.0e9)
-        prim_best = jnp.min(jnp.where(is_b, prim_ray, big), axis=0)
-        first = is_b & (prim_ray == prim_best[None, :])
-        u_best = jnp.sum(jnp.where(first, u_ray, 0.0), axis=0)
-        v_best = jnp.sum(jnp.where(first, v_ray, 0.0), axis=0)
-        hit_valid = t_best < INF
-        t_fin = jnp.where(hit_valid, t_best, INF)
-        confirmed = hit_valid
-        not_ok = jnp.zeros_like(hit_valid)
-        prim_fin = jnp.where(hit_valid, prim_best, -1.0).astype(jnp.int32)
+    # exact winner re-evaluation: classic MT on the winning primitive
+    # gives bit-compatible t/u/v with the brute oracle + fallback kernel
+    # from ONE (N, 10) row gather (in-kernel u/v selection cost two extra
+    # back-sort operands, ~4 ms/call at 2.4M pairs).  A winner the exact
+    # test rejects (plk loose inside-eps admission; never for mt) is NOT
+    # proven — the fallback re-traces it.
+    t_ex, u_ex, v_ex, ok_ex = _mt_exact_winner(pt, prim_i, o, d, tmax)
+    confirmed = hit_valid & ok_ex
+    t_fin = jnp.where(confirmed, t_ex, INF)
+    u_best = jnp.where(confirmed, u_ex, 0.0)
+    v_best = jnp.where(confirmed, v_ex, 0.0)
+    not_ok = hit_valid & ~ok_ex
+    prim_fin = jnp.where(confirmed, prim_i, -1).astype(jnp.int32)
 
     # completeness proof: best hit at or before the first dropped
     # candidate's (rounded-down) entry distance — or nothing dropped
