@@ -242,6 +242,17 @@ def main():
         finally:
             signal.alarm(0)
 
+    # --- BASELINE config 5: 1080p guided interior through the tiled film
+    if os.environ.get("BENCH_1080", "1") != "0" and n_dev == 1:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(420)
+        try:
+            result.update(_bench_1080p(log))
+        except Exception as e:  # noqa: BLE001
+            log(f"1080p bench skipped: {type(e).__name__}: {e}")
+        finally:
+            signal.alarm(0)
+
     # --- third benchmark: volumetric transport (BASELINE config 4 family)
     if os.environ.get("BENCH_VOL", "1") != "0" and n_dev == 1:
         signal.signal(signal.SIGALRM, _alarm)
@@ -538,6 +549,103 @@ def _bench_guided_big_scene(log, target_tris=250_000, n_waves=8):
         "guided_relmse_4spp": round(r_g, 5),
         "unguided_relmse_4spp": round(r_un, 5),
         "guiding_equal_spp_gain": round(r_un / max(r_g, 1e-9), 2),
+    }
+
+
+def _bench_1080p(log, target_tris=250_000):
+    """BASELINE config 5: production-interior 1920x1080 GUIDED render,
+    single chip, streamed through the tiled film in row bands (the
+    reference's tiledhdrfilm role, src/films/tiledhdrfilm.cpp).  Reports
+    spp/s (full-frame samples per second) and Mrays/s; the multi-host
+    shape of this config is exercised by __graft_entry__.dryrun_multichip
+    (ray-sharded bands + one film psum per progression)."""
+    import numpy as np
+    from functools import partial
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+    from mitsuba_path_guiding_tpu.film.tiled import TiledEXRWriter
+    from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
+    from mitsuba_path_guiding_tpu.guiding.grid import active_levels, make_grid
+    from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import door_room
+
+    scene = build_scene(door_room(target_tris))
+    W, H = 1920, 1080
+    BAND_H = 216                      # 5 bands x 414,720 lanes
+    n_bands = H // BAND_H
+    band_pix = W * BAND_H
+    MAX_DEPTH = 5
+    em_kinds = kinds_present(scene.emitters)
+    mat_types = types_present(scene.mats)
+    key = rng.base_key(0)
+    grid0 = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8)
+    levels = active_levels(grid0)
+    guide = make_guide_fn(0.5, mat_types, levels=levels, min_rough=0.3)
+
+    @partial(jax.jit, static_argnames=("fit",), donate_argnums=(0,))
+    def band_wave(rgbw, grid, band, sidx_v, fit=False):
+        pix = band * band_pix + jnp.arange(band_pix, dtype=jnp.int32)
+        rkeys = rng.ray_keys(key, pix, jnp.full((band_pix,), sidx_v,
+                                                jnp.int32))
+        u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
+        o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+        L, aux, rec = trace(
+            scene, o, d, rkeys, max_depth=MAX_DEPTH,
+            guide=guide, guide_state=grid, record_paths=fit,
+            em_kinds=em_kinds, mat_types=mat_types,
+        )
+        rgbw = splat_box_aligned(rgbw, L, band_pix)
+        if fit:
+            grid = update_grid(
+                grid, *accumulate_stats(grid, rec, levels=levels))
+        return rgbw, grid, jnp.sum(aux.n_bounces)
+
+    def film():
+        return jnp.zeros((band_pix, 4), jnp.float32)
+
+    # train on one full-frame pass (bands stream through ONE program)
+    t0 = time.time()
+    grid = grid0
+    for b in range(n_bands):
+        _, grid, _ = band_wave(film(), grid, jnp.int32(b), jnp.int32(0),
+                               fit=True)
+    jax.block_until_ready(grid)
+    log(f"1080p train compile+1spp: {time.time() - t0:.1f}s")
+
+    # timed: full-frame spp with the cache frozen, streaming bands into
+    # the tiled EXR writer (out-of-core film path at its design scale)
+    t0 = time.time()
+    bands0 = [band_wave(film(), grid, jnp.int32(b), jnp.int32(1))
+              for b in range(n_bands)]
+    jax.block_until_ready(bands0[-1][0])
+    log(f"1080p frozen compile+1spp: {time.time() - t0:.1f}s")
+    writer = TiledEXRWriter("/tmp/bench_1080p.exr", W, H)
+    t0 = time.time()
+    segs = 0
+    for b in range(n_bands):
+        rgbw, _, n_seg = band_wave(film(), grid, jnp.int32(b), jnp.int32(2))
+        a = np.asarray(rgbw)
+        img = (a[:, :3] / np.maximum(a[:, 3:4], 1e-9)).reshape(BAND_H, W, 3)
+        writer.write_band(img)
+        segs += int(n_seg)
+    writer.close()
+    dt = time.time() - t0
+    spp_s = 1.0 / dt
+    mrays = segs * 2 / dt / 1e6
+    log(f"1080p guided: 1 spp in {dt:.2f}s -> {spp_s:.3f} spp/s, "
+        f"{mrays:.2f} Mrays/s (tiled EXR streamed)")
+    return {
+        "p1080_metric": "guided 1920x1080 interior, spp/s single chip, "
+                        "tiled-film banded streaming (BASELINE cfg 5)",
+        "p1080_spp_per_s": round(spp_s, 4),
+        "p1080_mrays": round(mrays, 2),
     }
 
 
