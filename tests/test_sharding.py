@@ -91,3 +91,61 @@ def test_sharded_pairs_accel_big_scene():
         assert np.isfinite(films[n_dev]).all()
         assert films[n_dev][:, 3].sum() > 0
     np.testing.assert_allclose(films[1], films[8], rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_checkpoint_resume_equality(scene, tmp_path):
+    """VERDICT r3 item 10: mid-render checkpoint/resume on the 8-device
+    mesh must reproduce the uninterrupted sharded GUIDED render: 2 spp,
+    save film+grid through utils/checkpoint, reload, continue 2 spp with
+    sample_offset — the combined film equals the straight 4 spp run
+    (counter-based RNG: identical samples; only splat reassociation)."""
+    from mitsuba_path_guiding_tpu.film.film import Film, develop, new_film
+    from mitsuba_path_guiding_tpu.utils.checkpoint import (
+        load_renderer_state,
+        save_renderer_state,
+    )
+
+    cfg4 = RenderConfig(width=16, height=16, spp=4, max_depth=3, seed=0)
+    cfg2 = RenderConfig(width=16, height=16, spp=2, max_depth=3, seed=0)
+    mesh = make_device_mesh()
+    guide = make_guide_fn(0.5)
+
+    img4, _, _ = render_sharded(scene, cfg4, mesh, guide=guide, fit_every=2)
+
+    class _Shim:
+        pass
+
+    # first half + checkpoint (film is stored as accumulated rgb_weight)
+    img_a, grid_a, _ = render_sharded(scene, cfg2, mesh, guide=guide,
+                                      fit_every=2)
+    r = _Shim()
+    n_pix = 16 * 16
+    rgbw_a = jnp.concatenate(
+        [jnp.asarray(img_a).reshape(n_pix, 3) * 2.0,
+         jnp.full((n_pix, 1), 2.0)], axis=1)
+    r.film = Film(rgb_weight=rgbw_a, width=16, height=16)
+    r.sample_counter = 2
+    r.progression = 1
+    r.grid = grid_a
+    path = str(tmp_path / "ckpt.npz")
+    save_renderer_state(r, path)
+
+    # resume in a fresh shim
+    r2 = _Shim()
+    r2.film = new_film(16, 16)
+    r2.sample_counter = 0
+    r2.progression = 0
+    r2.grid = grid_a  # non-None so the loader restores the grid fields
+    load_renderer_state(r2, path)
+    assert r2.sample_counter == 2 and r2.progression == 1
+
+    img_b, _, _ = render_sharded(scene, cfg2, mesh, guide=guide,
+                                 fit_every=2, grid=r2.grid,
+                                 sample_offset=2)
+    rgbw_b = jnp.concatenate(
+        [jnp.asarray(img_b).reshape(n_pix, 3) * 2.0,
+         jnp.full((n_pix, 1), 2.0)], axis=1)
+    combined = develop(Film(
+        rgb_weight=r2.film.rgb_weight + rgbw_b, width=16, height=16))
+    np.testing.assert_allclose(np.asarray(combined), np.asarray(img4),
+                               atol=2e-5, rtol=2e-5)
