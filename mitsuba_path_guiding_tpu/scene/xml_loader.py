@@ -262,6 +262,89 @@ def _parse_bsdf(el, defaults, bsdf_registry, strict=True):
     return b
 
 
+_CURRENT_VERSION = (0, 6, 0)
+
+
+def _upgrade_tree(root) -> None:
+    """Scene-version auto-migration (reference
+    data/schema/upgrade_0.{3,4,5}.0.xsl applied by scenehandler.cpp:824):
+    scenes declaring an older ``version`` are rewritten in place to the
+    current dialect — tag renames (camera->sensor, luminaire->emitter),
+    plugin renames (lambertian->diffuse, mirror->conductor,
+    roughmetal->roughconductor, roughglass->roughdielectric,
+    composite->mixturebsdf, bump->bumpmap, exrfilm->hdrfilm,
+    pngfilm->ldrfilm, errctrl->adaptive, exr/ldrtexture->bitmap) and
+    property renames, mirroring the XSLT templates."""
+    ver = root.get("version", "0.3.0")
+    try:
+        vt = tuple(int(x) for x in ver.split("."))
+    except ValueError:
+        vt = (0, 3, 0)
+    if vt >= _CURRENT_VERSION:
+        return
+
+    def walk(parent):
+        for el in list(parent):
+            walk(el)
+            tag, t = el.tag, el.get("type")
+            if tag == "camera":                     # 0.4: camera -> sensor
+                el.tag = "sensor"
+            elif tag == "luminaire":                # 0.4: luminaire -> emitter
+                el.tag = "emitter"
+                for c in el:
+                    if c.get("name") == "intensity" and t in (
+                            "area", "constant"):
+                        c.set("name", "radiance")
+                    elif c.get("name") == "intensity" and t == "directional":
+                        c.set("name", "irradiance")
+            if tag == "bsdf":
+                renames = {
+                    "lambertian": "diffuse", "mirror": "conductor",
+                    "roughmetal": "roughconductor",
+                    "roughglass": "roughdielectric",
+                    "composite": "mixturebsdf", "microfacet": "roughplastic",
+                    "bump": "bumpmap",
+                }
+                if t in renames:
+                    el.set("type", renames[t])
+                for c in el:
+                    cn = c.get("name")
+                    if cn == "alphaB":
+                        c.set("name", "alpha")
+                    elif cn == "alphaX":
+                        c.set("name", "alphaU")
+                    elif cn == "alphaY":
+                        c.set("name", "alphaV")
+                    elif cn == "ior" and t == "roughmetal":
+                        c.set("name", "eta")
+            if tag == "texture":
+                if t in ("exrtexture", "ldrtexture"):
+                    el.set("type", "bitmap")
+                for c in el:
+                    if c.get("name") == "brightColor":
+                        c.set("name", "color1")
+                    elif c.get("name") == "darkColor":
+                        c.set("name", "color0")
+            if tag == "film":
+                if t == "exrfilm":
+                    el.set("type", "hdrfilm")
+                elif t == "pngfilm":
+                    el.set("type", "ldrfilm")
+            if tag == "integrator" and t == "errctrl":
+                el.set("type", "adaptive")
+            for c in el:
+                cn = c.get("name")
+                if cn == "focusDepth":
+                    c.set("name", "focusDistance")
+                elif cn in ("intensityScale", "densityMultiplier"):
+                    c.set("name", "scale")
+                elif cn == "luminaireSamples":
+                    c.set("name", "emitterSamples")
+
+    walk(root)
+    root.set("version", ".".join(str(x) for x in _CURRENT_VERSION))
+
+
 def load_scene_xml(path_or_string: str, defaults: dict | None = None,
                    strict: bool = True):
     """Parse scene XML -> (scene_desc dict, render_settings dict).
@@ -280,6 +363,7 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None,
     else:
         root = ET.fromstring(path_or_string)
         base_dir = os.getcwd()
+    _upgrade_tree(root)
 
     # <default name="x" value="y"/> entries fill unset $vars
     for d in root.findall("default"):

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
 from mitsuba_path_guiding_tpu.scene.xml_loader import (
     load_bsdfs_xml,
     load_scene_xml,
@@ -149,3 +150,49 @@ def test_bumpmap_normalmap_xml_wiring():
     assert np.isfinite(imgs["bump"]).all()
     diff = np.abs(imgs["bump"] - imgs["plain"]).mean() / max(imgs["plain"].mean(), 1e-9)
     assert diff > 0.01, f"bump map had no shading effect (rel diff {diff})"
+
+
+def test_scene_version_migration():
+    """Old-dialect scenes auto-upgrade (reference upgrade_0.x.0.xsl chain,
+    scenehandler.cpp:824): 0.4-era <camera>/<luminaire>/plugin names load
+    and render identically to the modern spelling."""
+    old = """<scene version="0.4.0">
+      <integrator type="path"><integer name="maxDepth" value="3"/></integrator>
+      <camera type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="toWorld">
+          <lookat origin="0,0,-3" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <film type="exrfilm">
+          <integer name="width" value="16"/>
+          <integer name="height" value="16"/>
+        </film>
+      </camera>
+      <shape type="rectangle">
+        <bsdf type="lambertian"><rgb name="reflectance" value="0.6 0.5 0.4"/></bsdf>
+      </shape>
+      <luminaire type="constant"><rgb name="intensity" value="0.5 0.5 0.5"/></luminaire>
+    </scene>"""
+    desc, settings = load_scene_xml(old)
+    assert settings["width"] == 16 and settings["integrator"] == "path"
+    assert desc["shapes"][0]["bsdf"]["type"] == "diffuse"
+    assert desc["emitters"][0]["type"] == "constant"
+    np.testing.assert_allclose(desc["emitters"][0]["radiance"], [0.5] * 3)
+    scene = build_scene(desc)
+    img = np.asarray(render(scene, RenderConfig(width=16, height=16, spp=8,
+                                                max_depth=3)))
+    assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_scene_version_migration_bsdf_renames():
+    """0.3-era material names map onto the modern plugin set."""
+    old = """<scene version="0.3.0">
+      <bsdf type="roughmetal" id="m">
+        <float name="alphaB" value="0.2"/>
+      </bsdf>
+      <shape type="sphere"><ref id="m"/></shape>
+      <luminaire type="point"><rgb name="intensity" value="1 1 1"/></luminaire>
+    </scene>"""
+    desc, _ = load_scene_xml(old)
+    assert desc["shapes"][0]["bsdf"]["type"] == "roughconductor"
+    assert abs(desc["shapes"][0]["bsdf"]["alpha"] - 0.2) < 1e-6
