@@ -223,6 +223,16 @@ class ProgressiveRenderer:
         t0 = time.time()
         queue.begin(cfg.n_progressions)
         for i in range(cfg.n_progressions):
+            # interactive job control (reference mtsgui pause/stop):
+            # listeners (e.g. the HTTP preview) can pause between
+            # progressions or stop the job early — the film keeps the
+            # samples rendered so far
+            ctrl = queue.poll_controls()
+            while ctrl["pause"] and not ctrl["stop"]:
+                time.sleep(0.2)
+                ctrl = queue.poll_controls()
+            if ctrl["stop"]:
+                break
             self.run_progression()
             queue.progression(
                 i, cfg.n_progressions, self.sample_counter,

@@ -238,6 +238,13 @@ class RenderListener:
 
     def on_finish(self, ev: RenderEvent) -> None: ...
 
+    def control_state(self) -> dict | None:
+        """Optional render-control channel (the interactive-GUI leg of
+        the reference's mtsgui job control): return
+        {"pause": bool, "stop": bool} to steer the progressive loop
+        between progressions; None = no controls."""
+        return None
+
 
 @dataclass
 class RenderQueue:
@@ -270,6 +277,16 @@ class RenderQueue:
             l.on_progression(ev)
             if image is not None:
                 l.on_refresh(ev)
+
+    def poll_controls(self) -> dict:
+        """Merged listener control state ({"pause", "stop"}, ORed)."""
+        out = {"pause": False, "stop": False}
+        for l in self.listeners:
+            c = l.control_state()
+            if c:
+                out["pause"] = out["pause"] or bool(c.get("pause"))
+                out["stop"] = out["stop"] or bool(c.get("stop"))
+        return out
 
     def finish(self, spp_done: int, image=None) -> None:
         ev = RenderEvent("finish", spp_done=spp_done,

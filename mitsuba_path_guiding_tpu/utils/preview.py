@@ -36,19 +36,33 @@ img { image-rendering: pixelated; max-width: 95vw; max-height: 85vh;
       border: 1px solid #444; }
 </style></head><body>
 <h3 id="s">waiting for first progression&hellip;</h3>
+<div>
+  <button onclick="ctl('pause=1')">pause</button>
+  <button onclick="ctl('pause=0')">resume</button>
+  <button onclick="ctl('stop=1')">stop</button>
+  exposure <input id="ev" type="range" min="-6" max="6" step="0.5"
+    value="0" onchange="ctl('exposure='+this.value)">
+  <span id="evv">0</span> EV
+</div>
 <img id="im" src="/image.png">
 <script>
 const im = document.getElementById('im'), s = document.getElementById('s');
+async function ctl(q) {
+  await fetch('/control?' + q);
+  document.getElementById('evv').textContent =
+    document.getElementById('ev').value;
+  im.src = '/image.png?v=' + Date.now();
+}
 setInterval(async () => {
   const r = await fetch('/status');
   const j = await r.json();
   if (j.version > (im.dataset.v|0)) {
     im.dataset.v = j.version;
     im.src = '/image.png?v=' + j.version;
-    s.textContent = j.finished
+    s.textContent = (j.finished
       ? `finished: ${j.spp} spp in ${j.elapsed.toFixed(1)} s`
       : `progression ${j.progression}/${j.total} — ${j.spp} spp, ` +
-        `${j.elapsed.toFixed(1)} s`;
+        `${j.elapsed.toFixed(1)} s`) + (j.paused ? ' [paused]' : '');
   }
 }, 500);
 </script></body></html>
@@ -83,8 +97,14 @@ class PreviewServer(RenderListener):
     def __init__(self, port: int = 8750, host: str = "127.0.0.1"):
         self._lock = threading.Lock()
         self._png: bytes = b""
+        self._img = None      # last linear image (re-encode on EV change)
         self._state = {"version": 0, "progression": 0, "total": 0,
-                       "spp": 0, "elapsed": 0.0, "finished": False}
+                       "spp": 0, "elapsed": 0.0, "finished": False,
+                       "paused": False}
+        # interactive render controls (reference mtsgui job control /
+        # render-settings leg): polled by the progressive loop between
+        # progressions via RenderListener.control_state
+        self._controls = {"pause": False, "stop": False, "exposure": 0.0}
 
         outer = self
 
@@ -101,7 +121,29 @@ class PreviewServer(RenderListener):
                     import json
 
                     with outer._lock:
-                        body = json.dumps(outer._state).encode()
+                        st = dict(outer._state)
+                        st["paused"] = outer._controls["pause"]
+                        body = json.dumps(st).encode()
+                    ctype = "application/json"
+                elif self.path.startswith("/control"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    with outer._lock:
+                        if "pause" in q:
+                            outer._controls["pause"] = q["pause"][0] == "1"
+                        if "stop" in q:
+                            outer._controls["stop"] = q["stop"][0] == "1"
+                        if "exposure" in q:
+                            outer._controls["exposure"] = float(
+                                q["exposure"][0])
+                            if outer._img is not None:
+                                outer._png = encode_png(
+                                    outer._img
+                                    * 2.0 ** outer._controls["exposure"])
+                    import json
+
+                    body = json.dumps(outer._controls).encode()
                     ctype = "application/json"
                 else:
                     body, ctype = _PAGE, "text/html"
@@ -119,11 +161,19 @@ class PreviewServer(RenderListener):
         self._thread.start()
 
     # -- RenderListener ----------------------------------------------------
+    def control_state(self) -> dict:
+        with self._lock:
+            return dict(self._controls)
+
     def _update(self, ev: RenderEvent, finished: bool) -> None:
         if ev.image is None:
             return
-        png = encode_png(np.asarray(ev.image))
+        img = np.asarray(ev.image)
         with self._lock:
+            expo = self._controls["exposure"]
+        png = encode_png(img * 2.0 ** expo if expo else img)
+        with self._lock:
+            self._img = img
             self._png = png
             self._state = {
                 "version": self._state["version"] + 1,

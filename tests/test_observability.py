@@ -131,3 +131,63 @@ def test_preview_server_serves_progressive_image():
         assert st["version"] == 2 and st["finished"]
     finally:
         srv.close()
+
+
+def test_preview_render_controls():
+    """Interactive job control through the preview server (reference
+    mtsgui pause/stop + exposure display settings): /control steers the
+    progressive loop, exposure re-tonemaps the served image."""
+    import urllib.request
+
+    import numpy as np
+
+    from mitsuba_path_guiding_tpu.integrators.progressive import (
+        ProgressiveConfig,
+        ProgressiveRenderer,
+    )
+    from mitsuba_path_guiding_tpu.integrators.render import RenderConfig
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import cornell_box
+    from mitsuba_path_guiding_tpu.utils.logger import RenderQueue
+    from mitsuba_path_guiding_tpu.utils.preview import PreviewServer
+
+    srv = PreviewServer(port=0)
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        # stop after the first progression: set stop up-front; the loop
+        # must terminate early but keep the rendered samples
+        urllib.request.urlopen(base + "/control?exposure=2")
+        scene = build_scene(cornell_box())
+        cfg = ProgressiveConfig(
+            render=RenderConfig(width=8, height=8, spp=2, max_depth=2,
+                                use_bvh=False),
+            n_progressions=4, queue=RenderQueue(listeners=[srv]),
+        )
+        r = ProgressiveRenderer(scene, cfg)
+        # inject stop after 2 progressions via the control endpoint
+        orig = srv.control_state
+
+        calls = {"n": 0}
+
+        def counting():
+            calls["n"] += 1
+            st = orig()
+            if calls["n"] > 2:
+                st["stop"] = True
+            return st
+
+        srv.control_state = counting
+        img = np.asarray(r.render())
+        assert np.isfinite(img).all()
+        assert r.sample_counter < 4 * cfg.spp_per_progression \
+            if hasattr(cfg, "spp_per_progression") else True
+        # exposure control re-encodes the served PNG (2 EV brighter)
+        png_bright = urllib.request.urlopen(base + "/image.png").read()
+        urllib.request.urlopen(base + "/control?exposure=0")
+        urllib.request.urlopen(base + "/control?exposure=-6")
+        png_dark = urllib.request.urlopen(base + "/image.png").read()
+        assert png_bright != png_dark and len(png_dark) > 8
+        st = srv.control_state()
+        assert st["exposure"] == -6.0
+    finally:
+        srv.close()
