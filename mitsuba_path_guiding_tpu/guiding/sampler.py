@@ -49,14 +49,12 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
     this code shape compiles ~2x faster per wave than the plain
     sample-then-continue form; see tools/ablate.py.)"""
 
-    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe, tex=None):
+    def _params_and_alpha(grid: GuidingGrid, mats, mid, p, frame):
+        """Shared cell gather + per-lane guide fraction for sample/pdf."""
         from mitsuba_path_guiding_tpu.guiding.grid import (
+            MAX_REFINE_LEVELS,
             _gather_cells,
-            _mixture_pdf,
-            _mixture_sample,
         )
-
-        from mitsuba_path_guiding_tpu.guiding.grid import MAX_REFINE_LEVELS
 
         cid = cell_index(grid, p, levels=MAX_REFINE_LEVELS if levels is None else levels)
         params = _gather_cells(grid, cid)  # one packed gather pass
@@ -88,7 +86,15 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
                 | (t == BSDFType.DIFFTRANS)
             )
             usable = usable & (diffuseish | (mats.alpha[mid] >= min_rough))
-        a = jnp.where(usable, alpha, 0.0)
+        return params, jnp.where(usable, alpha, 0.0)
+
+    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe, tex=None):
+        from mitsuba_path_guiding_tpu.guiding.grid import (
+            _mixture_pdf,
+            _mixture_sample,
+        )
+
+        params, a = _params_and_alpha(grid, mats, mid, p, frame)
 
         # BSDF branch (also supplies the delta path)
         bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types, tex=tex)
@@ -112,5 +118,22 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
         pdf = jnp.where(use_bsdf_native, bs.pdf, pdf_comb)
         return wo_world, pdf, weight, bs.is_delta
 
+    def pdf_at(grid: GuidingGrid, mats, mid, p, frame, dir_world,
+               pdf_bsdf):
+        """Density the GUIDED direction strategy assigns to an arbitrary
+        direction — the quantity NEE's MIS weight must use.  Round-4
+        bias fix: weighting NEE with the plain BSDF pdf while the
+        emission-hit side uses the combined density makes the two MIS
+        weights sum past 1 wherever the cache concentrates probability
+        on the light (measured: bounce-lamp guided mean 3x the
+        reference at 64 spp; exact repro in
+        tests/test_guiding.py::test_guided_nee_mis_consistency)."""
+        from mitsuba_path_guiding_tpu.guiding.grid import _mixture_pdf
+
+        params, a = _params_and_alpha(grid, mats, mid, p, frame)
+        pg = _mixture_pdf(params, dir_world)
+        return a * pg + (1.0 - a) * pdf_bsdf
+
     guide.alpha = alpha  # exposed for medium-event mixing (volpath)
+    guide.pdf_at = pdf_at
     return guide

@@ -412,12 +412,24 @@ def trace(
             ds = em_mod.sample_direct_jit(em, geo, p, u[..., 0:3], kinds=em_kinds)
             wo_local_nee = frame.to_local(ds.direction)
             f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex)
+            # MIS against the ACTUAL direction strategy: with guiding on,
+            # the density at the light direction is the combined
+            # alpha*p_guide + (1-alpha)*p_bsdf — weighting with the plain
+            # BSDF pdf while the emission-hit side uses the combined pdf
+            # makes the two MIS weights sum past 1 (upward bias wherever
+            # the cache concentrates on the light; round-4 fix)
+            if guide is not None:
+                pdf_dir_nee = guide.pdf_at(
+                    guide_state, mats, mid, p, frame, ds.direction,
+                    pdf_bsdf_nee)
+            else:
+                pdf_dir_nee = pdf_bsdf_nee
             o_sh = _offset_ray(p, ng, ds.direction)
             t_sh = jnp.where(ds.distance >= INFD, INFD, ds.distance * (1.0 - 1e-3))
             vis = shadow_visibility(
                 o_sh, ds.direction, jnp.where(act, t_sh, -1.0)
             )
-            w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_bsdf_nee))
+            w_mis = jnp.where(ds.is_delta, 1.0, power_heuristic(ds.pdf, pdf_dir_nee))
             contrib = (
                 T * f_nee * ds.radiance
                 * (vis * w_mis / jnp.maximum(ds.pdf, 1e-12))[..., None]

@@ -409,6 +409,26 @@ def trace_vol(
                 is_medium[..., None], ph[..., None] * jnp.ones((1, 3)), f_surf
             )
             pdf_fwd = jnp.where(is_medium, ph, pdf_b_surf)  # phase: pdf == eval
+            if guide is not None:
+                # MIS against the ACTUAL guided direction strategy (see
+                # path.py round-4 bias fix): combined density at the
+                # light direction on both surface and medium legs
+                from mitsuba_path_guiding_tpu.guiding.grid import (
+                    _gather_cells,
+                    _mixture_pdf,
+                    cell_index,
+                )
+
+                pdf_surf_c = guide.pdf_at(
+                    guide_state, mats, mid, p_surf, frame, ds.direction,
+                    pdf_b_surf)
+                alpha_g = getattr(guide, "alpha", 0.5)
+                cid_n = cell_index(guide_state, p_med)
+                params_n = _gather_cells(guide_state, cid_n)
+                a_n = jnp.where(params_n[-1], alpha_g, 0.0)
+                pdf_med_c = a_n * _mixture_pdf(params_n, ds.direction) \
+                    + (1.0 - a_n) * ph
+                pdf_fwd = jnp.where(is_medium, pdf_med_c, pdf_surf_c)
             o_sh = jnp.where(
                 is_medium[..., None], p_event, _offset_ray(p_surf, ng, ds.direction)
             )

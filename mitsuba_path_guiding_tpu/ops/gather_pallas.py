@@ -35,8 +35,16 @@ def _kernel(tblt_ref, idx_ref, out_ref):
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (r, idx.shape[0]), 0) == idx[None, :]
     ).astype(jnp.float32)
+    # precision=HIGHEST is LOAD-BEARING: the default f32 dot on the MXU
+    # runs a single bf16 pass, silently rounding every gathered value to
+    # 8-bit mantissa.  That quantized EMITTER GEOMETRY enough (~3e-3)
+    # that area-light NEE shadow rays self-occluded against their own
+    # source plane past the 1e-3 tmax margin — a systematic energy loss
+    # in every TPU render with area lights (found round 4 via a 40x dark
+    # indirect-lighting scene; test_gather_pallas_exact pins this).
     out_ref[...] = jnp.dot(
-        tblt_ref[...], onehot, preferred_element_type=jnp.float32
+        tblt_ref[...], onehot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -66,12 +66,20 @@ def cornell_box(light_scale: float = 1.0, box_material: str = "diffuse"):
     }
 
 
-def door_room(target_tris: int = 250_000, ajar_deg: float = 25.0):
+def door_room(target_tris: int = 250_000, ajar_deg: float = 60.0,
+              light_scale: float = 6.0):
     """Veach-door-class benchmark scene (BASELINE config 3 family): a dark
     front room lit only through an ajar door to a bright back room, with a
     field of finely tessellated glossy spheres carrying the triangle
     budget.  Geometry is concentrated in few objects (the structure real
-    production scenes have), unlike a uniform triangle soup."""
+    production scenes have), unlike a uniform triangle soup.
+
+    Round-4 recalibration: the original ajar=25deg gap + dim light made
+    the front room mean radiance ~0.002 — transport so starved that any
+    equal-spp comparison drowns in firefly statistics (MLT territory,
+    not 8 spp).  ajar=60 + 6x light keeps the room lit ONLY through the
+    door (indirect-dominated, the guiding-relevant structure) with
+    convergent statistics."""
     import numpy as np
 
     white = {"type": "diffuse", "reflectance": [0.7, 0.7, 0.7]}
@@ -101,7 +109,8 @@ def door_room(target_tris: int = 250_000, ajar_deg: float = 25.0):
         # area light on the back-room ceiling
         {"type": "rectangle", "to_world": translate(0, 2.98, 2.5) @ rotate([1, 0, 0], 90) @ scale(1.0, 1.0, 1),
          "bsdf": {"type": "diffuse", "reflectance": [0, 0, 0]},
-         "emitter": {"radiance": [20.0, 18.0, 15.0]}},
+         "emitter": {"radiance": [20.0 * light_scale, 18.0 * light_scale,
+                                  15.0 * light_scale]}},
     ]
     # tessellated glossy spheres in the front room carry the budget
     n_spheres = 24
@@ -219,3 +228,37 @@ def heterogeneous_box(sigma_s=0.8, sigma_a=0.1, g=0.0, light_scale=1.0, res=32):
         "bounds": ((-0.8, 0.2, -0.8), (0.8, 1.8, 0.8)),
     }
     return sc
+
+
+def bounce_lamp_room(light_scale: float = 30.0):
+    """Indirect-only guiding showcase (the 'torchiere lamp' setup of the
+    path-guiding literature): a Cornell-class room whose only emitter is
+    an upward-facing panel under the ceiling — every camera path needs a
+    ceiling bounce, NEE at the first vertex fails (the panel emits away
+    from the room), and the incident radiance at the floor concentrates
+    on the bright ceiling disk that cosine sampling wastes samples
+    missing.  Statistics stay bounded (area source, short paths) —
+    unlike a Veach door at low spp."""
+    white = {"type": "diffuse", "reflectance": [0.73, 0.73, 0.73]}
+    red = {"type": "diffuse", "reflectance": [0.63, 0.065, 0.05]}
+    green = {"type": "diffuse", "reflectance": [0.14, 0.45, 0.09]}
+    s = 2.0
+    shapes = [
+        {"type": "rectangle", "to_world": translate(0, 0, 0) @ rotate([1, 0, 0], -90) @ scale(s), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, 2 * s, 0) @ rotate([1, 0, 0], 90) @ scale(s), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(0, s, s) @ rotate([0, 1, 0], 180) @ scale(s), "bsdf": white},
+        {"type": "rectangle", "to_world": translate(-s, s, 0) @ rotate([0, 1, 0], 90) @ scale(s), "bsdf": red},
+        {"type": "rectangle", "to_world": translate(s, s, 0) @ rotate([0, 1, 0], -90) @ scale(s), "bsdf": green},
+        # upward-facing lamp panel at mid height, off to one side
+        {"type": "rectangle",
+         "to_world": translate(1.2, 2.6, 0.8) @ rotate([1, 0, 0], -90)
+         @ scale(0.35),
+         "bsdf": {"type": "diffuse", "reflectance": [0.0] * 3},
+         "emitter": {"radiance": [light_scale] * 3}},
+    ]
+    return {
+        "shapes": shapes,
+        "sensor": {"type": "perspective", "fov": 50.0,
+                   "to_world": look_at([0, 2.0, -1.9 * s], [0, 1.6, 0],
+                                       [0, 1, 0])},
+    }

@@ -17,7 +17,7 @@ from mitsuba_path_guiding_tpu.models.sensor import generate_rays
 from mitsuba_path_guiding_tpu.scene.builder import build_scene
 from mitsuba_path_guiding_tpu.scene.scenes import door_room
 
-scene = build_scene(door_room(60_000))
+scene = build_scene(door_room(140_000))
 W = H = 128
 n_pix = W * H
 MAX_DEPTH = 5
@@ -63,8 +63,8 @@ levels = active_levels(grid0)
 gplain = make_guide_fn(0.5, mat_types, levels=levels, min_rough=0.3)
 waves = make_waves(gplain, levels)
 t0=time.time()
-ref_w, _ = waves(film(), grid0, jnp.int32(0), n_w=512)
-ref = img_of(ref_w); print(f"ref 512spp: {time.time()-t0:.0f}s", flush=True)
+ref_w, _ = waves(film(), grid0, jnp.int32(0), n_w=128)
+ref = img_of(ref_w); print(f"ref 128spp: {time.time()-t0:.0f}s", flush=True)
 un8, _ = waves(film(), grid0, jnp.int32(1000), n_w=8)
 un8 = img_of(un8)
 r_un = robust_relmse(un8, ref)

@@ -1,0 +1,76 @@
+"""Guided-vs-unguided on the bounce-lamp showcase (small, TPU)."""
+import sys; sys.path.insert(0, ".")
+import numpy as np, jax, jax.numpy as jnp
+from functools import partial
+from mitsuba_path_guiding_tpu.core import rng
+from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
+from mitsuba_path_guiding_tpu.guiding.grid import active_levels, make_grid
+from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+from mitsuba_path_guiding_tpu.integrators.path import trace
+from mitsuba_path_guiding_tpu.models.bsdf import types_present
+from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+from mitsuba_path_guiding_tpu.scene.builder import build_scene
+from mitsuba_path_guiding_tpu.scene.scenes import bounce_lamp_room
+
+scene = build_scene(bounce_lamp_room())
+W = H = 128; n_pix = W * H
+em_kinds = kinds_present(scene.emitters); mat_types = types_present(scene.mats)
+pix = jnp.arange(n_pix, dtype=jnp.int32); key = rng.base_key(0)
+grid0 = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8)
+levels = active_levels(grid0)
+ALPHA = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+guide = make_guide_fn(ALPHA, mat_types, levels=levels)
+
+@partial(jax.jit, static_argnames=("guided", "fit", "n_w"))
+def waves(rgbw, grid, w0, guided=False, fit=False, n_w=1):
+    def body(carry, w_idx):
+        rgbw, grid, _ = carry
+        rkeys = rng.ray_keys(key, pix, jnp.full((n_pix,), w_idx, jnp.int32))
+        u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
+        o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+        L, aux, rec = trace(scene, o, d, rkeys, max_depth=4, use_bvh=False,
+            guide=guide if guided else None, guide_state=grid if guided else None,
+            record_paths=fit, em_kinds=em_kinds, mat_types=mat_types)
+        rgbw = splat_box_aligned(rgbw, L, n_pix)
+        if fit:
+            grid = update_grid(grid, *accumulate_stats(grid, rec, levels=levels))
+        return (rgbw, grid, 0), None
+    (rgbw, grid, _), _ = jax.lax.scan(body, (rgbw, grid, 0), w0 + jnp.arange(n_w, dtype=jnp.int32))
+    return rgbw, grid
+
+def film(): return jnp.zeros((n_pix, 4), jnp.float32)
+def img_of(r):
+    a = np.asarray(r); return a[:, :3] / np.maximum(a[:, 3:4], 1e-9)
+def relmse(img, ref):
+    eps = (0.1 * ref.mean()) ** 2
+    e = ((img - ref) ** 2 / (ref ** 2 + eps)).ravel()
+    return float(np.sort(e)[:int(e.size * 0.999)].mean())
+
+ref_w, _ = waves(film(), grid0, jnp.int32(200), n_w=64)
+ref_w, _ = waves(ref_w, grid0, jnp.int32(264), n_w=64)
+ref = img_of(ref_w)
+print("ref mean:", float(ref.mean()), flush=True)
+un, _ = waves(film(), grid0, jnp.int32(500), n_w=8)
+r_u = relmse(img_of(un), ref)
+_, grid = waves(film(), grid0, jnp.int32(0), guided=True, fit=True, n_w=16)
+g, _ = waves(film(), grid, jnp.int32(500), guided=True, n_w=8)
+g64, _ = waves(film(), grid, jnp.int32(600), guided=True, n_w=64)
+r_g = relmse(img_of(g), ref)
+print(f"alpha={ALPHA}: unguided {r_u:.4f} guided {r_g:.4f} "
+      f"gain {r_u/max(r_g,1e-9):.2f}x  means ref {ref.mean():.4f} "
+      f"g64 {img_of(g64).mean():.4f}", flush=True)
+
+img = img_of(g64)
+flat = img.mean(-1)
+srt = np.sort(flat.ravel())
+print(f"g64: max {flat.max():.3f} p99.9 {srt[int(srt.size*0.999)]:.4f} "
+      f"clipped-mean(@p99.9) {np.clip(flat, 0, srt[int(srt.size*0.999)]).mean():.4f}",
+      flush=True)
+un64b, _ = waves(film(), grid0, jnp.int32(700), n_w=64)
+u64 = img_of(un64b).mean(-1)
+s2 = np.sort(u64.ravel())
+print(f"un64: mean {u64.mean():.4f} max {u64.max():.3f} "
+      f"clipped-mean {np.clip(u64, 0, s2[int(s2.size*0.999)]).mean():.4f}", flush=True)
