@@ -354,3 +354,85 @@ def test_records_carry_distances():
     finite = dist[valid & (dist < 1e30)]
     assert finite.size > 0
     assert (finite > 1e-3).all() and (finite < 10.0).all()
+
+
+def test_guiding_beats_unguided_equal_spp():
+    """The headline claim (VERDICT r3 item 2): on an indirect-dominated
+    scene the trained cache must REDUCE error at equal sample count.
+    bounce_lamp_room: every path needs a ceiling bounce, first-vertex
+    NEE fails (the panel emits away), and incident radiance concentrates
+    on the lit ceiling spot that cosine sampling wastes samples missing.
+    Also asserts the guided estimator is unbiased (mean match)."""
+    import numpy as np
+    from functools import partial
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+    from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
+    from mitsuba_path_guiding_tpu.guiding.grid import active_levels, make_grid
+    from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import bounce_lamp_room
+
+    scene = build_scene(bounce_lamp_room())
+    W = H = 48
+    n_pix = W * H
+    ek = kinds_present(scene.emitters)
+    mt = types_present(scene.mats)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    key = rng.base_key(0)
+    grid0 = make_grid(scene.aabb_min, scene.aabb_max, res=8, n_lobes=8)
+    levels = active_levels(grid0)
+    guide = make_guide_fn(0.5, mt, levels=levels)
+
+    @partial(jax.jit, static_argnames=("guided", "fit", "n_w"))
+    def waves(rgbw, grid, w0, guided=False, fit=False, n_w=1):
+        def body(carry, w_idx):
+            rgbw, grid = carry
+            rk = rng.ray_keys(key, pix, jnp.full((n_pix,), w_idx, jnp.int32))
+            u_cam = rng.event_uniform(rk, TAG_CAMERA, 2)
+            o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+            L, _, rec = trace(scene, o, d, rk, max_depth=4, use_bvh=False,
+                              guide=guide if guided else None,
+                              guide_state=grid if guided else None,
+                              record_paths=fit, em_kinds=ek, mat_types=mt)
+            rgbw = splat_box_aligned(rgbw, L, n_pix)
+            if fit:
+                grid = update_grid(
+                    grid, *accumulate_stats(grid, rec, levels=levels))
+            return (rgbw, grid), None
+
+        (rgbw, grid), _ = jax.lax.scan(
+            body, (rgbw, grid), w0 + jnp.arange(n_w, dtype=jnp.int32))
+        return rgbw, grid
+
+    def film():
+        return jnp.zeros((n_pix, 4), jnp.float32)
+
+    def img_of(r):
+        a = np.asarray(r)
+        return a[:, :3] / np.maximum(a[:, 3:4], 1e-9)
+
+    ref_w, _ = waves(film(), grid0, jnp.int32(200), n_w=96)
+    ref = img_of(ref_w)
+    un, _ = waves(film(), grid0, jnp.int32(500), n_w=8)
+    _, grid = waves(film(), grid0, jnp.int32(0), guided=True, fit=True,
+                    n_w=12)
+    g8, _ = waves(film(), grid, jnp.int32(500), guided=True, n_w=8)
+    g8 = img_of(g8)
+
+    def relmse(img):
+        eps = (0.1 * ref.mean()) ** 2
+        e = ((img - ref) ** 2 / (ref ** 2 + eps)).ravel()
+        return float(np.sort(e)[:int(e.size * 0.999)].mean())
+
+    r_u, r_g = relmse(img_of(un)), relmse(g8)
+    # unbiasedness: guided mean matches the reference
+    assert abs(g8.mean() - ref.mean()) / ref.mean() < 0.05
+    # the superiority claim: guiding reduces equal-spp error
+    assert r_g < 0.75 * r_u, (r_g, r_u)
