@@ -242,6 +242,17 @@ def main():
         finally:
             signal.alarm(0)
 
+    # --- guiding equal-spp quality win (the fork's headline claim)
+    if os.environ.get("BENCH_GAIN", "1") != "0" and n_dev == 1:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(240)
+        try:
+            result.update(_bench_guiding_gain(log))
+        except Exception as e:  # noqa: BLE001
+            log(f"guiding-gain bench skipped: {type(e).__name__}: {e}")
+        finally:
+            signal.alarm(0)
+
     # --- BASELINE config 5: 1080p guided interior through the tiled film
     if os.environ.get("BENCH_1080", "1") != "0" and n_dev == 1:
         signal.signal(signal.SIGALRM, _alarm)
@@ -549,6 +560,89 @@ def _bench_guided_big_scene(log, target_tris=250_000, n_waves=8):
         "guided_relmse_4spp": round(r_g, 5),
         "unguided_relmse_4spp": round(r_un, 5),
         "guiding_equal_spp_gain": round(r_un / max(r_g, 1e-9), 2),
+    }
+
+
+def _bench_guiding_gain(log):
+    """Equal-spp guiding quality win on the indirect-only bounce-lamp
+    scene (the transport class path guiding exists for): relMSE of 8 spp
+    guided vs 8 spp unguided against a 96 spp reference.  Mirrors
+    tests/test_guiding.py::test_guiding_beats_unguided_equal_spp at
+    bench scale."""
+    import numpy as np
+    from functools import partial
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+    from mitsuba_path_guiding_tpu.guiding.fit import accumulate_stats, update_grid
+    from mitsuba_path_guiding_tpu.guiding.grid import active_levels, make_grid
+    from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import bounce_lamp_room
+
+    scene = build_scene(bounce_lamp_room())
+    W = H = 128
+    n_pix = W * H
+    ek = kinds_present(scene.emitters)
+    mt = types_present(scene.mats)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    key = rng.base_key(0)
+    grid0 = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8)
+    levels = active_levels(grid0)
+    guide = make_guide_fn(0.5, mt, levels=levels)
+
+    @partial(jax.jit, static_argnames=("guided", "fit", "n_w"))
+    def waves(rgbw, grid, w0, guided=False, fit=False, n_w=1):
+        def body(carry, w_idx):
+            rgbw, grid = carry
+            rk = rng.ray_keys(key, pix, jnp.full((n_pix,), w_idx, jnp.int32))
+            u_cam = rng.event_uniform(rk, TAG_CAMERA, 2)
+            o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+            L, _, rec = trace(scene, o, d, rk, max_depth=4, use_bvh=False,
+                              guide=guide if guided else None,
+                              guide_state=grid if guided else None,
+                              record_paths=fit, em_kinds=ek, mat_types=mt)
+            rgbw = splat_box_aligned(rgbw, L, n_pix)
+            if fit:
+                grid = update_grid(
+                    grid, *accumulate_stats(grid, rec, levels=levels))
+            return (rgbw, grid), None
+
+        (rgbw, grid), _ = jax.lax.scan(
+            body, (rgbw, grid), w0 + jnp.arange(n_w, dtype=jnp.int32))
+        return rgbw, grid
+
+    def film():
+        return jnp.zeros((n_pix, 4), jnp.float32)
+
+    def img_of(r):
+        a = np.asarray(r)
+        return a[:, :3] / np.maximum(a[:, 3:4], 1e-9)
+
+    ref = img_of(waves(film(), grid0, jnp.int32(200), n_w=96)[0])
+    un = img_of(waves(film(), grid0, jnp.int32(500), n_w=8)[0])
+    _, grid = waves(film(), grid0, jnp.int32(0), guided=True, fit=True,
+                    n_w=16)
+    g8 = img_of(waves(film(), grid, jnp.int32(500), guided=True, n_w=8)[0])
+
+    def relmse(img):
+        eps = (0.1 * ref.mean()) ** 2
+        e = ((img - ref) ** 2 / (ref ** 2 + eps)).ravel()
+        return float(np.sort(e)[:int(e.size * 0.999)].mean())
+
+    r_u, r_g = relmse(un), relmse(g8)
+    gain = r_u / max(r_g, 1e-9)
+    log(f"guiding gain (bounce-lamp 128^2, equal 8 spp): unguided relMSE "
+        f"{r_u:.4f}, guided {r_g:.4f} -> {gain:.2f}x")
+    return {
+        "guiding_gain_metric": "equal-spp relMSE reduction, guided vs "
+                               "unguided (bounce-lamp indirect-only scene)",
+        "guiding_gain": round(gain, 2),
     }
 
 
