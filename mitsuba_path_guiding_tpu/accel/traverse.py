@@ -319,7 +319,8 @@ def _fallback_cap(n: int, shift: int = 4) -> int:
 
 
 def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
-                         l_blk=None, fb_shift=4, cap_factor=None) -> Hit:
+                         l_blk=None, fb_shift=4, cap_factor=None,
+                         engine="mt") -> Hit:
     """Closest hit through the pair-expansion pipeline
     (ops/intersect_pairs.py) with the blocklist kernel re-tracing the
     rays whose nearest-L candidate list could not be proven complete.
@@ -343,7 +344,7 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
     on_tpu = jax.default_backend() == "tpu"
     t, prim, u, v, valid, proven = intersect_pairs_raw(
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
-        use_pallas=on_tpu, cap_factor=cap_factor,
+        use_pallas=on_tpu, cap_factor=cap_factor, engine=engine,
     )
     cap = _fallback_cap(n, fb_shift)
     idx = _unproven_idx(proven, cap)
@@ -360,7 +361,8 @@ def intersect_pairs_full(pairs, blocks, o, d, tmax=None, ksb=None,
 
 
 def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
-                        l_blk=None, fb_shift=4, cap_factor=None) -> jnp.ndarray:
+                        l_blk=None, fb_shift=4, cap_factor=None,
+                        engine="mt") -> jnp.ndarray:
     """Any-hit visibility through the pair pipeline + blocklist fallback."""
     from mitsuba_path_guiding_tpu.ops.intersect_blocklist import (
         occluded_blocklist_raw,
@@ -376,6 +378,7 @@ def occluded_pairs_full(pairs, blocks, o, d, tmax, ksb=None,
     occ, proven = intersect_pairs_raw(
         pairs, o, d, tmax, ksb=ksb or PAIR_KSB, l_blk=l_blk or PAIR_L,
         any_hit=True, use_pallas=on_tpu, cap_factor=cap_factor,
+        engine=engine,
     )
     cap = _fallback_cap(n, fb_shift)
     idx = _unproven_idx(proven, cap)

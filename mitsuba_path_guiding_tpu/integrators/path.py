@@ -61,6 +61,9 @@ PAIR_PEEL = False
 # the IMAX tail for all of them (measured: cap=3 regressed 4.9 -> 4.3
 # Mrays/s by cutting real camera pairs into the fallback).  None = full.
 PAIR_CAP = 5
+# intersection engine for the pair pipeline: "mt" (dense VPU tiles) or
+# "plk" (MXU Pluecker matmul tiles) — see ops/intersect_pairs.py
+PAIR_ENGINE = "mt"
 # fallback-cap shifts: cap = max(4096, n >> shift).  Camera waves are
 # ~5% unproven (needs n>>4); bounce/shadow waves are ~0.1% unproven so
 # their nonzero+gather+blocklist fallback glue can run at a fraction of
@@ -190,6 +193,7 @@ def trace(
                 return intersect_pairs_full(
                     scene.pairs, scene.blocks, o, d, tmax, ksb=ksb,
                     l_blk=l_blk, fb_shift=fb, cap_factor=PAIR_CAP,
+                    engine=PAIR_ENGINE,
                 )
             return intersect_twolevel(scene.blocks, o, d, tmax)
         if accel == "pallas":
@@ -220,6 +224,7 @@ def trace(
                     scene.pairs, scene.blocks, o, d, tmax,
                     ksb=SCAN_PAIR_CFG[0], l_blk=SCAN_PAIR_CFG[1],
                     fb_shift=SCAN_FB_SHIFT, cap_factor=PAIR_CAP,
+                    engine=PAIR_ENGINE,
                 ).astype(jnp.float32)
             from mitsuba_path_guiding_tpu.accel.traverse import occluded_twolevel
 
