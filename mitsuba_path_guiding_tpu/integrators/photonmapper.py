@@ -73,7 +73,7 @@ def _shade_pass(
     )
 
     # --- caustics from the caustic map at x
-    _, phi_c_bins = gather(
+    _, phi_c_bins, _ = gather(
         hp_pos, hp_ns, jnp.full((n,), r_caustic),
         gl_pos, gl_wi, gl_pw, gl_ok & ca_ok, lo, inv_cell, G,
     )
@@ -97,7 +97,7 @@ def _shade_pass(
     mid_y = row[18].astype(jnp.int32)
     alb_y = bsdf_mod.albedo_raw(mats, mid_y)
     is_emitter_y = row[19] >= 0.0
-    _, phi_y_bins = gather(
+    _, phi_y_bins, _ = gather(
         y, ns_y, jnp.full((n,), r_global),
         gl_pos, gl_wi, gl_pw, gl_ok, lo, inv_cell, G,
     )
