@@ -7,14 +7,15 @@ tools/ablate.py), so unguided renders use this 1-cell never-valid grid.
 """
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.guiding.grid import GuidingGrid
 
 
-@lru_cache(maxsize=1)
+# NOTE: no lru_cache here — callers (render_scanned's scan body) may run
+# under a jax trace, and caching the first call's TRACER arrays leaks
+# them into later traces (UnexpectedTracerError).  The arrays are tiny
+# trace-time constants; rebuilding per call is free.
 def _trivial_arrays():
     return GuidingGrid(
         mu=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (1, 1, 1)),
