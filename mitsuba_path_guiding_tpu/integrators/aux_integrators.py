@@ -166,40 +166,106 @@ def write_multichannel_exr(path: str, images: dict) -> None:
     write_exr_channels(path, chans)
 
 
+def _normal_quantile(p_value: float) -> float:
+    """Two-sided standard-normal quantile z with P(|Z| <= z) = 1 - p
+    (the reference computes it via boost::math::quantile,
+    adaptive.cpp:164-166; erfinv gives the same value in closed form)."""
+    import math
+
+    from scipy.special import erfinv as _erfinv  # scipy ships with jax deps
+
+    return float(math.sqrt(2.0) * _erfinv(1.0 - p_value))
+
+
 def render_adaptive(
     scene: SceneData,
     cfg: RenderConfig,
     base_spp: int = 8,
-    extra_spp: int = 24,
+    max_sample_factor: int = 32,
     max_error: float = 0.05,
+    p_value: float = 0.05,
     guide=None,
     guide_state=None,
 ):
-    """Two-phase adaptive sampling (reference adaptive.cpp reimagined for
-    wavefronts): a pilot pass estimates per-pixel relative error; pixels
-    above ``max_error`` receive the extra budget (whole-wave re-render of
-    the worst pixels — static shapes, dynamic effect)."""
+    """Per-pixel statistical stopping (reference adaptive.cpp renderBlock,
+    :197-271): keep sampling a pixel until the half-width of its (1-p)
+    confidence interval on mean luminance drops below
+    ``max_error * max(mean, 0.01 * average_luminance)``, capped at
+    ``max_sample_factor * base_spp`` samples.
+
+    Wavefront redesign of the reference's per-pixel while loop: rounds of
+    ``base_spp`` batches over the still-active pixel set only, compacted
+    host-side and padded to a power of two so every round reuses one of
+    O(log n) compiled wave shapes.  Variance uses the same Knuth/Welford
+    online recurrence (adaptive.cpp:245-248), vectorized per lane.
+
+    Returns (image, info) with info = {"spp", "ci_width"} as (H, W) maps.
+    """
+    import numpy as np
+
     n_pix = cfg.width * cfg.height
     pix = jnp.arange(n_pix, dtype=jnp.int32)
-    s1 = jnp.zeros((n_pix, 3))
-    s2 = jnp.zeros((n_pix,))
-    for s in range(base_spp):
-        sidx = jnp.full_like(pix, s)
-        _, L, _ = render_wave(scene, cfg, pix, sidx, guide, guide_state)
-        s1 = s1 + L
-        s2 = s2 + jnp.sum(L, -1) ** 2
-    mean = jnp.sum(s1, -1) / (3 * base_spp)
-    var = jnp.maximum(s2 / base_spp - (jnp.sum(s1, -1) / base_spp) ** 2, 0.0)
-    rel_err = jnp.sqrt(var / base_spp) / jnp.maximum(jnp.sum(s1, -1) / base_spp, 1e-3)
+    quantile = _normal_quantile(p_value)
 
-    # rank pixels by error; re-render the worst third with the extra budget
-    n_hard = max(n_pix // 3, 1)
-    hard = jnp.argsort(-rel_err)[:n_hard].astype(jnp.int32)
-    extra_count = jnp.zeros((n_pix,)).at[hard].set(float(extra_spp))
-    for s in range(extra_spp):
-        sidx = jnp.full((n_hard,), base_spp + s, dtype=jnp.int32)
-        _, L, _ = render_wave(scene, cfg, hard, sidx, guide, guide_state)
-        s1 = s1.at[hard].add(L)
-    total = base_spp + extra_count
-    img = s1 / total[..., None]
-    return img.reshape(cfg.height, cfg.width, 3), rel_err.reshape(cfg.height, cfg.width)
+    s1 = jnp.zeros((n_pix, 3))          # RGB sum (the image accumulator)
+    mean = jnp.zeros((n_pix,))          # Welford running mean of luminance
+    m2 = jnp.zeros((n_pix,))            # Welford sum of squared deviations
+    count = jnp.zeros((n_pix,), jnp.int32)
+
+    def batch(idx, w, s1, mean, m2, count, spp_offset):
+        """One base_spp batch over the (padded) active set; w masks pads."""
+        n0 = count[idx]
+        for s in range(base_spp):
+            sidx = n0 + jnp.int32(spp_offset + s)
+            _, L, _ = render_wave(scene, cfg, idx, sidx, guide, guide_state)
+            lum = jnp.sum(L * jnp.asarray([0.212671, 0.715160, 0.072169]), -1)
+            s1 = s1.at[idx].add(L * w[:, None])
+            cnt = count[idx] + jnp.int32(1)
+            mu = mean[idx]
+            delta = lum - mu
+            mu = mu + delta / cnt
+            d2 = m2[idx] + delta * (lum - mu)
+            count = count.at[idx].set(jnp.where(w > 0, cnt, count[idx]))
+            mean = mean.at[idx].set(jnp.where(w > 0, mu, mean[idx]))
+            m2 = m2.at[idx].set(jnp.where(w > 0, d2, m2[idx]))
+        return s1, mean, m2, count
+
+    # pilot round over every pixel (doubles as the reference's preprocess
+    # average-luminance estimate, adaptive.cpp:140-162)
+    s1, mean, m2, count = batch(
+        pix, jnp.ones((n_pix,)), s1, mean, m2, count, 0
+    )
+    avg_lum = float(jnp.mean(mean))
+
+    def ci_width(mean, m2, count):
+        var = m2 / jnp.maximum(count - 1, 1)
+        return jnp.sqrt(var / jnp.maximum(count, 1)) * quantile
+
+    max_spp = max_sample_factor * base_spp
+    while True:
+        cw = ci_width(mean, m2, count)
+        base = jnp.maximum(mean, 0.01 * avg_lum)
+        active = (cw > max_error * base) & (count < max_spp)
+        act_np = np.nonzero(np.asarray(active))[0]
+        if len(act_np) == 0:
+            break
+        pad = 1 << max(int(np.ceil(np.log2(len(act_np)))), 5)
+        # pad with an OUT-OF-BOUNDS sentinel: scatter updates at n_pix are
+        # dropped under jit (never duplicate a real pixel index — duplicate
+        # scatter .set() order is undefined), gathers clamp harmlessly
+        idx = np.full((pad,), n_pix, np.int32)
+        idx[: len(act_np)] = act_np
+        w = np.zeros((pad,), np.float32)
+        w[: len(act_np)] = 1.0
+        s1, mean, m2, count = batch(
+            jnp.asarray(idx), jnp.asarray(w), s1, mean, m2, count, 0
+        )
+
+    img = s1 / jnp.maximum(count, 1).astype(jnp.float32)[:, None]
+    info = {
+        "spp": np.asarray(count).reshape(cfg.height, cfg.width),
+        "ci_width": np.asarray(ci_width(mean, m2, count)).reshape(
+            cfg.height, cfg.width
+        ),
+    }
+    return img.reshape(cfg.height, cfg.width, 3), info

@@ -1,8 +1,9 @@
-"""Phase functions: isotropic, Henyey-Greenstein, Rayleigh.
+"""Phase functions: isotropic, Henyey-Greenstein, Rayleigh, Kajiya-Kay,
+microflake, and weighted mixtures of the classic families.
 
-Counterpart of /root/reference/src/phase/{isotropic,hg,rayleigh}.cpp (base
-class include/mitsuba/render/phase.h:117; kkay/microflake need an oriented
-fiber field and are documented stretch).  Convention matches the reference:
+Counterpart of /root/reference/src/phase/{isotropic,hg,rayleigh,kkay,
+microflake,mixturephase}.cpp (base class include/mitsuba/render/phase.h:117).
+Convention matches the reference:
 ``wi`` points toward the previous vertex, ``wo`` away from the collision;
 HG's g > 0 is forward scattering, i.e. the pdf peaks at wo ~ -wi
 (cos(theta) = dot(-wi, wo)).  All three are perfectly importance-sampled
@@ -25,6 +26,9 @@ class PhaseKind:
     #                 distribution (microflake_fiber.h); phase-only parity,
     #                 the directional sigma_t coupling is approximated (the
     #                 medium keeps an isotropic extinction)
+    MIXTURE = 4     # mixturephase.cpp — normalized weighted combination of
+    #                 the classic families (HG/isotropic/Rayleigh); component
+    #                 pick by CDF inversion, pdf = balance-heuristic sum
 
 
 def hg_pdf(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
@@ -235,6 +239,68 @@ def microflake_sample(wi, axis, aux, table, u):
     return wo, jnp.where(any_ok, pdf, 0.0), w
 
 
+# ---------------------------------------------------------------------------
+# Mixture phase (reference src/phase/mixturephase.cpp): normalized weighted
+# sum of component phases.  The reference nests arbitrary PhaseFunction
+# children; here components are the classic perfectly-importance-sampled
+# families (HG with per-component g, isotropic, Rayleigh), encoded as three
+# parallel (K,) arrays so eval/sample stay a single fused broadcast — no
+# per-component virtual dispatch.  Because every component has eval == pdf,
+# the mixture's eval equals its balance-heuristic pdf and the sample weight
+# is exactly 1 (mixturephase.cpp sample's pdf() over all components).
+# ---------------------------------------------------------------------------
+
+MIX_HG = 0        # HG component (|g| < 1e-4 degenerates to isotropic)
+MIX_RAYLEIGH = 1  # Rayleigh component
+
+
+def _mix_component_pdf(cos_theta, gs, kinds):
+    """Per-component phase values at cos_theta = dot(-wi, wo).
+
+    cos_theta (..., 1) broadcasts against gs/kinds (K,) -> (..., K)."""
+    hg = jnp.where(jnp.abs(gs) < 1e-4, INV_FOURPI, hg_pdf(cos_theta, gs))
+    ray = 3.0 / (16.0 * jnp.pi) * (1.0 + cos_theta * cos_theta)
+    return jnp.where(kinds == MIX_RAYLEIGH, ray, hg)
+
+
+def mixture_eval(wi, wo, weights, gs, kinds):
+    """Weighted phase value = combined pdf (weights pre-normalized to 1)."""
+    c = dot(-wi, wo)[..., None]
+    return jnp.sum(weights * _mix_component_pdf(c, gs, kinds), axis=-1)
+
+
+def mixture_sample(wi, u, weights, gs, kinds):
+    """Pick a component by CDF inversion on u[...,0], re-stretch the uniform
+    inside the selected slab (keeps stratification), invert that component's
+    exact cos-CDF, and return (wo, pdf) with pdf the full balance sum —
+    mixturephase.cpp sample() + pdf().  Sample weight is 1 by construction."""
+    cdf = jnp.cumsum(weights)
+    u0 = u[..., 0]
+    k = jnp.sum(u0[..., None] >= cdf[:-1], axis=-1).astype(jnp.int32)
+    w_k = weights[k]
+    lo = cdf[k] - w_k
+    u0p = jnp.clip((u0 - lo) / jnp.maximum(w_k, 1e-12), 0.0, 1.0 - 1e-7)
+    g_k = jnp.clip(gs[k], -0.999, 0.999)
+    # HG inverse CDF (as phase_sample above)
+    sqr = (1.0 - g_k * g_k) / (1.0 - g_k + 2.0 * g_k * u0p)
+    two_g = jnp.where(jnp.abs(g_k) < 1e-6, 1e-6, 2.0 * g_k)
+    cos_hg = jnp.where(
+        jnp.abs(g_k) < 1e-4,
+        1.0 - 2.0 * u0p,
+        jnp.clip((1.0 + g_k * g_k - sqr * sqr) / two_g, -1.0, 1.0),
+    )
+    # Rayleigh inverse CDF (Cardano, as rayleigh_sample above)
+    v = 2.0 * (2.0 * u0p - 1.0)
+    z = jnp.cbrt(v + jnp.sqrt(v * v + 1.0))
+    cos_ray = jnp.clip(z - 1.0 / z, -1.0, 1.0)
+    cos_t = jnp.where(kinds[k] == MIX_RAYLEIGH, cos_ray, cos_hg)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+    wo = Frame.from_normal(-wi).to_world(local)
+    return wo, mixture_eval(wi, wo, weights, gs, kinds)
+
+
 def phase_eval_kind(wi, wo, g, kind: int = PhaseKind.HG, med=None):
     """Static-kind dispatch used by the volumetric integrator.  ``wi``
     points toward the previous vertex.  ``med`` supplies the fiber
@@ -245,6 +311,8 @@ def phase_eval_kind(wi, wo, g, kind: int = PhaseKind.HG, med=None):
         return kkay_eval(wi, wo, med.orientation, med.phase_aux)
     if kind == PhaseKind.MICROFLAKE:
         return microflake_eval(wi, wo, med.orientation, med.phase_aux, med.sigt_table)
+    if kind == PhaseKind.MIXTURE:
+        return mixture_eval(wi, wo, med.mix_weights, med.mix_g, med.mix_kinds)
     return phase_eval(wi, wo, g)
 
 
@@ -267,5 +335,8 @@ def phase_sample_kind_w(wi, g, u, kind: int = PhaseKind.HG, med=None):
         return kkay_sample(wi, med.orientation, med.phase_aux, u)
     if kind == PhaseKind.MICROFLAKE:
         return microflake_sample(wi, med.orientation, med.phase_aux, med.sigt_table, u)
+    if kind == PhaseKind.MIXTURE:
+        wo, pdf = mixture_sample(wi, u, med.mix_weights, med.mix_g, med.mix_kinds)
+        return wo, pdf, jnp.ones_like(pdf)
     wo, pdf = phase_sample(wi, g, u)
     return wo, pdf, jnp.ones_like(pdf)

@@ -346,9 +346,42 @@ def _compile_medium(med: dict | None) -> MediumData:
         "rayleigh": PhaseKind.RAYLEIGH,
         "kkay": PhaseKind.KKAY,
         "microflake": PhaseKind.MICROFLAKE,
+        "mixture": PhaseKind.MIXTURE,
+        "mixturephase": PhaseKind.MIXTURE,
     }.get(phase_name, PhaseKind.HG)
     g = 0.0 if phase_name in ("isotropic", "rayleigh") else float(med.get("g", 0.0))
     fiber_kw = {}
+    if pk == PhaseKind.MIXTURE:
+        # mixturephase.cpp: normalized weights over child phases; here each
+        # component is {"type": "hg"|"isotropic"|"rayleigh", "g": float}
+        from mitsuba_path_guiding_tpu.models.phase import MIX_HG, MIX_RAYLEIGH
+
+        comps = med.get("phase_components", [])
+        ws = np.asarray(
+            med.get("phase_weights", [1.0] * len(comps)), dtype=np.float32
+        )
+        if len(comps) == 0 or len(ws) != len(comps):
+            raise ValueError("mixture phase needs matching weights/components")
+        if np.any(ws < 0.0) or ws.sum() <= 0.0:
+            raise ValueError("invalid mixture phase weights")
+        ws = ws / ws.sum()
+        gs, kinds = [], []
+        for c in comps:
+            ct = c.get("type", "hg") if isinstance(c, dict) else str(c)
+            if ct == "rayleigh":
+                gs.append(0.0)
+                kinds.append(MIX_RAYLEIGH)
+            elif ct == "isotropic":
+                gs.append(0.0)
+                kinds.append(MIX_HG)
+            elif ct == "hg":
+                gs.append(float(c.get("g", 0.0)) if isinstance(c, dict) else 0.0)
+                kinds.append(MIX_HG)
+            else:
+                raise ValueError(f"unsupported mixture phase component '{ct}'")
+        fiber_kw["mix_weights"] = jnp.asarray(ws)
+        fiber_kw["mix_g"] = jnp.asarray(np.asarray(gs, dtype=np.float32))
+        fiber_kw["mix_kinds"] = jnp.asarray(np.asarray(kinds, dtype=np.int32))
     if pk in (PhaseKind.KKAY, PhaseKind.MICROFLAKE):
         axis = np.asarray(med.get("orientation", [0.0, 0.0, 1.0]), dtype=np.float32)
         axis = axis / max(np.linalg.norm(axis), 1e-9)

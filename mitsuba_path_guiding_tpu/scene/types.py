@@ -218,6 +218,10 @@ class MediumData(NamedTuple):
     phase_aux: jnp.ndarray = None    # (4,) kkay: ks,kd,exponent,norm;
     #                                  microflake: stddev,norm,erf-c1,0
     sigt_table: jnp.ndarray = None   # (64,) microflake sigma_t(cos) table
+    # mixture-phase extras (mixturephase.cpp; None otherwise):
+    mix_weights: jnp.ndarray = None  # (K,) normalized component weights
+    mix_g: jnp.ndarray = None        # (K,) per-component HG g
+    mix_kinds: jnp.ndarray = None    # (K,) int32 MIX_HG/MIX_RAYLEIGH
 
 
 class SceneData(NamedTuple):

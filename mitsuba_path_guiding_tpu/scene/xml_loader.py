@@ -523,12 +523,30 @@ def load_scene_xml(path_or_string: str, defaults: dict | None = None,
         mp = _props(medium, defaults)
         phase = medium.find("phase")
         g = 0.0
+        phase_kw = {}
         if phase is not None and phase.get("type") == "hg":
             g = float(_props(phase, defaults).get("g", 0.0))
+        elif phase is not None and phase.get("type") in ("rayleigh", "isotropic"):
+            phase_kw["phase"] = phase.get("type")
+        elif phase is not None and phase.get("type") == "mixturephase":
+            # mixturephase.cpp: "weights" string prop + nested <phase> children
+            pp = _props(phase, defaults)
+            ws = [
+                float(w)
+                for w in str(pp.get("weights", "")).replace(",", " ").replace(";", " ").split()
+            ]
+            comps = []
+            for child in phase.findall("phase"):
+                cp = _props(child, defaults)
+                comps.append({"type": child.get("type", "hg"), "g": float(cp.get("g", 0.0))})
+            phase_kw["phase"] = "mixture"
+            phase_kw["phase_weights"] = ws
+            phase_kw["phase_components"] = comps
         desc["medium"] = {
             "sigma_a": mp.get("sigmaA", mp.get("sigma_a", [0.0] * 3)),
             "sigma_s": mp.get("sigmaS", mp.get("sigma_s", [0.0] * 3)),
             "g": g,
+            **phase_kw,
         }
 
     return desc, settings

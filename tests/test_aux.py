@@ -450,3 +450,59 @@ def test_pick_emitter_matches_searchsorted():
         got = np.asarray(_pick_emitter(em, jnp.asarray(u)))
         want = np.clip(np.searchsorted(cdf, u, side="right"), 0, e - 1)
         np.testing.assert_array_equal(got, want)
+
+
+def test_adaptive_statistical_stopping(scene):
+    """Reference adaptive.cpp: per-pixel sampling stops when the (1-p)
+    normal-quantile confidence interval on mean luminance narrows below
+    max_error * max(mean, 1% avg luminance); budget capped at
+    max_sample_factor * base_spp.  Checks the quantile math, that the
+    accumulator is exactly unbiased (capped pixels reproduce the uniform
+    render bit-for-bit), and that the criterion differentiates pixels."""
+    import jax.numpy as jnp
+
+    from mitsuba_path_guiding_tpu.integrators.aux_integrators import (
+        _normal_quantile,
+        render_adaptive,
+    )
+    from mitsuba_path_guiding_tpu.integrators.render import render_wave
+
+    # boost::math::quantile(normal, 1 - 0.05/2) == 1.95996...
+    assert abs(_normal_quantile(0.05) - 1.959964) < 1e-4
+    assert abs(_normal_quantile(0.32) - 0.994458) < 1e-4
+
+    cfg = RenderConfig(width=16, height=16, spp=8, max_depth=4, seed=5)
+    # max_error=0: every pixel with any variance runs to the cap; those
+    # capped pixels must match a uniform cap-spp accumulation EXACTLY
+    img, info = render_adaptive(
+        scene, cfg, base_spp=8, max_sample_factor=8, max_error=0.0
+    )
+    spp = info["spp"]
+    assert spp.min() >= 8 and spp.max() == 64
+    pix = jnp.arange(256, dtype=jnp.int32)
+    acc = jnp.zeros((256, 3))
+    for s in range(64):
+        _, L, _ = render_wave(scene, cfg, pix, jnp.full_like(pix, s), None, None)
+        acc = acc + L
+    ref = np.asarray(acc / 64).reshape(16, 16, 3)
+    capped = spp == 64
+    assert capped.sum() > 100
+    np.testing.assert_array_equal(np.asarray(img)[capped], ref[capped])
+    # pixels that stopped early did so with a zero CI (zero sample variance
+    # over the pilot — e.g. pure black or fully-emitter pixels), exactly the
+    # reference's behavior for ciWidth <= 0 * base
+    assert (info["ci_width"][~capped] == 0.0).all()
+
+    # a real threshold must differentiate pixels and respect both bounds
+    img2, info2 = render_adaptive(
+        scene, cfg, base_spp=8, max_sample_factor=16, max_error=0.05
+    )
+    spp2 = info2["spp"]
+    assert spp2.min() >= 8 and spp2.max() <= 128
+    assert spp2.max() > spp2.min()
+    # converged (non-capped, non-degenerate) pixels satisfy the criterion
+    done = (spp2 < 128) & (spp2 > 8)
+    assert done.any()
+    mean_lum = np.asarray(img2).mean(-1)
+    base = np.maximum(mean_lum, 0.01 * mean_lum.mean())
+    assert (info2["ci_width"][done] <= 0.05 * base[done] * 1.5).all()

@@ -274,3 +274,75 @@ def test_microflake_directional_extinction():
     assert np.isfinite(img_z).all() and np.isfinite(img_x).all()
     rel = abs(img_z.mean() - img_x.mean()) / max(img_z.mean(), 1e-9)
     assert rel > 0.02, rel
+
+
+# ---------------------------------------------------------------------------
+# mixture phase (reference mixturephase.cpp)
+# ---------------------------------------------------------------------------
+
+def test_mixture_phase_chi2():
+    """Chi2 + normalization + eval==pdf for a 3-component mixture
+    (mixturephase.cpp: weighted sum, balance pdf over all components)."""
+    from mitsuba_path_guiding_tpu.models.phase import (
+        MIX_HG,
+        MIX_RAYLEIGH,
+        mixture_eval,
+        mixture_sample,
+    )
+
+    weights = jnp.asarray([0.5, 0.3, 0.2], jnp.float32)
+    gs = jnp.asarray([0.7, 0.0, -0.4], jnp.float32)
+    kinds = jnp.asarray([MIX_HG, MIX_RAYLEIGH, MIX_HG], jnp.int32)
+    wi = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (N, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(41), (N, 2))
+    wo, pdf = mixture_sample(wi, u, weights, gs, kinds)
+    # perfectly importance sampled: returned pdf equals eval at wo
+    np.testing.assert_allclose(
+        np.asarray(pdf), np.asarray(mixture_eval(wi, wo, weights, gs, kinds)), rtol=1e-5
+    )
+
+    def pdf_fn(dirs):
+        m = dirs.shape[0]
+        wi_m = jnp.broadcast_to(jnp.asarray([0.36, -0.48, 0.8], jnp.float32), (m, 3))
+        return np.asarray(mixture_eval(wi_m, jnp.asarray(dirs), weights, gs, kinds))
+
+    passed, p, msg = chi2.chi2_test_sphere(np.asarray(wo), pdf_fn)
+    assert passed, msg
+
+
+def test_mixture_phase_e2e_brackets_components():
+    """A 50/50 HG(g)/HG(-g) mixture in a homogeneous box must render between
+    the two pure-component renders' means (energy is monotone in forward
+    scattering toward the camera here) and exactly match when both
+    components are identical."""
+    from mitsuba_path_guiding_tpu.scene.scenes import volumetric_box
+
+    def render_phase(med_patch):
+        desc = volumetric_box(sigma_s=0.6, sigma_a=0.1, g=0.0)
+        desc["medium"].update(med_patch)
+        sc = build_scene(desc)
+        return np.asarray(render(sc, RenderConfig(width=16, height=16, spp=128, max_depth=6, seed=3)))
+
+    img_mix_same = render_phase(
+        {
+            "phase": "mixture",
+            "phase_weights": [0.5, 0.5],
+            "phase_components": [{"type": "hg", "g": 0.6}, {"type": "hg", "g": 0.6}],
+        }
+    )
+    img_pure = render_phase({"phase": "hg", "g": 0.6})
+    # identical-component mixture is DISTRIBUTIONALLY equal to the pure
+    # phase (the CDF-slab remap permutes samples, so only means agree)
+    rel = abs(img_mix_same.mean() - img_pure.mean()) / max(img_pure.mean(), 1e-9)
+    assert rel < 0.05, (img_mix_same.mean(), img_pure.mean())
+
+    img_mix = render_phase(
+        {
+            "phase": "mixture",
+            "phase_weights": [0.5, 0.5],
+            "phase_components": [{"type": "hg", "g": 0.6}, {"type": "hg", "g": -0.6}],
+        }
+    )
+    lo = min(render_phase({"phase": "hg", "g": 0.6}).mean(), render_phase({"phase": "hg", "g": -0.6}).mean())
+    hi = max(render_phase({"phase": "hg", "g": 0.6}).mean(), render_phase({"phase": "hg", "g": -0.6}).mean())
+    assert lo - 0.02 * hi <= img_mix.mean() <= hi * 1.02 + 1e-6, (lo, img_mix.mean(), hi)
