@@ -109,6 +109,20 @@ def main():
         # also the right progressive-renderer shape (the reference batches
         # BlockedRenderProcesses per progression, progressiveintegrator
         # .cpp:83-105; here the batch is a compiled scan)
+        # the FROZEN-cache render path rides the fused megakernel
+        # (ops/fused_path.py: whole bounce loop in one pallas kernel,
+        # round-5: 62 -> 90+ Mrays/s on this stage); training waves keep
+        # the wavefront integrator (path records feed the EM fit)
+        from mitsuba_path_guiding_tpu.ops.fused_path import (
+            build_fused_tables,
+            fused_supported,
+            trace_fused,
+        )
+
+        use_fused = fused_supported(scene, levels=levels)
+        fused_tables = build_fused_tables(scene) if use_fused else None
+        log(f"headline frozen path: {'fused megakernel' if use_fused else 'wavefront'}")
+
         def _one_wave(rgbw, grid, wave_idx, fit):
             sidx_base = wave_idx * SPP_PER_WAVE
             sidx = (
@@ -118,11 +132,17 @@ def main():
             rkeys = rng.ray_keys(key, pix, sidx)
             u_cam = rng.event_uniform(rkeys, TAG_CAMERA, 2)
             o, d, film_xy = generate_rays(scene.sensor, W, H, pix, u_cam)
-            L, aux, rec = trace(
-                scene, o, d, rkeys, max_depth=MAX_DEPTH, use_bvh=False,
-                guide=guide, guide_state=grid, record_paths=fit,
-                em_kinds=em_kinds, mat_types=mat_types,
-            )
+            if not fit and use_fused:
+                L, aux, rec = trace_fused(
+                    fused_tables, o, d, rkeys, grid=grid,
+                    max_depth=MAX_DEPTH, guided=True, alpha=0.5,
+                )
+            else:
+                L, aux, rec = trace(
+                    scene, o, d, rkeys, max_depth=MAX_DEPTH, use_bvh=False,
+                    guide=guide, guide_state=grid, record_paths=fit,
+                    em_kinds=em_kinds, mat_types=mat_types,
+                )
             rgbw = splat_box_aligned(rgbw, L, n_pix)
             if fit:
                 grid = update_grid(grid, *accumulate_stats(grid, rec, levels=levels))

@@ -70,6 +70,30 @@ def _cone_angle(scene, cfg) -> float:
 
 QMC_PIXEL_SAMPLERS = ("sobol", "ldsampler", "halton", "hammersley")
 
+# fused-megakernel table cache: keyed by the id of the scene's p0 buffer;
+# the stored strong reference pins the keyed array so the id can't be
+# recycled.  None entries memoize "unsupported".
+_FUSED_TABLE_CACHE: dict = {}
+
+
+def _fused_tables_for(scene):
+    """Cached ops.fused_path tables for a concrete scene, else None
+    (tracers, unsupported material/emitter sets)."""
+    k = id(scene.geo.p0)
+    if k in _FUSED_TABLE_CACHE:
+        return _FUSED_TABLE_CACHE[k][1]
+    try:
+        from mitsuba_path_guiding_tpu.ops.fused_path import (
+            build_fused_tables,
+            fused_supported,
+        )
+
+        tables = build_fused_tables(scene) if fused_supported(scene) else None
+    except Exception:  # tracer scene under jit/shard_map
+        return None
+    _FUSED_TABLE_CACHE[k] = (scene.geo.p0, tables)
+    return tables
+
 
 def wave_keys_and_jitter(cfg, pixel_id, sample_idx):
     """Shared RNG/jitter derivation for every wave path (single-device,
@@ -177,6 +201,20 @@ def render_wave(
     from mitsuba_path_guiding_tpu.models.bsdf import types_present
 
     mat_types = types_present(scene.mats)
+    # unguided megakernel fast path (ops/fused_path.py): VMEM-resident
+    # diffuse/area scenes trace the whole bounce loop in one pallas kernel
+    # (round-5: ~1.45x the wavefront path on the Cornell headline).  Only
+    # on concrete scenes (host-driven renders) — tracers fall through.
+    fused_tables = None
+    if (
+        guide is None
+        and cfg.integrator != "volpath"
+        and cfg.qmc_bounces == 0
+        and cfg.use_nee
+        and cfg.sampler == "independent"
+        and jax.default_backend() == "tpu"
+    ):
+        fused_tables = _fused_tables_for(scene)
     if guide is None and cfg.integrator != "volpath" and not scene.medium.enabled:
         # unguided fast path: guided code shape with selection prob 0
         # (compiles ~2x faster on TPU; see guiding/trivial.py)
@@ -216,6 +254,13 @@ def render_wave(
             mat_types=mat_types,
             hetero=bool(scene.medium.heterogeneous),
             phase_kind=int(scene.medium.phase_kind),
+        )
+    elif fused_tables is not None:
+        from mitsuba_path_guiding_tpu.ops.fused_path import trace_fused
+
+        L, aux, _ = trace_fused(
+            fused_tables, o, d, rkeys,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, guided=False,
         )
     else:
         uniforms = None

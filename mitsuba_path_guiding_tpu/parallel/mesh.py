@@ -50,8 +50,10 @@ def make_device_mesh(devices=None) -> Mesh:
 from mitsuba_path_guiding_tpu.models.emitter import ALL_KINDS
 
 
-def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None, sensor_kind=0):
-    """Per-device wave: trace the local pixel shard (pure, shard-oblivious)."""
+def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds=ALL_KINDS, mat_types=None, record=None, sensor_kind=0, vol=False, guide_distance=False):
+    """Per-device wave: trace the local pixel shard (pure, shard-oblivious).
+    ``vol=True`` routes through the volumetric integrator (BASELINE config
+    4's parallel layout — guided distance + phase sampling on the mesh)."""
     from mitsuba_path_guiding_tpu.integrators.render import wave_keys_and_jitter
 
     _, rkeys, u_cam, u_pos = wave_keys_and_jitter(cfg, pixel_id, sample_idx)
@@ -59,28 +61,48 @@ def _wave_local(scene, cfg: RenderConfig, use_bvh, guide, grid, pixel_id, sample
         scene.sensor, cfg.width, cfg.height, pixel_id, u_pos, u_cam[..., 2:4],
         kind=sensor_kind,
     )
-    L, aux, rec = trace(
-        scene,
-        o,
-        d,
-        rkeys,
-        max_depth=cfg.max_depth,
-        rr_depth=cfg.rr_depth,
-        use_nee=cfg.use_nee,
-        use_bvh=use_bvh,
-        accel=getattr(cfg, "accel", "auto"),
-        guide=guide,
-        guide_state=grid,
-        record_paths=(guide is not None) if record is None else record,
-        em_kinds=em_kinds,
-        mat_types=mat_types,
-    )
+    record = (guide is not None) if record is None else record
+    if vol:
+        from mitsuba_path_guiding_tpu.integrators.volpath import trace_vol
+
+        L, aux, rec = trace_vol(
+            scene, o, d, rkeys,
+            max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth,
+            use_nee=cfg.use_nee,
+            use_bvh=use_bvh,
+            guide=guide,
+            guide_state=grid,
+            em_kinds=em_kinds,
+            mat_types=mat_types,
+            record_paths=record,
+            hetero=bool(scene.medium.heterogeneous),
+            phase_kind=int(scene.medium.phase_kind),
+            guide_distance=guide_distance,
+        )
+    else:
+        L, aux, rec = trace(
+            scene,
+            o,
+            d,
+            rkeys,
+            max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth,
+            use_nee=cfg.use_nee,
+            use_bvh=use_bvh,
+            accel=getattr(cfg, "accel", "auto"),
+            guide=guide,
+            guide_state=grid,
+            record_paths=record,
+            em_kinds=em_kinds,
+            mat_types=mat_types,
+        )
     if cfg.max_component_value > 0.0:
         L = jnp.minimum(L, cfg.max_component_value)
     return film_xy, L, aux, rec
 
 
-def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=None, train: bool = True):
+def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=None, train: bool = True, vol: bool = False, guide_distance: bool = False):
     """Build the jitted sharded render (+ optional guiding-train) step.
 
     Returns step(pixel_ids (N,), sample_idx (N,), rgbw (n_dev, H*W, 4),
@@ -113,7 +135,7 @@ def make_sharded_step(scene: SceneData, cfg: RenderConfig, mesh: Mesh, guide=Non
     def step(pixel_id, sample_idx, rgbw, grid):
         film_xy, L, aux, rec = _wave_local(
             scene, cfg, use_bvh, guide, grid, pixel_id, sample_idx, em_kinds,
-            mat_types, record,
+            mat_types, record, vol=vol, guide_distance=guide_distance,
         )
         rgbw_out = splat(
             rgbw[0], film_xy, L, cfg.width, cfg.height, cfg.filter_name
