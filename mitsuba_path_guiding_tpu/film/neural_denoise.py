@@ -52,11 +52,21 @@ def _conv_spec():
 
 
 def init_params(key) -> dict:
-    """He-initialized parameter pytree."""
+    """He-initialized parameter pytree; the residual head starts at ZERO.
+
+    Zero-initializing ``out`` makes the untrained network the identity
+    over the a-trous base — training descends FROM the baseline instead
+    of from He-noise far above it.  With a noisy head start, 3/6 round-4
+    seeds collapsed into the zero-residual local minimum (dying-ReLU
+    path: the fastest loss drop is killing the head, and nothing revives
+    it); zero-init removes that cliff entirely (round-5 sweep: 6/6 seeds
+    converge non-trivially)."""
     params = {}
     for name, k, cin, cout, _ in _conv_spec():
         key, sub = jax.random.split(key)
         w = jax.random.normal(sub, (k, k, cin, cout)) * np.sqrt(2.0 / (k * k * cin))
+        if name == "out":
+            w = jnp.zeros_like(w)
         params[name + "_w"] = w.astype(jnp.float32)
         params[name + "_b"] = jnp.zeros((cout,), jnp.float32)
     return params

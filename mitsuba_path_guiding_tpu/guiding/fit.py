@@ -31,6 +31,10 @@ from mitsuba_path_guiding_tpu.guiding.grid import (
 from mitsuba_path_guiding_tpu.integrators.path import PathRecord
 
 MIN_SAMPLES_VALID = 32.0
+# alpha_scale ramp (update_grid): mean-resultant-length band between
+# "isotropic incident light, guide off" and "directional, full fraction"
+ALPHA_R_LO = 0.2
+ALPHA_R_HI = 0.6
 EMA = 0.7            # statistics carry-over between progressions
 WEIGHT_FLOOR = 1e-3  # mixture weight floor (lobe-death guard)
 KAPPA_FIT_MAX = 5e3
@@ -131,6 +135,20 @@ def update_grid(grid: GuidingGrid, s_w, s_dir, s_count,
     new_kappa = jnp.clip(mean_cosine_to_kappa(r), 1e-2, KAPPA_FIT_MAX)
     new_mu = s_dir_t / jnp.maximum(norm_dir, 1e-12)[..., None]
 
+    # learned per-cell BSDF fraction (GuidingGrid.alpha_scale): the mean
+    # resultant length of ALL li/pdf-weighted sample directions measures
+    # how directional the cell's incident radiance is — near-isotropic
+    # cells (r_bar < ALPHA_R_LO) get alpha 0 (guiding cannot out-sample a
+    # cosine lobe there, it only adds one-sample-MIS variance), strongly
+    # directional cells (r_bar > ALPHA_R_HI) keep the full fraction
+    res_vec = jnp.sum(s_dir_t, axis=1)                      # (C, 3)
+    r_bar = jnp.linalg.norm(res_vec, axis=-1) / jnp.maximum(
+        total_w[..., 0], 1e-12
+    )
+    alpha_scale = jnp.clip(
+        (r_bar - ALPHA_R_LO) / (ALPHA_R_HI - ALPHA_R_LO), 0.0, 1.0
+    )
+
     lobe_ok = (s_w_t > 1e-9) & (norm_dir > 1e-12)
     mu = jnp.where(lobe_ok[..., None], new_mu, grid.mu)
     kappa = jnp.where(lobe_ok, new_kappa, grid.kappa)
@@ -161,6 +179,7 @@ def update_grid(grid: GuidingGrid, s_w, s_dir, s_count,
         s_w=s_w_t,
         s_dir=s_dir_t,
         s_count=s_count_t,
+        alpha_scale=alpha_scale,
         **extra,
     )
 
@@ -224,6 +243,7 @@ def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> Guidin
     s_pos_w = np.asarray(grid.s_pos_w).copy() if grid.s_pos_w is not None else None
     origin = np.asarray(grid.origin).copy() if grid.origin is not None else None
     lobe_dist = np.asarray(grid.lobe_dist).copy() if grid.lobe_dist is not None else None
+    a_scale = np.asarray(grid.alpha_scale).copy() if grid.alpha_scale is not None else None
 
     for parent in idx:
         base = n_used
@@ -238,6 +258,8 @@ def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> Guidin
         s_w[rows] = s_w[parent] / 8.0
         s_dir[rows] = s_dir[parent] / 8.0
         s_count[rows] = s_count[parent] / 8.0
+        if a_scale is not None:
+            a_scale[rows] = a_scale[parent]
         if s_rho is not None:
             s_rho[rows] = s_rho[parent] / 8.0
             s_pos[rows] = s_pos[parent] / 8.0
@@ -247,8 +269,10 @@ def refine_grid(grid: GuidingGrid, threshold: float = SPLIT_THRESHOLD) -> Guidin
         n_used += 8
 
     extra = {}
+    if a_scale is not None:
+        extra["alpha_scale"] = jnp.asarray(a_scale)
     if s_rho is not None:
-        extra = dict(
+        extra |= dict(
             s_rho=jnp.asarray(s_rho), s_pos=jnp.asarray(s_pos),
             s_pos_w=jnp.asarray(s_pos_w), origin=jnp.asarray(origin),
             lobe_dist=jnp.asarray(lobe_dist),

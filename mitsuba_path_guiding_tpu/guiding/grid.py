@@ -64,6 +64,14 @@ class GuidingGrid(NamedTuple):
     s_pos_w: jnp.ndarray = None    # (C,)
     origin: jnp.ndarray = None     # (C, 3) fitting origin
     lobe_dist: jnp.ndarray = None  # (C, K) mean distance (0 = unknown)
+    # learned per-cell BSDF fraction (round 5): scales the guide-selection
+    # probability by how DIRECTIONAL the cell's incident radiance actually
+    # is (mean resultant length of the li/pdf-weighted sample directions).
+    # Cells with near-isotropic incident light cannot out-sample a cosine
+    # lobe — guiding there only adds one-sample-MIS variance (measured
+    # ~1.0x on the NEE-friendly door_room); this drives their alpha to 0
+    # while concentrated cells keep the full fraction.  None = 1.0.
+    alpha_scale: jnp.ndarray = None  # (C,) in [0, 1]
 
 
 def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0,
@@ -103,6 +111,7 @@ def make_grid(aabb_min, aabb_max, res: int = 16, n_lobes: int = 8, seed: int = 0
         s_pos_w=jnp.zeros((c,)),
         origin=jnp.asarray(org),
         lobe_dist=jnp.zeros((c, n_lobes)),
+        alpha_scale=jnp.ones((c,)),
     )
 
 
@@ -140,7 +149,7 @@ def mixture_weights(grid: GuidingGrid, cid: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(grid.log_weight[cid], axis=-1)
 
 
-def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
+def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray, with_alpha: bool = False):
     """One packed row-gather of per-cell parameters, transposed to (K, N).
 
     TPU layout note: gathering ``grid.mu[cid]`` materializes (N, K, 3)
@@ -151,17 +160,19 @@ def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
     Returns (w (K,N) softmaxed, mux, muy, muz (K,N), kappa (K,N), valid (N,)).
     """
     c, k = grid.kappa.shape
-    packed = jnp.concatenate(
-        [
-            grid.mu[..., 0].T,        # (K, C)
-            grid.mu[..., 1].T,
-            grid.mu[..., 2].T,
-            grid.kappa.T,
-            grid.log_weight.T,
-            grid.valid[None, :].astype(jnp.float32),
-        ],
-        axis=0,
-    )                                  # (5K+1, C) — C is small, pack is cheap
+    rows = [
+        grid.mu[..., 0].T,            # (K, C)
+        grid.mu[..., 1].T,
+        grid.mu[..., 2].T,
+        grid.kappa.T,
+        grid.log_weight.T,
+        grid.valid[None, :].astype(jnp.float32),
+    ]
+    if with_alpha:
+        a_row = (grid.alpha_scale if grid.alpha_scale is not None
+                 else jnp.ones((c,)))
+        rows.append(a_row[None, :].astype(jnp.float32))
+    packed = jnp.concatenate(rows, axis=0)  # (5K+1[+1], C) — pack is cheap
     # COLUMN gather: output (5K+1, N) keeps the big ray axis in the
     # 128-lane minor dim.  The row-major form (packed[cid].T) materializes
     # an (N, 41) buffer whose 41-wide minor dim lane-pads to 128 (134 MB
@@ -179,6 +190,8 @@ def _gather_cells(grid: GuidingGrid, cid: jnp.ndarray):
     logw = rows[4 * k : 5 * k]
     valid = rows[5 * k] > 0.5
     w = jax.nn.softmax(logw, axis=0)
+    if with_alpha:
+        return (w, mux, muy, muz, kappa, valid), rows[5 * k + 1]
     return w, mux, muy, muz, kappa, valid
 
 

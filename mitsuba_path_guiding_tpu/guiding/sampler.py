@@ -57,7 +57,9 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
         )
 
         cid = cell_index(grid, p, levels=MAX_REFINE_LEVELS if levels is None else levels)
-        params = _gather_cells(grid, cid)  # one packed gather pass
+        # one packed gather pass; the extra row is the learned per-cell
+        # BSDF fraction (fit.py update_grid alpha_scale — round 5)
+        params, a_scale = _gather_cells(grid, cid, with_alpha=True)
         if parallax:
             # parallax-aware mean reprojection (Ruppert et al. 2020):
             # re-aim each lobe at its fitted virtual source from p; the
@@ -86,7 +88,7 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
                 | (t == BSDFType.DIFFTRANS)
             )
             usable = usable & (diffuseish | (mats.alpha[mid] >= min_rough))
-        return params, jnp.where(usable, alpha, 0.0)
+        return params, jnp.where(usable, alpha * a_scale, 0.0)
 
     def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe, tex=None):
         from mitsuba_path_guiding_tpu.guiding.grid import (

@@ -429,6 +429,7 @@ def _make_kernel(max_depth, rr_depth, n_tri, t_pad, n_em, e_pad, n_mat,
                 gkap = grow[3 * K:4 * K]
                 glogw = grow[4 * K:5 * K]
                 gvalid = grow[5 * K] > 0.5
+                g_ascale = grow[5 * K + 1]
                 wmax = jnp.max(glogw, axis=0, keepdims=True)
                 we = jnp.exp(glogw - wmax)
                 gw = we / jnp.maximum(jnp.sum(we, axis=0, keepdims=True),
@@ -441,7 +442,7 @@ def _make_kernel(max_depth, rr_depth, n_tri, t_pad, n_em, e_pad, n_mat,
                     return jnp.where(gvalid, pdf,
                                      jnp.float32(1.0 / (4.0 * np.pi)))
 
-                a_g = jnp.where(gvalid, jnp.float32(alpha), 0.0)
+                a_g = jnp.where(gvalid, jnp.float32(alpha) * g_ascale, 0.0)
             else:
                 mix_pdf = None
                 a_g = jnp.zeros((tile,))
@@ -724,15 +725,18 @@ def _pack_guide(grid):
     c, k = grid.kappa.shape
     assert k == 8, "fused kernel compiled for K=8 lobes"
     n_cells = int(grid.mu.shape[0])  # level-0: all root cells (res0^3 == C)
+    a_row = (grid.alpha_scale if grid.alpha_scale is not None
+             else jnp.ones((grid.mu.shape[0],)))
     packed = jnp.concatenate(
         [
             grid.mu[..., 0].T, grid.mu[..., 1].T, grid.mu[..., 2].T,
             grid.kappa.T, grid.log_weight.T,
             grid.valid[None, :].astype(jnp.float32),
+            a_row[None, :].astype(jnp.float32),
         ], axis=0,
-    ).astype(jnp.bfloat16)  # (41, C)
+    ).astype(jnp.bfloat16)  # (42, C): row 41 = learned per-cell alpha scale
     cpad = ((n_cells + GUIDE_CHUNK - 1) // GUIDE_CHUNK) * GUIDE_CHUNK
-    guide_tab = jnp.zeros((48, cpad), jnp.bfloat16).at[:41, :n_cells].set(
+    guide_tab = jnp.zeros((48, cpad), jnp.bfloat16).at[:42, :n_cells].set(
         packed
     )
     res = jnp.round(jnp.float32(n_cells) ** (1.0 / 3.0))

@@ -149,7 +149,13 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
     n_img = X.shape[0]
     params = nd.init_params(jax.random.key(seed))
     print(f"params: {nd.n_params(params)/1e3:.1f}k")
-    sched = optax.cosine_decay_schedule(lr, steps)
+    # linear warmup before the cosine decay: with the zero-init residual
+    # head (neural_denoise.init_params) the early gradients all hit one
+    # layer — a full-rate first step can still knock the encoder into
+    # dead-ReLU territory on unlucky batches
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=max(steps // 20, 50), decay_steps=steps
+    )
     opt = optax.adam(sched)
     opt_state = opt.init(params)
 
