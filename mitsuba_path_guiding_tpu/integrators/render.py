@@ -78,7 +78,19 @@ _FUSED_TABLE_CACHE: dict = {}
 
 def _fused_tables_for(scene):
     """Cached ops.fused_path tables for a concrete scene, else None
-    (tracers, unsupported material/emitter sets)."""
+    (tracers, unsupported material/emitter sets).
+
+    NEVER builds under an active jax trace: even with a concrete
+    closure-captured scene, the jnp table constants would be created
+    inside the outer trace and leak out of it through the cache
+    (UnexpectedTracerError seen from render_scanned, round 5)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        if not trace_state_clean():
+            return None
+    except Exception:
+        return None
     k = id(scene.geo.p0)
     if k in _FUSED_TABLE_CACHE:
         return _FUSED_TABLE_CACHE[k][1]

@@ -27,8 +27,13 @@ import jax.numpy as jnp
 
 from mitsuba_path_guiding_tpu.accel.bvh import build_bvh
 
-# triangle count above which the scene gets two-level intersection tables
-TWOLEVEL_MIN_TRIS = 65536
+# triangle count above which the scene gets two-level intersection tables.
+# Matches integrators.render.BRUTE_FORCE_MAX_TRIS so the TPU never falls
+# into the vmapped-BVH gap between them: XLA TPU lowers the BVH leaf's
+# per-lane triangle gathers into a full (rays, tris, 3) broadcast-select —
+# a ~100 GB allocation at 9k rays x 22k tris (round-5 find; the vmapped
+# BVH serves CPU only, as its docstring says).
+TWOLEVEL_MIN_TRIS = 16384
 from mitsuba_path_guiding_tpu.accel.traverse import STACK_SIZE
 from mitsuba_path_guiding_tpu.core.spectrum import LUM_WEIGHTS
 from mitsuba_path_guiding_tpu.scene.shapes import SHAPE_BUILDERS

@@ -493,3 +493,87 @@ def test_alpha_scale_tracks_directionality():
     np.testing.assert_allclose(np.asarray(pdf1), 0.3, atol=1e-3)
     # directional cell mixes the guide density in
     assert abs(float(pdf0[0]) - 0.3) > 1e-3
+
+
+def test_door_room_guiding_gain_equal_spp():
+    """Equal-spp guiding win on the door_room (BASELINE config 3 family)
+    with the round-5 recipe: refinement (threshold 256 at this scale) +
+    learned per-cell BSDF fraction, 24 training spp.  Deterministic
+    (counter-based RNG, fixed seeds): measured 1.130x at this scale —
+    assert the recipe keeps a >10% win.  The bench measures the full-size
+    512^2 version (1.23x at 256^2, tools/exp_door_guiding.py)."""
+    from functools import partial
+
+    from mitsuba_path_guiding_tpu.core import rng
+    from mitsuba_path_guiding_tpu.core.rng import TAG_CAMERA
+    from mitsuba_path_guiding_tpu.film.film import splat_box_aligned
+    from mitsuba_path_guiding_tpu.guiding.fit import (
+        accumulate_stats, refine_grid, update_grid,
+    )
+    from mitsuba_path_guiding_tpu.guiding.grid import MAX_REFINE_LEVELS
+    from mitsuba_path_guiding_tpu.guiding.sampler import make_guide_fn
+    from mitsuba_path_guiding_tpu.integrators.path import trace
+    from mitsuba_path_guiding_tpu.models.bsdf import types_present
+    from mitsuba_path_guiding_tpu.models.emitter import kinds_present
+    from mitsuba_path_guiding_tpu.models.sensor import generate_rays
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.scenes import door_room
+
+    scene = build_scene(door_room(60_000))
+    W = H = 96
+    n_pix = W * H
+    ek = kinds_present(scene.emitters)
+    mt = types_present(scene.mats)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    key = rng.base_key(0)
+    levels = MAX_REFINE_LEVELS
+    guide = make_guide_fn(0.5, mt, levels=levels, min_rough=0.3)
+
+    @partial(jax.jit, static_argnames=("guided", "fit", "n_w"))
+    def waves(rgbw, grid, w0, guided=False, fit=False, n_w=1):
+        def body(carry, w_idx):
+            rgbw, grid = carry
+            rk = rng.ray_keys(key, pix, jnp.full((n_pix,), w_idx, jnp.int32))
+            u_cam = rng.event_uniform(rk, TAG_CAMERA, 2)
+            o, d, _ = generate_rays(scene.sensor, W, H, pix, u_cam)
+            L, _, rec = trace(scene, o, d, rk, max_depth=5, use_bvh=True,
+                              guide=guide if guided else None,
+                              guide_state=grid if guided else None,
+                              record_paths=fit, em_kinds=ek, mat_types=mt)
+            rgbw = splat_box_aligned(rgbw, L, n_pix)
+            if fit:
+                grid = update_grid(
+                    grid, *accumulate_stats(grid, rec, levels=levels))
+            return (rgbw, grid), None
+
+        (rgbw, grid), _ = jax.lax.scan(
+            body, (rgbw, grid), w0 + jnp.arange(n_w, dtype=jnp.int32))
+        return rgbw, grid
+
+    def film():
+        return jnp.zeros((n_pix, 4), jnp.float32)
+
+    def img_of(r):
+        a = np.asarray(r)
+        return a[:, :3] / np.maximum(a[:, 3:4], 1e-9)
+
+    grid0 = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8,
+                      capacity=4 * 16**3)
+    ref = img_of(waves(film(), grid0, jnp.int32(200), n_w=24)[0])
+    un = img_of(waves(film(), grid0, jnp.int32(600), n_w=4)[0])
+    grid = grid0
+    for prog in range(3):
+        _, grid = waves(film(), grid, jnp.int32(prog * 8), guided=True,
+                        fit=True, n_w=8)
+        if prog < 2:
+            grid = refine_grid(grid, 256.0)
+    assert int(np.asarray(grid.n_used)) > 16**3  # refinement actually split
+    g = img_of(waves(film(), grid, jnp.int32(600), guided=True, n_w=4)[0])
+    eps = (0.1 * float(ref.mean())) ** 2
+
+    def relmse(img):
+        return float(np.mean((img - ref) ** 2 / (ref ** 2 + eps)))
+
+    r_u, r_g = relmse(un), relmse(g)
+    gain = r_u / max(r_g, 1e-9)
+    assert gain > 1.10, (r_u, r_g, gain)

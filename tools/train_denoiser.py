@@ -102,6 +102,26 @@ def gen_dataset(n_scenes=10, out="/tmp/denoise_data.npz", seed=42):
     if seed == 42:
         descs.append(veach_mis())
         descs.append(furnace(albedo=0.6, env_radiance=1.2))
+        # cross-family coverage (round-5: the cornell-family-only corpus
+        # left the lamp/door gate scenes untouched, n/a ~1.0): randomized
+        # bounce-lamp and door variants whose parameters EXCLUDE the gate
+        # scenes' defaults (lamp light_scale 30; door 40k/60deg/6x)
+        from mitsuba_path_guiding_tpu.scene.scenes import (
+            bounce_lamp_room, door_room,
+        )
+
+        for _ in range(3):
+            ls = float(rs.choice([rs.uniform(14, 24), rs.uniform(36, 48)]))
+            d = bounce_lamp_room(light_scale=ls)
+            cam = [float(rs.uniform(-0.3, 0.3)), float(rs.uniform(0.7, 1.3)), -3.2]
+            d["sensor"]["to_world"] = look_at(cam, [0, 1.0, 0])
+            descs.append(d)
+        for _ in range(3):
+            ajar = float(rs.choice([rs.uniform(40, 54), rs.uniform(66, 80)]))
+            descs.append(door_room(
+                int(rs.choice([22_000, 30_000])), ajar_deg=ajar,
+                light_scale=float(rs.uniform(3.0, 10.0)),
+            ))
     else:
         descs.extend(rand_cornell(rs) for _ in range(2))
     xs, ys = [], []
@@ -219,6 +239,9 @@ def train(data_path, steps=3000, batch=8, crop=64, lr=2e-3, seed=0):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "gen1":
+        gen_dataset()
+        sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "gen2":
         gen_dataset(n_scenes=16, out="/tmp/denoise_data2.npz", seed=7)
         sys.exit(0)
