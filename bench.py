@@ -25,6 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _sync(x):
+    """Force a HOST READBACK as the timing barrier: through the axon
+    tunnel jax.block_until_ready intermittently returns before the device
+    work lands (NEXT.md gotcha — a '0.00s window' means dispatch was
+    measured, not compute).  max over the leading element is cheap and
+    cannot be elided."""
+    import numpy as np
+
+    arr = x
+    while isinstance(arr, (tuple, list)):
+        arr = arr[0]
+    return float(jnp.max(jnp.ravel(arr)[:8]))
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -169,13 +183,13 @@ def main():
     # --- warmup + guiding training (compile happens here)
     t0 = time.time()
     rgbw, grid, n_seg0 = wave(rgbw, grid, 0, fit=True, n_waves=4)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     log(f"compile+4 training waves: {time.time() - t0:.1f}s; valid cells: "
         f"{int(np.asarray(grid.valid).sum())}")
 
     # warm up the frozen-cache (no-records) program too
     rgbw, _, _ = wave(rgbw, grid, 4, fit=False, n_waves=N_WAVES)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
 
     # --- timed measurement: guided rendering, cache frozen; one dispatch
     # per window (waves scanned inside the program — the tunnel's fixed
@@ -188,7 +202,7 @@ def main():
         rgbw, _, n_seg = wave(
             rgbw, grid, 5 + window * N_WAVES, fit=False, n_waves=N_WAVES
         )
-        jax.block_until_ready(rgbw)
+        _sync(rgbw)
         dt = time.time() - t0
         seg_w = int(n_seg)
         log(f"window {window}: {dt:.2f}s")
@@ -229,6 +243,11 @@ def main():
             # v5e-1 peaks: 197 Tflop/s bf16 (f32 via bf16x3 measured
             # ~180), 819 GB/s HBM; measured fused-elementwise stream
             # ceiling on this chip: ~458 GB/s (tools notes)
+            result["roofline_note"] = (
+                "fused-megakernel custom-call flops/bytes are OPAQUE to "
+                "XLA cost_analysis — these numbers cover only the XLA ops "
+                "around the kernel (round 5; see ops/fused_path.py)"
+            )
             result["roofline"] = {
                 "flops_per_wave_G": round(fl / 1e9, 2),
                 "hbm_bytes_per_wave_GB": round(by / 1e9, 3),
@@ -256,10 +275,10 @@ def main():
 
         Round-4 driver run lost the guided big-scene stage to a single
         tunnel compile stall (BENCH_r04 'big-scene bench skipped:
-        TimeoutError').  The in-process jit cache survives a stage
-        timeout, so a RETRY resumes from the already-compiled programs
-        and usually finishes in a fraction of the budget — compile
-        warm-up and the timed windows no longer share one fatal alarm."""
+        TimeoutError').  NOTE the retry is a FULL re-run: stage-local
+        jitted closures are new function objects each attempt, so the
+        jit cache does NOT carry over — budgets must cover a complete
+        attempt; the retry only rescues transient tunnel stalls."""
         if os.environ.get(env, "1") == "0" or n_dev != 1:
             return
         for attempt in range(retries + 1):
@@ -274,7 +293,7 @@ def main():
             finally:
                 signal.alarm(0)
 
-    staged("BENCH_BIG", "big-scene", 620, _bench_guided_big_scene, retries=1)
+    staged("BENCH_BIG", "big-scene", 900, _bench_guided_big_scene, retries=1)
     # --- guiding equal-spp quality win (the fork's headline claim)
     staged("BENCH_GAIN", "guiding-gain", 240, _bench_guiding_gain, retries=1)
     # --- BASELINE config 5: 1080p guided interior through the tiled film
@@ -336,11 +355,11 @@ def _bench_volumetric(log, n_waves=8):
     rgbw = jnp.zeros((n_pix, 4), jnp.float32)
     t0 = time.time()
     rgbw, segs = waves(rgbw)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     log(f"vol compile+first: {time.time() - t0:.1f}s")
     t0 = time.time()
     rgbw, segs = waves(rgbw)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     dt = time.time() - t0
     mrays = int(segs) * 2 / dt / 1e6
     log(f"volumetric: {n_waves} waves in {dt:.2f}s -> {mrays:.2f} Mrays/s")
@@ -410,11 +429,11 @@ def _bench_big_scene(log, target_tris=250_000, n_waves=8):
     rgbw = jnp.zeros((n_pix, 4), jnp.float32)
     t0 = time.time()
     rgbw, segs = waves(rgbw)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     log(f"big compile+first: {time.time() - t0:.1f}s")
     t0 = time.time()
     rgbw, segs = waves(rgbw)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     dt = time.time() - t0
     mrays = int(segs) * 2 / dt / 1e6
     log(f"big scene: {n_waves} waves in {dt:.2f}s -> {mrays:.2f} Mrays/s")
@@ -513,14 +532,14 @@ def _bench_guided_big_scene(log, target_tris=250_000, n_waves=8):
     # --- unguided: timed window (the big_scene headline) + reference
     t0 = time.time()
     rgbw, _, segs = waves(film(), grid0, jnp.int32(0), n_w=n_waves)
-    jax.block_until_ready(rgbw)
+    _sync(rgbw)
     log(f"big compile+first: {time.time() - t0:.1f}s")
     dt = 1e30
     for w in range(2):
         t0 = time.time()
         rgbw, _, segs = waves(rgbw, grid0, jnp.int32((1 + w) * n_waves),
                               n_w=n_waves)
-        jax.block_until_ready(rgbw)
+        _sync(rgbw)
         dt = min(dt, time.time() - t0)
     mrays = int(segs) * 2 / dt / 1e6
     log(f"big scene: {n_waves} waves in {dt:.2f}s -> {mrays:.2f} Mrays/s")
@@ -541,20 +560,20 @@ def _bench_guided_big_scene(log, target_tris=250_000, n_waves=8):
                            fit=True, n_w=8)
         if prog < 3:
             grid = refine_grid(grid, 512.0)
-    jax.block_until_ready(grid)
+    _sync(grid)
     log(f"guided train compile+32 waves (refined to "
         f"{int(np.asarray(grid.n_used))} cells): {time.time() - t0:.1f}s")
     t0 = time.time()
     rgbw_g, _, segs_g = waves(film(), grid, jnp.int32(4), guided=True,
                               n_w=n_waves)
-    jax.block_until_ready(rgbw_g)
+    _sync(rgbw_g)
     log(f"guided compile+first window: {time.time() - t0:.1f}s")
     dt_g = 1e30
     for w in range(2):
         t0 = time.time()
         rgbw_g, _, segs_g = waves(rgbw_g, grid, jnp.int32(4 + (1 + w) * n_waves),
                                   guided=True, n_w=n_waves)
-        jax.block_until_ready(rgbw_g)
+        _sync(rgbw_g)
         dt_g = min(dt_g, time.time() - t0)
     mrays_g = int(segs_g) * 2 / dt_g / 1e6
     log(f"guided big: {n_waves} waves in {dt_g:.2f}s -> {mrays_g:.2f} Mrays/s")
@@ -732,7 +751,7 @@ def _bench_1080p(log, target_tris=250_000):
     for b in range(n_bands):
         _, grid, _ = band_wave(film(), grid, jnp.int32(b), jnp.int32(0),
                                fit=True)
-    jax.block_until_ready(grid)
+    _sync(grid)
     log(f"1080p train compile+1spp: {time.time() - t0:.1f}s")
 
     # timed: full-frame spp with the cache frozen, streaming bands into
@@ -740,7 +759,7 @@ def _bench_1080p(log, target_tris=250_000):
     t0 = time.time()
     bands0 = [band_wave(film(), grid, jnp.int32(b), jnp.int32(1))
               for b in range(n_bands)]
-    jax.block_until_ready(bands0[-1][0])
+    _sync(bands0[-1][0])
     log(f"1080p frozen compile+1spp: {time.time() - t0:.1f}s")
     # best-of-2 windows (round-4 record showed a 33% run-to-run spread on
     # this stage — tunnel readback variance); each window PIPELINES the

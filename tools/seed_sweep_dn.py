@@ -78,7 +78,8 @@ GATES = ["cornell", "lamp", "door"]
 results = []
 for seed in [0, 1, 2, 3, 4, 5]:
     wpath = f"/tmp/dnw_{seed}.npz"
-    rc = os.system(f"DN_SEED={seed} DN_OUT={wpath} python tools/train_denoiser.py 3000 > /tmp/dn_s{seed}.log 2>&1")
+    data = os.environ.get("DN_DATA", "/tmp/denoise_data*.npz")
+    rc = os.system(f"DN_SEED={seed} DN_OUT={wpath} DN_DATA='{data}' python tools/train_denoiser.py 3000 > /tmp/dn_s{seed}.log 2>&1")
     if rc != 0:
         print(f"seed {seed}: train failed"); continue
     ratios = []
