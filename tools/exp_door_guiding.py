@@ -102,13 +102,21 @@ CONFIGS = {
     "refine_t32": (32, 8, dict(min_rough=0.3)),
     "rt16": (16, 8, dict(min_rough=0.3)),   # refine @ threshold 512
     "rt32": (32, 8, dict(min_rough=0.3)),
+    "rt32_lo1": (32, 8, dict(min_rough=0.3)),  # gentler alpha ramp
+    "rt32_a7": (32, 8, dict(min_rough=0.3)),   # alpha = 0.7
 }
 
 names = sys.argv[1:] or ["base", "t16", "t32", "refine", "product", "parallax"]
 results = {}
 for name in names:
+    import mitsuba_path_guiding_tpu.guiding.fit as fitmod
+    if name == "rt32_lo1":
+        fitmod.ALPHA_R_LO, fitmod.ALPHA_R_HI = 0.1, 0.5
+        jax.clear_caches()
+    elif name == "rt32_a7":
+        pass
     train_spp, refine_every, gkw = CONFIGS[name]
-    alpha = 0.7 if name == "a7" else 0.5
+    alpha = 0.7 if name in ("a7", "rt32_a7") else 0.5
     t0 = time.time()
     cap = 4 if refine_every else 1
     grid = make_grid(scene.aabb_min, scene.aabb_max, res=16, n_lobes=8,
