@@ -85,12 +85,13 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
             t = mats.type[mid]
             diffuseish = (
                 (t == BSDFType.DIFFUSE) | (t == BSDFType.ROUGH_DIFFUSE)
-                | (t == BSDFType.DIFFTRANS)
+                | (t == BSDFType.DIFFTRANS) | (t == BSDFType.CLOTH)
             )
             usable = usable & (diffuseish | (mats.alpha[mid] >= min_rough))
         return params, jnp.where(usable, alpha * a_scale, 0.0)
 
-    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel, u_lobe, tex=None):
+    def guide(grid: GuidingGrid, mats, mid, p, frame, wi_local, u3, u_sel,
+              u_lobe, tex=None, cloth_aux=None):
         from mitsuba_path_guiding_tpu.guiding.grid import (
             _mixture_pdf,
             _mixture_sample,
@@ -99,7 +100,8 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
         params, a = _params_and_alpha(grid, mats, mid, p, frame)
 
         # BSDF branch (also supplies the delta path)
-        bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types, tex=tex)
+        bs = bsdf_mod.sample(mats, mid, wi_local, u3, types=mat_types,
+                             tex=tex, cloth_aux=cloth_aux)
         # guiding branch
         d_guided = _mixture_sample(params, u_lobe, u3[..., 0:2])
         wo_guided = frame.to_local(d_guided)
@@ -109,7 +111,9 @@ def make_guide_fn(alpha: float = 0.5, mat_types=bsdf_mod.ALL_TYPES, product: boo
         wo_world = frame.to_world(wo_local)
 
         # combined density at the ONE chosen direction (skip for delta lobes)
-        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local, types=mat_types, tex=tex)
+        f, pdf_b = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local,
+                                     types=mat_types, tex=tex,
+                                     cloth_aux=cloth_aux)
         pdf_g = _mixture_pdf(params, wo_world)
         pdf_comb = a * pdf_g + (1.0 - a) * pdf_b
         w_smooth = f / jnp.maximum(pdf_comb, 1e-8)[..., None]

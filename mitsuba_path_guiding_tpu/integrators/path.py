@@ -134,6 +134,7 @@ def _offset_ray(p, ng, d):
         "mat_types",
         "textured",
         "bumped",
+        "clothed",
         "accel",
         "cone_angle",
     ),
@@ -154,6 +155,7 @@ def trace(
     mat_types=bsdf_mod.ALL_TYPES,
     textured: bool = False,
     bumped: bool = False,
+    clothed: bool = False,  # scene has CLOTH rows: fetch yarn records
     uniforms=None,
     accel: str = "auto",  # "auto" (use_bvh flag) | "brute" | "bvh" | "pallas"
     cone_angle: float = 0.0,  # per-ray footprint half-angle; > 0 enables
@@ -308,7 +310,7 @@ def trace(
         ns = jnp.where(dot(ns, ng)[..., None] < 0.0, -ns, ns)
         mid = row[18].astype(jnp.int32)
         is_emitter = row[19] >= 0.0
-        if textured or bumped:
+        if textured or bumped or clothed:
             from mitsuba_path_guiding_tpu.models.texture import sample_atlas
 
             # one packed material-row gather serves the texture machinery
@@ -366,15 +368,40 @@ def trace(
             tex = (val, (tid >= 0) | (tid <= -3))
         else:
             tex = None
+        if clothed:
+            # CLOTH rows carry a yarn-record map in the bump slot
+            # (models/cloth.py encoding): one nearest fetch replaces the
+            # reference's per-query weave-cell walk (irawan.cpp:192-270);
+            # the record feeds the band-gated integrand in models/bsdf.py
+            from mitsuba_path_guiding_tpu.models.cloth import decode_record
+            from mitsuba_path_guiding_tpu.models.texture import (
+                sample_atlas_nearest,
+            )
+
+            is_cloth = mrow[0] == float(int(BSDFType.CLOTH))
+            rec = sample_atlas_nearest(
+                scene.textures, scene.texture_sizes,
+                jnp.maximum(mats.packed[mid, 19].astype(jnp.int32), 0),
+                uv_hit,
+            )
+            cloth_aux = decode_record(rec)
+        else:
+            cloth_aux = None
         if bumped:
             # normal-map frame perturbation (reference bsdfs/normalmap.cpp;
-            # bumpmap.cpp heights become normal maps at build time)
+            # bumpmap.cpp heights become normal maps at build time);
+            # CLOTH rows are excluded — their bump slot is a data texture
+            # and the Irawan model shades in the base frame (the oracle
+            # has no normal perturbation)
             btid = mats.packed[mid, 19].astype(jnp.int32)
             n_t = sample_atlas(scene.textures, scene.texture_sizes, jnp.maximum(btid, 0), uv_hit) * 2.0 - 1.0
             ns_b = normalize(Frame.from_normal(ns).to_world(normalize(n_t)))
             # stay on the geometric side (same guard as the base normal)
             ns_b = jnp.where(dot(ns_b, ng)[..., None] < 0.0, -ns_b, ns_b)
-            ns = jnp.where((btid >= 0)[..., None], ns_b, ns)
+            apply_b = btid >= 0
+            if clothed:
+                apply_b = apply_b & ~is_cloth
+            ns = jnp.where(apply_b[..., None], ns_b, ns)
 
         # --- emissive hit with MIS against NEE (path.cpp:163-174,209-258);
         # emitted radiance / pmf / area are baked into the packed row
@@ -416,7 +443,9 @@ def trace(
         if use_nee:
             ds = em_mod.sample_direct_jit(em, geo, p, u[..., 0:3], kinds=em_kinds)
             wo_local_nee = frame.to_local(ds.direction)
-            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex)
+            f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(
+                mats, mid, wi_local, wo_local_nee, types=mat_types, tex=tex,
+                cloth_aux=cloth_aux)
             # MIS against the ACTUAL direction strategy: with guiding on,
             # the density at the light direction is the combined
             # alpha*p_guide + (1-alpha)*p_bsdf — weighting with the plain
@@ -444,7 +473,9 @@ def trace(
 
         # --- BSDF (or guided) sampling
         if guide is None:
-            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6], types=mat_types, tex=tex)
+            bs = bsdf_mod.sample(mats, mid, wi_local, u[..., 3:6],
+                                 types=mat_types, tex=tex,
+                                 cloth_aux=cloth_aux)
             wo_world = frame.to_world(bs.wo)
             next_pdf = bs.pdf
             next_weight = bs.weight
@@ -461,6 +492,7 @@ def trace(
                 u[..., 6],
                 u[..., 7],
                 tex,
+                cloth_aux,
             )
 
         T_new = T * next_weight

@@ -100,7 +100,7 @@ class ProgressiveRenderer:
     def _wave(self, pixel_id, sample_idx, train: bool):
         r = self.cfg.render
         from mitsuba_path_guiding_tpu.integrators.render import (
-            _has_bump, _textured, wave_keys_and_jitter)
+            _has_bump, _has_cloth, _textured, wave_keys_and_jitter)
 
         _, rkeys, u_cam, u_pos = wave_keys_and_jitter(r, pixel_id, sample_idx)
         o, d, film_xy = generate_rays(
@@ -148,6 +148,7 @@ class ProgressiveRenderer:
                 mat_types=self.mat_types,
                 textured=_textured(self.scene),
                 bumped=_has_bump(self.scene),
+                clothed=_has_cloth(self.scene),
             )
         if r.max_component_value > 0.0:
             L = jnp.minimum(L, r.max_component_value)

@@ -53,6 +53,19 @@ def _has_bump(scene) -> bool:
         return False
 
 
+def _has_cloth(scene) -> bool:
+    """Static CLOTH-row presence (same tracer caveat as _has_bump): when
+    true the integrator fetches per-point yarn records and the Irawan
+    band-gated integrand runs; when undecidable the cloth falls back to
+    its uv-averaged Ward lobe (models/bsdf.py _cloth_eval_pdf)."""
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    try:
+        return bool((np.asarray(scene.mats.type) == BSDFType.CLOTH).any())
+    except Exception:  # TracerArrayConversionError and friends
+        return False
+
+
 def _cone_angle(scene, cfg) -> float:
     """Primary-ray footprint half-angle ~ fov_x / width for perspective
     sensors on textured scenes (enables trilinear mip filtering); 0 under
@@ -299,6 +312,7 @@ def render_wave(
             textured=_textured(scene),
             cone_angle=_cone_angle(scene, cfg),
             bumped=_has_bump(scene),
+            clothed=_has_cloth(scene),
         )
     if cfg.max_component_value > 0.0:
         # fork firefly clamp (progressiveintegrator.cpp:274-276)

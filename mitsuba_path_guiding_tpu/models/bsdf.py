@@ -76,6 +76,8 @@ class _P(NamedTuple):
     sub_a: jnp.ndarray   # int32 nested material row (-1 none)
     sub_b: jnp.ndarray
     weight: jnp.ndarray  # blend factor / mask opacity
+    extra: tuple         # 5 x (N,) packed columns 27:32 (cloth geometry);
+    #                      dead-code-eliminated by XLA when no family reads it
 
 
 def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
@@ -102,6 +104,7 @@ def gather_params(mats: Materials, mid: jnp.ndarray, tex=None) -> _P:
         sub_a=row[16].astype(jnp.int32),
         sub_b=row[17].astype(jnp.int32),
         weight=row[18],
+        extra=tuple(row[27 + i] for i in range(5)),
     )
 
 
@@ -392,6 +395,237 @@ def _difftrans_eval_pdf(p: _P, wi, wo):
 
 
 # ---------------------------------------------------------------------------
+# woven cloth (Irawan-Marschner) — reference src/bsdfs/irawan.cpp
+# ---------------------------------------------------------------------------
+# The reference evaluates the published filament/staple yarn-segment
+# integrands per query (irawan.cpp evalFilamentIntegrand :393-468,
+# evalStapleIntegrand :470-540).  Here the same model equations run
+# vectorized on the wavefront: the weave tile is baked at build time into a
+# yarn-record texture (models/cloth.py compile_cloth: warp/weft bit + spine
+# parameter u + cross-section parameter v + per-yarn ks scale, one nearest
+# fetch), the per-material geometry scalars ride repurposed packed columns
+# (scene/types.py CLOTH), and the integrand below is written once with an
+# ``xp`` namespace so the build-time MC normalization (host NumPy) uses the
+# IDENTICAL math as the jit eval.  Sampling is cosine-hemisphere exactly
+# like the reference (irawan.cpp:339-373), so pdf consistency for MIS is
+# trivial.  Validity guards (ss in [0,1), w*sin(umax) < l, kappa >= -1,
+# irawan.cpp:396-406) are enforced at build time, not per lane.
+
+
+def _cloth_smoothstep(x, xp):
+    x = xp.clip(x, 0.0, 1.0)
+    return x * x * (3.0 - 2.0 * x)
+
+
+def _cloth_von_mises(cos_x, b, xp):
+    """exp(b cos x) / (2 pi I0(b)), Abramowitz-Stegun polynomial I0."""
+    ab = xp.abs(b)
+    t_s = (ab / 3.75) ** 2
+    i0_s = 1.0 + t_s * (3.5156229 + t_s * (3.0899424 + t_s * (1.2067492
+           + t_s * (0.2659732 + t_s * (0.0360768 + t_s * 0.0045813)))))
+    t_l = 3.75 / xp.maximum(ab, 1e-9)
+    i0_l = xp.exp(ab) / xp.sqrt(xp.maximum(ab, 1e-9)) * (
+        0.39894228 + t_l * (0.01328592 + t_l * (0.00225319 + t_l * (
+            -0.00157565 + t_l * (0.00916281 + t_l * (-0.02057706 + t_l * (
+                0.02635537 + t_l * (-0.01647633 + t_l * 0.00392377)))))))
+    )
+    i0 = xp.where(ab <= 3.75, i0_s, i0_l)
+    return xp.exp(b * cos_x) / (2.0 * jnp.pi * i0)
+
+
+def _cloth_seeliger(c1, c2, xp):
+    c1 = xp.maximum(c1, 0.0)
+    c2 = xp.maximum(c2, 0.0)
+    return xp.where(
+        (c1 > 0) & (c2 > 0),
+        c1 * c2 / (4.0 * jnp.pi * xp.maximum(c1 + c2, 1e-12)),
+        xp.zeros_like(c1),
+    )
+
+
+def _cloth_radius(u, umax, kappa, w, l, xp):
+    """Yarn-spine radius of curvature: ellipse / hyperbola / parabola /
+    cylinder by the sign of rhat (Irawan thesis 5.3; irawan.cpp
+    radiusOfCurvature).  All branches computed with clamped inputs so the
+    untaken ones stay NaN-free (the renderer is jax.grad-able)."""
+    a = 0.5 * w
+    tan_umax = xp.tan(umax)
+    rhat = 1.0 + kappa * (1.0 + 1.0 / xp.maximum(tan_umax, 1e-9))
+    rim = 0.5 * l - a * xp.sin(umax)  # > 0 by the build-time validity check
+    # elliptic (rhat > 0)
+    rh_e = xp.maximum(rhat, 1e-6)
+    tmax_e = xp.arctan(rh_e * tan_umax)
+    bhat_e = rim / xp.maximum(xp.sin(tmax_e), 1e-9)
+    ahat_e = bhat_e / rh_e
+    t_e = xp.arctan(rh_e * xp.tan(u))
+    R_e = (bhat_e ** 2 * xp.cos(t_e) ** 2
+           + ahat_e ** 2 * xp.sin(t_e) ** 2) ** 1.5 / xp.maximum(
+        ahat_e * bhat_e, 1e-12)
+    # hyperbolic (rhat < 0)
+    rh_h = xp.minimum(rhat, -1e-6)
+    tmax_h = -xp.arctanh(xp.clip(rh_h * tan_umax, -0.999999, 0.999999))
+    sh = xp.sinh(tmax_h)
+    bhat_h = rim / xp.where(xp.abs(sh) < 1e-9, 1e-9, sh)
+    ahat_h = bhat_h / rh_h
+    t_h = -xp.arctanh(xp.clip(rh_h * xp.tan(u), -0.999999, 0.999999))
+    den_h = ahat_h * bhat_h
+    R_h = -(bhat_h ** 2 * xp.cosh(t_h) ** 2
+            + ahat_h ** 2 * xp.sinh(t_h) ** 2) ** 1.5 / xp.where(
+        xp.abs(den_h) < 1e-12, -1e-12, den_h)
+    # parabolic (rhat == 0)
+    ahat_p = rim / xp.maximum(2.0 * tan_umax, 1e-9)
+    R_p = 2.0 * ahat_p * (1.0 + xp.tan(u) ** 2) ** 1.5
+    # straight spine (rhat == 1): constant R
+    R_c = rim / xp.maximum(xp.sin(umax), 1e-9) + xp.zeros_like(u)
+    return xp.where(
+        xp.abs(rhat - 1.0) < 1e-9, R_c,
+        xp.where(rhat > 0.0, R_e, xp.where(rhat < 0.0, R_h, R_p)),
+    )
+
+
+def _cloth_filament(u, v, oi, orr, alpha, beta, ss, umax, kappa, w, l,
+                    h_width, xp):
+    """Filament-yarn (psi = 0) specular integrand with the per-point
+    highlight-band gate |y(u(v)) - y(u)| < delta_y/2
+    (irawan.cpp evalFilamentIntegrand :455-465)."""
+    hs = oi + orr
+    sum_len = xp.sqrt(xp.maximum(xp.sum(hs * hs, axis=-1), 1e-18))
+    h = hs / sum_len[..., None]
+    u_of_v = xp.arctan2(h[..., 1], xp.maximum(h[..., 2], 1e-12))
+    in_range = xp.abs(u_of_v) < umax
+    # n at the reflection locus (u_of_v, v)
+    nx = xp.sin(v)
+    ny = xp.sin(u_of_v) * xp.cos(v)
+    nz = xp.cos(u_of_v) * xp.cos(v)
+    nl = xp.sqrt(xp.maximum(nx * nx + ny * ny + nz * nz, 1e-18))
+    n_i = (nx * oi[..., 0] + ny * oi[..., 1] + nz * oi[..., 2]) / nl
+    n_r = (nx * orr[..., 0] + ny * orr[..., 1] + nz * orr[..., 2]) / nl
+    a = 0.5 * w
+    R = _cloth_radius(
+        xp.minimum(xp.abs(u_of_v), (1.0 - ss) * umax),
+        (1.0 - ss) * umax, kappa, w, l, xp)
+    # t = (0, cos u_of_v, -sin u_of_v); (t x h)_x = cos(u)*h_z + sin(u)*h_y
+    tchx = xp.cos(u_of_v) * h[..., 2] + xp.sin(u_of_v) * h[..., 1]
+    Gu = a * (R + a * xp.cos(v)) / xp.maximum(sum_len * xp.abs(tchx), 1e-12)
+    fc = alpha + _cloth_von_mises(-xp.sum(oi * orr, axis=-1), beta, xp)
+    A = _cloth_seeliger(n_i, n_r, xp)
+    ss_fac = 1.0 - _cloth_smoothstep(
+        (xp.abs(u_of_v) - (1.0 - ss) * umax) / xp.maximum(ss * umax, 1e-9),
+        xp)
+    A = xp.where(ss > 0.0, A * ss_fac, A)
+    fs = Gu * fc * A * jnp.pi * l
+    delta_y = l * h_width
+    y_scale = 0.5 * l / xp.maximum(umax, 1e-6)
+    y_of_v = xp.clip(u_of_v * y_scale, 0.5 * (delta_y - l),
+                     0.5 * (l - delta_y))
+    on_band = xp.abs(y_of_v - u * y_scale) < 0.5 * delta_y
+    return xp.where(in_range & on_band, fs / delta_y, xp.zeros_like(fs))
+
+
+def _cloth_staple(u, v, oi, orr, alpha, beta, psi, umax, kappa, w, l,
+                  h_width, xp):
+    """Staple-yarn (psi != 0) integrand: the reflection locus is v(u)
+    (irawan.cpp evalStapleIntegrand)."""
+    hs = oi + orr
+    sum_len = xp.sqrt(xp.maximum(xp.sum(hs * hs, axis=-1), 1e-18))
+    h = hs / sum_len[..., None]
+    hx, hy, hz = h[..., 0], h[..., 1], h[..., 2]
+    D = (hy * xp.cos(u) - hz * xp.sin(u)) / (
+        xp.sqrt(xp.maximum(
+            hx ** 2 + (hy * xp.sin(u) + hz * xp.cos(u)) ** 2, 1e-18))
+        * xp.where(xp.abs(xp.tan(psi)) < 1e-6, 1e-6, xp.tan(psi)))
+    v_of_u = xp.arctan2(-hy * xp.sin(u) - hz * xp.cos(u), hx) \
+        + xp.arccos(xp.clip(D, -1.0, 1.0))
+    in_range = (xp.abs(D) < 1.0) & (xp.abs(v_of_u) < jnp.pi / 2.0)
+    nx = xp.sin(v_of_u)
+    ny = xp.sin(u) * xp.cos(v_of_u)
+    nz = xp.cos(u) * xp.cos(v_of_u)
+    nl = xp.sqrt(xp.maximum(nx * nx + ny * ny + nz * nz, 1e-18))
+    n_i = (nx * oi[..., 0] + ny * oi[..., 1] + nz * oi[..., 2]) / nl
+    n_r = (nx * orr[..., 0] + ny * orr[..., 1] + nz * orr[..., 2]) / nl
+    n_h = (nx * hx + ny * hy + nz * hz) / nl
+    a = 0.5 * w
+    R = _cloth_radius(xp.abs(u), umax, kappa, w, l, xp)
+    Gv = a * (R + a * xp.cos(v_of_u)) / xp.maximum(
+        sum_len * xp.maximum(n_h, 1e-9) * xp.abs(xp.sin(psi)), 1e-12)
+    fc = alpha + _cloth_von_mises(-xp.sum(oi * orr, axis=-1), beta, xp)
+    A = _cloth_seeliger(n_i, n_r, xp)
+    fs = Gv * fc * A * 2.0 * w * umax
+    delta_x = w * h_width
+    x_of_u = xp.clip(v_of_u * w / jnp.pi, 0.5 * (delta_x - w),
+                     0.5 * (w - delta_x))
+    on_band = xp.abs(x_of_u - v * w / jnp.pi) < 0.5 * delta_x
+    return xp.where(in_range & on_band, fs / delta_x, xp.zeros_like(fs))
+
+
+def cloth_spec_raw(wi, wo, weft, u, v, alpha, beta, ss, psi, umax, kappa,
+                   w, l, h_width, area_warp, area_weft, xp=jnp):
+    """Unnormalized Irawan specular (area-weighted integrand) at a yarn
+    record (weft?, u, v) for local directions wi/wo (+z = base shading
+    normal).  Weft lanes rotate into the yarn frame exactly like the
+    reference's weave-cell lookup (irawan.cpp eval: the pattern entry
+    decides warp/weft and the frame quarter-turn); u/v are baked already
+    yarn-local (models/cloth.py).  ``xp`` lets the build-time MC
+    normalization (NumPy) share this exact code with the jit eval."""
+    wfm = weft[..., None]
+    oi = xp.where(wfm, xp.stack(
+        [-wi[..., 1], wi[..., 0], wi[..., 2]], axis=-1), wi)
+    orr = xp.where(wfm, xp.stack(
+        [-wo[..., 1], wo[..., 0], wo[..., 2]], axis=-1), wo)
+    fil = _cloth_filament(u, v, oi, orr, alpha, beta, ss, umax, kappa,
+                          w, l, h_width, xp)
+    stp = _cloth_staple(u, v, oi, orr, alpha, beta, psi, umax, kappa,
+                        w, l, h_width, xp)
+    integ = xp.where(xp.abs(psi) > 1e-7, stp, fil)
+    return integ * xp.where(weft, area_weft, area_warp)
+
+
+def _cloth_scalars(p: _P):
+    """Unpack the repurposed CLOTH columns (scene/types.py)."""
+    return dict(
+        vm_alpha=p.eta[..., 0], beta=p.eta[..., 1], ss=p.eta[..., 2],
+        psi=p.k[..., 0], umax=p.k[..., 1], kappa=p.k[..., 2],
+        h_width=p.weight, a_fb=p.alpha, norm=p.alpha_v,
+        w=p.extra[0], l=p.extra[1],
+        area_warp=p.extra[2], area_weft=p.extra[3], fb_scale=p.extra[4],
+    )
+
+
+def _cloth_eval_pdf(p: _P, wi, wo, aux=None):
+    """f*cos and pdf for CLOTH lanes.  With the per-point yarn record
+    ``aux`` = (weft bool, u, v, ks_scale) the full band-gated integrand
+    runs (pointwise-exact vs the model, tests/test_irawan_oracle.py);
+    without it (integrators that do not fetch textures) the spec falls
+    back to the round-4 uv-averaged isotropic Ward fit.  Both paths share
+    the additive-ks energy normalization, and both sample/pdf as a plain
+    cosine hemisphere (irawan.cpp:324-373)."""
+    c = _cloth_scalars(p)
+    ci, co = cos_theta(wi), cos_theta(wo)
+    up = (ci > 1e-6) & (co > 1e-6)
+    if aux is not None:
+        weft, u_p, v_p, ks_s = aux
+        raw = cloth_spec_raw(
+            wi, wo, weft, u_p, v_p,
+            c["vm_alpha"], c["beta"], c["ss"], c["psi"], c["umax"],
+            c["kappa"], c["w"], c["l"], c["h_width"],
+            c["area_warp"], c["area_weft"], xp=jnp)
+        spec_s = raw * c["norm"] * ks_s
+    else:
+        # isotropic Ward lobe, energy-matched by the build-time fb_scale
+        m = normalize(wi + wo)
+        a2 = jnp.maximum(c["a_fb"] * c["a_fb"], 1e-6)
+        ct2 = jnp.maximum(m[..., 2] * m[..., 2], 1e-8)
+        tan2 = (m[..., 0] ** 2 + m[..., 1] ** 2) / ct2
+        ward = jnp.exp(-tan2 / a2) / (
+            4.0 * jnp.pi * a2 * jnp.sqrt(jnp.maximum(ci * co, 1e-8)))
+        spec_s = ward * c["fb_scale"]
+    f = (p.refl * INV_PI + p.spec * spec_s[..., None]) \
+        * jnp.maximum(co, 0.0)[..., None]
+    pdf = square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(up[..., None], f, 0.0), jnp.where(up, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # dispatch tables
 # ---------------------------------------------------------------------------
 
@@ -494,17 +728,24 @@ def _eval_smooth(p: _P, wi2, wo2, types):
     return f, pdf
 
 
-def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None):
+def eval_pdf_raw(mats: Materials, mid, wi, wo, types=ALL_TYPES, tex=None,
+                 cloth_aux=None):
     """(f*cos (N,3), pdf (N,)) for the smooth component; 0 for delta mats.
 
     BLEND rows evaluate both nested lobes and mix by weight
     (blendbsdf.cpp eval/pdf); MASK rows scale the nested lobe by opacity
     (mask.cpp — the (1-opacity) pass-through is a delta lobe, invisible
-    to smooth eval)."""
+    to smooth eval).  ``cloth_aux``: per-lane yarn record for CLOTH rows
+    (see _cloth_eval_pdf); None falls back to the uv-averaged fit."""
     p = gather_params(mats, mid, tex)
     wi2, s = _flip_two_sided(p, wi)
     wo2 = jnp.stack([wo[..., 0], wo[..., 1], wo[..., 2] * s], axis=-1)
     f, pdf = _eval_smooth(p, wi2, wo2, types)
+    if BSDFType.CLOTH in types:
+        f_cl, pdf_cl = _cloth_eval_pdf(p, wi2, wo2, cloth_aux)
+        is_cl = p.type == BSDFType.CLOTH
+        f = jnp.where(is_cl[..., None], f_cl, f)
+        pdf = jnp.where(is_cl, pdf_cl, pdf)
     if (BSDFType.BLEND in types) or (BSDFType.MASK in types):
         pa = gather_params(mats, jnp.maximum(p.sub_a, 0), tex)
         fa, pdfa = _eval_smooth(pa, wi2, wo2, types)
@@ -633,7 +874,7 @@ def albedo_raw(mats: Materials, mid):
     return a
 
 
-def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
+def _sample_families(p: _P, wi, u2, ul, types, cloth_aux=None) -> BSDFSample:
     """Sample the plain families on the wavefront, select by type.  ``types``
     is a static tuple of BSDFType values present — absent families compile
     away entirely (the scene builder knows the material set)."""
@@ -656,7 +897,7 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
     eta_s = p.eta[..., 0]
 
     # --- shared pieces, built only for the families that need them
-    if has(T.DIFFUSE, T.ROUGH_DIFFUSE, T.PLASTIC, T.ROUGH_PLASTIC, T.PHONG, T.WARD, T.DIFFTRANS):
+    if has(T.DIFFUSE, T.ROUGH_DIFFUSE, T.PLASTIC, T.ROUGH_PLASTIC, T.PHONG, T.WARD, T.DIFFTRANS, T.CLOTH):
         wo_cos = square_to_cosine_hemisphere(u2)
         pdf_cos = square_to_cosine_hemisphere_pdf(wo_cos)
     if has(T.CONDUCTOR, T.PLASTIC):
@@ -664,6 +905,13 @@ def _sample_families(p: _P, wi, u2, ul, types) -> BSDFSample:
 
     if has(T.DIFFUSE):
         put(p.type == T.DIFFUSE, wo_cos, p.refl, pdf_cos, jnp.zeros_like(sel))
+
+    if has(T.CLOTH):
+        # cosine-hemisphere sampling with weight eval/pdf, exactly the
+        # reference strategy (irawan.cpp:357-373)
+        f_cl, _ = _cloth_eval_pdf(p, wi2, wo_cos, cloth_aux)
+        w_cl = f_cl / jnp.maximum(pdf_cos, 1e-9)[..., None]
+        put(p.type == T.CLOTH, wo_cos, w_cl, pdf_cos, jnp.zeros_like(sel))
 
     if has(T.HK):
         # hk.cpp sample: pick the attenuated delta transmission with its
@@ -999,7 +1247,8 @@ def _coat_sample(mats, p, wi, u2, ul, types, tex, res: BSDFSample, mid=None) -> 
     )
 
 
-def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSample:
+def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None,
+               cloth_aux=None) -> BSDFSample:
     """Wavefront BSDF sampling with one level of nesting resolved.
 
     BLEND (blendbsdf.cpp sample): pick lobe B with probability ``weight``,
@@ -1016,7 +1265,7 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
     nested = (BSDFType.BLEND in types) or (BSDFType.MASK in types)
     has_coat = BSDFType.COATING in types
     if not nested:
-        res = _sample_families(p, wi, u2, ul, types)
+        res = _sample_families(p, wi, u2, ul, types, cloth_aux=cloth_aux)
         if has_coat:
             res = _coat_sample(mats, p, wi, u2, ul, types, tex, res, mid=mid)
         return res
@@ -1043,7 +1292,7 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
         jnp.clip(jnp.where(pick_b, ul / denom_b, (ul - w_sel) / denom_b), 0.0, 1.0 - 1e-7),
         jnp.where(is_mask, jnp.clip(ul / jnp.maximum(w_sel, 1e-9), 0.0, 1.0 - 1e-7), ul),
     )
-    res = _sample_families(p_eff, wi, u2, ul_eff, types)
+    res = _sample_families(p_eff, wi, u2, ul_eff, types, cloth_aux=cloth_aux)
 
     wo, weight, pdf, is_delta = res.wo, res.weight, res.pdf, res.is_delta
     # mask pass-through: delta transmission, weight 1 (opacity cancels)
@@ -1055,7 +1304,8 @@ def sample_raw(mats: Materials, mid, wi, u, types=ALL_TYPES, tex=None) -> BSDFSa
 
     # smooth samples from nested lobes: full-mixture re-weight
     smooth_sub = use_sub & ~is_delta
-    f_mix, pdf_mix = eval_pdf_raw(mats, mid, wi, wo, types=types, tex=tex)
+    f_mix, pdf_mix = eval_pdf_raw(mats, mid, wi, wo, types=types, tex=tex,
+                                  cloth_aux=cloth_aux)
     ok = smooth_sub & (pdf_mix > 1e-9)
     weight = jnp.where(
         ok[..., None], f_mix / jnp.maximum(pdf_mix, 1e-9)[..., None], weight

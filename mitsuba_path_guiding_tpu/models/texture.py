@@ -99,6 +99,21 @@ def _bilinear_level(atlas, sizes, t, uv, level):
     return top * (1 - fy)[..., None] + bot * fy[..., None]
 
 
+def sample_atlas_nearest(atlas, sizes, tid, uv):
+    """Nearest-texel fetch at the base level, same wrap/flip conventions as
+    ``sample_atlas``.  Used for DATA textures whose channels must not be
+    blended across texel boundaries (the cloth yarn-record map: warp/weft
+    bit + spine parameters, models/cloth.py compile_cloth)."""
+    t = jnp.maximum(tid, 0)
+    h = jnp.maximum(sizes[t, 0], 1.0)
+    w = jnp.maximum(sizes[t, 1], 1.0)
+    xi = jnp.floor(jnp.mod(uv[..., 0], 1.0) * w)
+    yi = jnp.floor(jnp.mod(1.0 - uv[..., 1], 1.0) * h)
+    xi = jnp.clip(xi, 0.0, w - 1.0).astype(jnp.int32)
+    yi = jnp.clip(yi, 0.0, h - 1.0).astype(jnp.int32)
+    return atlas[t, yi, xi]
+
+
 def sample_atlas(atlas, sizes, tid, uv, lod=None):
     """Texture fetch: atlas (NT, 2*TH, TW, 3), tid (N,), uv (N,2) -> (N,3).
 

@@ -106,13 +106,15 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
     wrappers compile to the child row plus bump fields."""
     t = spec.get("type", "diffuse")
     if t == "irawan":
-        # woven cloth (reference bsdfs/irawan.cpp): the weave compiles to
-        # a kd texture + relief normal map + anisotropic specular blend
-        # at build time (models/cloth.py)
+        # woven cloth (reference bsdfs/irawan.cpp): the weave tile bakes
+        # into kd + yarn-record textures at build time (models/cloth.py
+        # compile_cloth); the Irawan-Marschner specular integrand itself
+        # runs per lane (models/bsdf.py cloth_spec_raw).  Column reuse is
+        # documented at scene/types.py CLOTH.
         from mitsuba_path_guiding_tpu.models.cloth import (
             PLAIN_WEAVE,
+            compile_cloth,
             parse_weave,
-            rasterize_weave,
         )
 
         if register_sub is None:
@@ -122,38 +124,37 @@ def _compile_bsdf(spec: dict, textures: list | None = None, register_sub=None):
                 text = fh.read()
         else:
             text = spec.get("weave", PLAIN_WEAVE)
-        wp = parse_weave(text)
-        kd_img, nrm_img, mean_ks, a_u, a_v, w_spec = rasterize_weave(wp)
-        # Energy match against the full Irawan model: its MC-normalized
-        # specular term averages to ks/pi over cosine-weighted directions
-        # (irawan.cpp:139-169 configure), i.e. the specular acts as an
-        # ADDITIVE albedo ks on top of the full kd/pi diffuse.  The blend
-        # weight steers lobe sampling; eval-side we compensate so the
-        # compiled mix is exact: the kd texture override reaches BOTH
-        # sub-lobes (gather_params), and the ward lobe carries its own
-        # kd/pi diffuse term, so unscaled kd gives diffuse
-        # (1-w)*kd + w*kd = kd exactly, while specular ks/w gives
-        # w*ward(ks/w) = ward(ks) exactly (tests/test_irawan_oracle.py
-        # bounds the remaining directional error vs the full oracle
-        # through the REAL compiled eval path).
-        row = _compile_bsdf(
-            {
-                "type": "blendbsdf",
-                "weight": w_spec,
-                "bsdfs": [
-                    {"type": "diffuse"},
-                    {"type": "ward", "alpha_u": a_u, "alpha_v": a_v,
-                     "specular_reflectance": [
-                         float(x) / w_spec for x in mean_ks
-                     ]},
-                ],
-            },
-            textures, register_sub,
-        )
+        # remaining plugin properties resolve $identifier placeholders in
+        # the pattern file (irawan.cpp "additional parameters")
+        reserved = {"type", "filename", "weave", "repeatU", "repeatV"}
+        params = {k: v for k, v in spec.items() if k not in reserved}
+        wp = parse_weave(text, params or None)
+        cc = compile_cloth(wp)
+        row = {
+            "type": int(BSDFType.CLOTH),
+            "reflectance": np.asarray(
+                np.mean([y["kd"] for y in wp["yarns"]], axis=0), np.float32
+            ),
+            "specular": np.asarray(cc["mean_ks"], np.float32),
+            "eta": np.asarray(
+                [cc["alpha"], cc["beta"], cc["ss"]], np.float32
+            ),
+            "k": np.asarray([cc["psi"], cc["umax"], cc["kappa"]], np.float32),
+            "alpha": cc["a_fb"],
+            "alpha_v": cc["norm"],
+            "weight": cc["h_width"],
+            "texture_id": -1,
+            "cloth_extra": (
+                cc["w"], cc["l"], cc["area_warp"], cc["area_weft"],
+                cc["fb_scale"],
+            ),
+        }
         if textures is not None:
-            textures.append(kd_img)
+            textures.append(cc["kd_img"])
             row["texture_id"] = len(textures) - 1
-            textures.append(nrm_img)
+            # yarn-record map rides the bump slot (nearest-fetched, never
+            # used for normal perturbation — path.py skips CLOTH rows)
+            textures.append(cc["aux_img"])
             row["bump_tex_id"] = len(textures) - 1
         row["uv_scale"] = (
             float(spec.get("repeatU", 1.0)), float(spec.get("repeatV", 1.0))
@@ -806,6 +807,8 @@ def build_scene(desc: dict) -> SceneData:
     mpk[:, 24] = [m.get("wire_lw", 0.0) for m in mat_rows]
     # UV tiling factors applied before atlas/normal-map fetches
     mpk[:, 25:27] = [m.get("uv_scale", (1.0, 1.0)) for m in mat_rows]
+    # cloth geometry (scene/types.py CLOTH: w, l, areaW, areaF, fb_scale)
+    mpk[:, 27:32] = [m.get("cloth_extra", (0.0,) * 5) for m in mat_rows]
     # rough-coating transmittance tables (reference data/microfacet
     # rtrans; roughcoating.cpp m_roughTransmittance): quadrature for
     # rough coat interfaces, exact smooth Fresnel otherwise

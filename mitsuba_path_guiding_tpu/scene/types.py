@@ -39,7 +39,15 @@ class BSDFType:
     THINDIELECTRIC = 17  # bsdfs/thindielectric.cpp — zero-thickness glass
     #                      slab: TIR-summed reflectance R' = 2R/(1+R),
     #                      straight-through transmission (no refraction bend)
-    N_TYPES = 18
+    CLOTH = 18           # bsdfs/irawan.cpp — woven cloth; the weave tile is
+    #                      baked to (kd, yarn-record) textures at build time
+    #                      and the Irawan-Marschner filament/staple specular
+    #                      integrand is evaluated per lane (models/bsdf.py
+    #                      cloth_spec_raw); row columns are repurposed:
+    #                      eta=(vM alpha, beta, ss), k=(psi, umax, kappa),
+    #                      13=fallback ward alpha, 15=specular norm,
+    #                      18=hWidth, 27:32=(w, l, areaW, areaF, fb_scale)
+    N_TYPES = 19
 
 
 class EmitterKind:

@@ -1,12 +1,14 @@
 """Irawan woven-cloth BSDF (reference src/bsdfs/irawan.{h,cpp}) — weave
-parsing, tile rasterization, and the compiled blend render."""
+parsing, the baked yarn-record tile, and the compiled CLOTH render."""
 import numpy as np
 
 from mitsuba_path_guiding_tpu.integrators.render import RenderConfig, render
 from mitsuba_path_guiding_tpu.models.cloth import (
     PLAIN_WEAVE,
+    compile_cloth,
+    decode_record,
     parse_weave,
-    rasterize_weave,
+    segment_lookup,
 )
 from mitsuba_path_guiding_tpu.scene.builder import build_scene
 from mitsuba_path_guiding_tpu.scene.transforms import look_at
@@ -21,20 +23,60 @@ def test_parse_weave_format():
     assert warp["type"] == 0 and weft["type"] == 1
     np.testing.assert_allclose(warp["umax"], np.deg2rad(35.0))
     np.testing.assert_allclose(warp["kd"], [0.45, 0.4, 0.36])
+    # fields AFTER a value list must survive (the pre-round-5 parser
+    # stopped the yarn block at kd's closing brace and lost ks)
+    np.testing.assert_allclose(warp["ks"], [0.2, 0.19, 0.18])
+    np.testing.assert_allclose(weft["ks"], [0.18, 0.18, 0.2])
 
 
-def test_rasterize_weave_tile():
+def test_parse_weave_dollar_params():
+    """$identifier placeholders resolve from plugin properties
+    (irawan.h:309-319, irawan.cpp 'additional parameters') — floats and
+    RGB triples; unresolved names raise like the Properties lookup."""
+    import pytest
+
+    text = PLAIN_WEAVE.replace(
+        "kd = {0.45, 0.4, 0.36}", "kd = $warp_kd"
+    ).replace("umax = 35, kappa = 0.5, width = 1, length = 1,\n           centerU = 0.5, centerV = 0.5,\n           kd = {0.4, 0.36, 0.45}",
+              "umax = $umax, kappa = 0.5, width = 1, length = 1,\n           centerU = 0.5, centerV = 0.5,\n           kd = {0.4, 0.36, 0.45}")
+    wp = parse_weave(text, {"warp_kd": [0.7, 0.1, 0.2], "umax": 20.0})
+    np.testing.assert_allclose(wp["yarns"][0]["kd"], [0.7, 0.1, 0.2])
+    np.testing.assert_allclose(wp["yarns"][1]["umax"], np.deg2rad(20.0))
+    with pytest.raises(ValueError, match="warp_kd"):
+        parse_weave(text, {"umax": 20.0})
+
+
+def test_compile_cloth_tile():
     wp = parse_weave(PLAIN_WEAVE)
-    kd, nrm, ks, au, av, w = rasterize_weave(wp, res=16)
-    assert kd.shape == (32, 32, 3) and nrm.shape == (32, 32, 3)
-    assert np.isfinite(kd).all() and (kd >= 0).all()
-    # normal map decodes to unit-ish vectors with positive z
-    n = nrm * 2.0 - 1.0
-    ln = np.linalg.norm(n, axis=-1)
-    np.testing.assert_allclose(ln, 1.0, atol=1e-4)
-    assert (n[..., 2] > 0).all()
+    cc = compile_cloth(wp, res=16)
+    assert cc["kd_img"].shape == (32, 32, 3)
+    assert cc["aux_img"].shape == (32, 32, 3)
+    assert np.isfinite(cc["kd_img"]).all() and (cc["kd_img"] >= 0).all()
+    assert cc["norm"] > 0 and cc["fb_scale"] > 0
     # the warp and weft cells carry the two yarn colors
-    assert kd[8, 8, 0] != kd[8, 24, 0]
+    assert cc["kd_img"][8, 8, 0] != cc["kd_img"][8, 24, 0]
+
+
+def test_yarn_record_roundtrip():
+    """decode(bake(uv)) must reproduce the weave-cell walk at texel
+    centers THROUGH the renderer's fetch convention (wrap + v flip) —
+    pins the bake orientation against texture.py sample_atlas_nearest."""
+    wp = parse_weave(PLAIN_WEAVE)
+    cc = compile_cloth(wp, res=16)
+    H, W = cc["aux_img"].shape[:2]
+    rng = np.random.default_rng(2)
+    uv = rng.random((4096, 2))
+    px = np.clip((uv[:, 0] % 1.0 * W).astype(np.int64), 0, W - 1)
+    py = np.clip(((1.0 - uv[:, 1]) % 1.0 * H).astype(np.int64), 0, H - 1)
+    weft_d, u_d, v_d, ks_d = decode_record(cc["aux_img"][py, px])
+    # texel-center snapped uv -> exact records
+    uc = (px + 0.5) / W
+    vc = 1.0 - (py + 0.5) / H
+    weft_e, u_e, v_e, _ = segment_lookup(wp, uc, vc)
+    assert (weft_d == weft_e).all()
+    np.testing.assert_allclose(u_d, u_e, atol=1e-5)
+    np.testing.assert_allclose(v_d, v_e, atol=1e-5)
+    assert np.isfinite(ks_d).all() and (ks_d > 0).all()
 
 
 def test_cloth_renders_with_weave_structure():

@@ -1,25 +1,24 @@
-"""Error bound for the compiled Irawan cloth approximation.
+"""Error bound for the compiled Irawan cloth implementation.
 
-The framework compiles a weave pattern at build time into
-blend(textured diffuse, anisotropic Ward) + a relief normal map
-(models/cloth.py) instead of evaluating the Irawan-Marschner yarn
-integral per query like the reference (src/bsdfs/irawan.cpp:192-330,
-evalFilamentIntegrand :393-468).  VERDICT r2 item 9 asks for the
-reference formula as a host-side oracle and an asserted error bound.
-
-The oracle below is a vectorized NumPy implementation of the published
-Irawan & Marschner model (filament + staple integrands, elliptic /
-parabolic / hyperbolic spine radius of curvature, von Mises phase,
-Seeliger attenuation, MC specular normalization) written from the model
-equations — not a code translation.
+Round 5: the framework evaluates the Irawan-Marschner specular integrand
+per lane (models/bsdf.py cloth_spec_raw) over baked yarn-record textures
+(models/cloth.py compile_cloth) — including the reference's per-point
+highlight-band gate (src/bsdfs/irawan.cpp:455-465), closing VERDICT r4
+item 6.  The oracle below is a vectorized NumPy implementation of the
+published Irawan & Marschner model (filament + staple integrands,
+elliptic / parabolic / hyperbolic spine radius of curvature, von Mises
+phase, Seeliger attenuation, MC specular normalization) written from the
+model equations — not a code translation — and is kept INDEPENDENT of
+the package implementation so the bounds below are meaningful.
 """
 import numpy as np
 import pytest
 
 from mitsuba_path_guiding_tpu.models.cloth import (
     PLAIN_WEAVE,
+    compile_cloth,
+    decode_record,
     parse_weave,
-    rasterize_weave,
 )
 
 
@@ -257,45 +256,31 @@ class IrawanOracle:
         return np.where(up[:, None], f * cos[:, None], 0.0)
 
 
-# ------------------------------------------------- compiled approximation
+# ---------------------------------------------------- compiled evaluation
 
-def _ward_eval(wi, wo, a_u, a_v):
-    """Anisotropic Ward lobe (models/bsdf.py WARD conventions)."""
-    h = wi + wo  # exponent is scale-invariant in h; no need to normalize
-    ci, co = wi[:, 2], wo[:, 2]
-    ex = (h[:, 0] / a_u) ** 2 + (h[:, 1] / a_v) ** 2
-    hz2 = np.maximum(h[:, 2], 1e-9) ** 2
-    val = np.exp(-ex / hz2)
-    denom = 4.0 * np.pi * a_u * a_v * np.sqrt(np.maximum(ci * co, 1e-9))
-    return np.where((ci > 0) & (co > 0), val / denom, 0.0)
+def _fetch_records(aux_img, uv):
+    """Round-trip the baked yarn records through the renderer's nearest
+    fetch convention (texture.py sample_atlas_nearest: wrap + v flip)."""
+    H, W = aux_img.shape[:2]
+    px = np.clip((uv[:, 0] % 1.0 * W).astype(np.int64), 0, W - 1)
+    py = np.clip(((1.0 - uv[:, 1]) % 1.0 * H).astype(np.int64), 0, H - 1)
+    return aux_img[py, px], px, py
 
 
-def _compiled_eval(uv, wi, wo, kd_img, nrm_img, mean_ks, a_u, a_v, w_spec):
-    """NumPy restatement of what the compiled material does: textured
-    diffuse + Ward blend shaded in the relief-normal frame.  Mirrors the
-    builder's energy compensation (scene/builder.py irawan branch):
-    blend weights only steer sampling; eval is kd/pi + ward(ks)."""
-    h_img, w_img = kd_img.shape[:2]
-    px = np.clip((uv[:, 0] % 1.0 * w_img).astype(np.int64), 0, w_img - 1)
-    py = np.clip((uv[:, 1] % 1.0 * h_img).astype(np.int64), 0, h_img - 1)
-    kd = kd_img[py, px]
-    n = _normalize(nrm_img[py, px] * 2.0 - 1.0)
-    # rotate wi/wo into the perturbed frame (Frame.from_normal semantics)
-    def to_local(v):
-        up = np.where(np.abs(n[:, 2:3]) < 0.999,
-                      np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0]))
-        t = _normalize(np.cross(up, n))
-        b = np.cross(n, t)
-        return np.stack([np.sum(v * t, -1), np.sum(v * b, -1),
-                         np.sum(v * n, -1)], axis=-1)
-    wil, wol = to_local(wi), to_local(wo)
-    spec = _ward_eval(wil, wol, a_u, a_v)[:, None] * mean_ks[None, :]
-    # builder compensation: blend weight w with the kd texture override
-    # reaching BOTH sub-lobes (ward carries its own kd/pi diffuse), so
-    # diffuse = (1-w)*kd + w*kd = kd and specular = w*ward(ks/w) = ks;
-    # equivalence with the REAL eval path asserted in
-    # test_compiled_eval_matches_renderer_eval_pdf.
-    f = np.where(w_spec > 0, kd / np.pi + spec, kd / np.pi)
+def _compiled_eval(uv, wi, wo, cc):
+    """NumPy restatement of the compiled CLOTH eval (models/bsdf.py
+    _cloth_eval_pdf with aux): kd texture diffuse + the band-gated
+    integrand through the SAME cloth_spec_raw code the jit path runs."""
+    from mitsuba_path_guiding_tpu.models.bsdf import cloth_spec_raw
+
+    rec, px, py = _fetch_records(cc["aux_img"], uv)
+    weft, u, v, ks_s = decode_record(rec)
+    kd = cc["kd_img"][py, px]
+    raw = np.asarray(cloth_spec_raw(
+        wi, wo, weft, u, v, cc["alpha"], cc["beta"], cc["ss"], cc["psi"],
+        cc["umax"], cc["kappa"], cc["w"], cc["l"], cc["h_width"],
+        cc["area_warp"], cc["area_weft"], xp=np))
+    f = kd / np.pi + cc["mean_ks"][None, :] * (raw * cc["norm"] * ks_s)[:, None]
     cos = np.maximum(wo[:, 2], 0.0)
     up_mask = (wi[:, 2] > 0) & (wo[:, 2] > 0)
     return np.where(up_mask[:, None], f * cos[:, None], 0.0)
@@ -307,7 +292,7 @@ def _compiled_eval(uv, wi, wo, kd_img, nrm_img, mean_ks, a_u, a_v, w_spec):
 def plain():
     wp = parse_weave(PLAIN_WEAVE)
     oracle = IrawanOracle(wp, n_norm=20000)
-    compiled = rasterize_weave(wp)
+    compiled = compile_cloth(wp)
     return wp, oracle, compiled
 
 
@@ -328,19 +313,41 @@ def test_oracle_specular_is_energy_bounded(plain):
     assert (rho < 1.0).all(), rho
 
 
-def test_compiled_cloth_error_bound_vs_oracle(plain):
-    """Quantified bound (VERDICT r2 item 9) on the TILE-AVERAGED
-    directional BRDF: pixel footprints cover many yarns, so the fair
-    comparison integrates the spatial highlight masking out (the
-    compiled model bakes spatial structure into the kd texture + normal
-    map and cannot match the oracle's per-point band gating — pointwise
-    L1 is ~30% of signal for ANY smooth lobe, measured).
+def test_cloth_spec_matches_oracle_pointwise(plain):
+    """The per-lane integrand (models/bsdf.py cloth_spec_raw) against the
+    independent oracle at EXACT yarn records: the two implementations of
+    the published model must agree pointwise (band gate included)."""
+    wp, oracle, _ = plain
+    from mitsuba_path_guiding_tpu.models.bsdf import cloth_spec_raw
+    from mitsuba_path_guiding_tpu.models.cloth import segment_lookup
 
-    Honest measured numbers on the plain weave (8 wi x 160 wo x 384 uv):
-    uv-averaged directional rel L1 = 8.0% with the fitted isotropic
-    alpha = umax*hWidth lobe, 18.1% diffuse-only; energy mismatch < 5%
-    after the builder's blend-weight compensation."""
-    wp, oracle, (kd_img, nrm_img, mean_ks, a_u, a_v, w_spec) = plain
+    rng = np.random.default_rng(5)
+    n = 20000
+    wi = oracle._cos_hemi(rng.random((n, 2)))
+    wo = oracle._cos_hemi(rng.random((n, 2)))
+    uv = rng.random((n, 2))
+    raw_o = oracle._specular_raw(uv, wi, wo)
+    weft, u, v, _yid = segment_lookup(wp, uv[:, 0], uv[:, 1])
+    raw_m = np.asarray(cloth_spec_raw(
+        wi, wo, weft, u, v, wp["alpha"], wp["beta"], wp["ss"],
+        float(np.mean([y["psi"] for y in wp["yarns"]])),
+        float(np.mean([y["umax"] for y in wp["yarns"]])),
+        float(np.mean([y["kappa"] for y in wp["yarns"]])),
+        float(np.mean([y["width"] for y in wp["yarns"]])),
+        float(np.mean([y["length"] for y in wp["yarns"]])),
+        wp["hWidth"], 2.0, 2.0, xp=np))
+    scale = max(raw_o.mean(), 1e-9)
+    assert np.abs(raw_m - raw_o).mean() / scale < 1e-3
+
+
+def test_compiled_cloth_error_bound_vs_oracle(plain):
+    """Quantified bound (VERDICT r2 item 9, tightened per VERDICT r4 item
+    6): with the baked yarn records + the band-gated per-lane integrand
+    the compiled eval tracks the oracle POINTWISE, not just tile-
+    averaged.  Measured on the plain weave (8 wi x 160 wo x 384 uv,
+    records at 32 texels/cell): tile-avg ~0.4%, pointwise ~1.0%,
+    energy ~0.2% (round-4 uv-averaged Ward fit: 7.7% / 35% / 6.8%)."""
+    wp, oracle, cc = plain
     rng = np.random.default_rng(3)
     NW, NO, NU = 8, 160, 384
     wis = oracle._cos_hemi(rng.random((NW, 2)))
@@ -350,30 +357,22 @@ def test_compiled_cloth_error_bound_vs_oracle(plain):
     WO = np.repeat(np.repeat(wos[None, :, None, :], NW, 0), NU, 2).reshape(-1, 3)
     UV = np.tile(uvs[None, None, :, :], (NW, NO, 1, 1)).reshape(-1, 2)
 
-    ref = oracle.eval(UV, WI, WO).reshape(NW, NO, NU, 3).mean(2)
-    apx = _compiled_eval(UV, WI, WO, kd_img, nrm_img, mean_ks,
-                         a_u, a_v, w_spec).reshape(NW, NO, NU, 3).mean(2)
-    dif = _compiled_eval(UV, WI, WO, kd_img, nrm_img, mean_ks,
-                         a_u, a_v, 0.0).reshape(NW, NO, NU, 3).mean(2)
+    ref = oracle.eval(UV, WI, WO).reshape(NW, NO, NU, 3)
+    apx = _compiled_eval(UV, WI, WO, cc).reshape(NW, NO, NU, 3)
 
-    scale = np.abs(ref).mean()
-    err = np.abs(apx - ref).mean() / scale
-    err_d = np.abs(dif - ref).mean() / scale
-    assert err < 0.12, err          # measured 0.080
-    assert err < 0.6 * err_d, (err, err_d)  # spec halves the error
-
-    # energy agreement after the builder's compensation (measured < 5%)
-    e_ref, e_apx = ref.mean(), apx.mean()
-    assert abs(e_apx - e_ref) / e_ref < 0.10, (e_apx, e_ref)
+    e_avg = np.abs(apx.mean(2) - ref.mean(2)).mean() / np.abs(ref.mean(2)).mean()
+    e_pt = np.abs(apx - ref).mean() / np.abs(ref).mean()
+    assert e_avg < 0.02, e_avg
+    assert e_pt < 0.03, e_pt
+    assert abs(apx.mean() - ref.mean()) / ref.mean() < 0.02
 
 
 def test_compiled_eval_matches_renderer_eval_pdf(plain):
-    """ADVICE r3 (medium): the NumPy restatement above must match what the
-    RENDERER actually evaluates.  Build the scene through scene/builder,
-    locate the compiled irawan blend row, and drive models/bsdf.eval_pdf
-    with the same kd atlas override the integrator passes
-    (integrators/path.py tex=(val, mask)) — the values must agree, which
-    pins the blend weight / energy compensation end to end."""
+    """The NumPy restatement must match what the RENDERER evaluates:
+    build the scene through scene/builder, drive models/bsdf.eval_pdf
+    with the kd override + yarn records exactly as integrators/path.py
+    does, and compare against the oracle directly — the pointwise bound
+    through the REAL compiled eval path."""
     import jax.numpy as jnp
 
     from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
@@ -381,7 +380,7 @@ def test_compiled_eval_matches_renderer_eval_pdf(plain):
     from mitsuba_path_guiding_tpu.scene.transforms import look_at
     from mitsuba_path_guiding_tpu.scene.types import BSDFType
 
-    _, _, (kd_img, _nrm, mean_ks, a_u, a_v, w_spec) = plain
+    wp, oracle, cc = plain
     desc = {
         "sensor": {"type": "orthographic",
                    "to_world": look_at([0, 0, -2], [0, 0, 0])},
@@ -391,33 +390,150 @@ def test_compiled_eval_matches_renderer_eval_pdf(plain):
     }
     scene = build_scene(desc)
     packed = np.asarray(scene.mats.packed)
-    rows = np.where(packed[:, 0] == int(BSDFType.BLEND))[0]
-    assert rows.size == 1, "expected exactly one compiled irawan blend row"
+    rows = np.where(packed[:, 0] == int(BSDFType.CLOTH))[0]
+    assert rows.size == 1, "expected exactly one compiled CLOTH row"
     mid = int(rows[0])
-    # the compiled blend weight must be w_spec, not a 0.5 default
-    np.testing.assert_allclose(packed[mid, 18], w_spec, rtol=1e-6)
+    np.testing.assert_allclose(packed[mid, 15], cc["norm"], rtol=1e-5)
 
     rng = np.random.default_rng(7)
-    n = 512
+    n = 4096
     wil = IrawanOracle._cos_hemi(rng.random((n, 2)))
     wol = IrawanOracle._cos_hemi(rng.random((n, 2)))
     uv = rng.random((n, 2))
-    h_img, w_img = kd_img.shape[:2]
-    px = np.clip((uv[:, 0] % 1.0 * w_img).astype(np.int64), 0, w_img - 1)
-    py = np.clip((uv[:, 1] % 1.0 * h_img).astype(np.int64), 0, h_img - 1)
-    kd = kd_img[py, px]
+    rec, px, py = _fetch_records(cc["aux_img"], uv)
+    kd = cc["kd_img"][py, px]
+    weft, u, v, ks_s = decode_record(rec)
 
-    f, _ = bsdf_mod.eval_pdf(
+    f, pdf = bsdf_mod.eval_pdf(
         scene.mats, jnp.full((n,), mid, jnp.int32),
         jnp.asarray(wil, jnp.float32), jnp.asarray(wol, jnp.float32),
+        types=(int(BSDFType.CLOTH),),
         tex=(jnp.asarray(kd, jnp.float32), jnp.ones((n,), bool)),
+        cloth_aux=(jnp.asarray(weft), jnp.asarray(u, jnp.float32),
+                   jnp.asarray(v, jnp.float32),
+                   jnp.asarray(ks_s, jnp.float32)),
     )
     f = np.asarray(f)
+    ref = oracle.eval(uv, wil, wol)
+    scale = np.abs(ref).mean()
+    # float32 eval vs float64 oracle + record quantization: the sparse
+    # band makes pointwise rel-L1 the right metric (same bound as above)
+    assert np.abs(f - ref).mean() / scale < 0.04
+    # pdf is the cosine hemisphere exactly (irawan.cpp:324-335)
+    exp_pdf = np.where((wil[:, 2] > 0) & (wol[:, 2] > 0),
+                       np.maximum(wol[:, 2], 0.0) / np.pi, 0.0)
+    np.testing.assert_allclose(np.asarray(pdf), exp_pdf, atol=1e-5)
 
-    # intended math, directly in the local frame (the weave lobe is
-    # isotropic so the bump-frame azimuth rotation drops out)
-    spec = _ward_eval(wil, wol, a_u, a_v)[:, None] * mean_ks[None, :]
-    co = np.maximum(wol[:, 2], 0.0)[:, None]
-    up = ((wil[:, 2] > 0) & (wol[:, 2] > 0))[:, None]
-    exp = np.where(up, (kd / np.pi + spec) * co, 0.0)
-    np.testing.assert_allclose(f, exp, rtol=5e-3, atol=5e-4)
+
+def test_cloth_sample_weight_consistency(plain):
+    """sample() weight * pdf == eval at the sampled direction, and the
+    sampled distribution is the cosine hemisphere (reference strategy,
+    irawan.cpp:357-373)."""
+    import jax.numpy as jnp
+
+    from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    wp, oracle, cc = plain
+    desc = {
+        "sensor": {"type": "orthographic",
+                   "to_world": look_at([0, 0, -2], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "bsdf": {"type": "irawan"}}],
+        "emitters": [{"type": "point", "position": [0, 0, -2],
+                      "intensity": [1.0] * 3}],
+    }
+    scene = build_scene(desc)
+    mid_v = int(np.where(
+        np.asarray(scene.mats.packed)[:, 0] == int(BSDFType.CLOTH))[0][0])
+    rng = np.random.default_rng(11)
+    n = 2048
+    wil = IrawanOracle._cos_hemi(rng.random((n, 2)))
+    uv = rng.random((n, 2))
+    rec, px, py = _fetch_records(cc["aux_img"], uv)
+    kd = cc["kd_img"][py, px]
+    weft, u, v, ks_s = decode_record(rec)
+    aux = (jnp.asarray(weft), jnp.asarray(u, jnp.float32),
+           jnp.asarray(v, jnp.float32), jnp.asarray(ks_s, jnp.float32))
+    tex = (jnp.asarray(kd, jnp.float32), jnp.ones((n,), bool))
+    mid = jnp.full((n,), mid_v, jnp.int32)
+    u3 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    bs = bsdf_mod.sample(scene.mats, mid, jnp.asarray(wil, jnp.float32),
+                         u3, types=(int(BSDFType.CLOTH),), tex=tex,
+                         cloth_aux=aux)
+    assert not bool(np.asarray(bs.is_delta).any())
+    f, pdf = bsdf_mod.eval_pdf(scene.mats, mid,
+                               jnp.asarray(wil, jnp.float32), bs.wo,
+                               types=(int(BSDFType.CLOTH),), tex=tex,
+                               cloth_aux=aux)
+    np.testing.assert_allclose(np.asarray(bs.pdf), np.asarray(pdf),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bs.weight) * np.asarray(bs.pdf)[:, None],
+        np.asarray(f), rtol=1e-3, atol=1e-5)
+
+
+def test_staple_integrand_matches_oracle():
+    """Staple yarns (psi != 0, irawan.cpp evalStapleIntegrand): the
+    per-lane implementation against the oracle on a twisted-yarn weave."""
+    from mitsuba_path_guiding_tpu.models.bsdf import cloth_spec_raw
+    from mitsuba_path_guiding_tpu.models.cloth import segment_lookup
+
+    staple = PLAIN_WEAVE.replace(
+        "type = warp, umax = 35,", "type = warp, psi = 40, umax = 35,"
+    ).replace(
+        "type = weft, umax = 35,", "type = weft, psi = 40, umax = 35,"
+    )
+    wp = parse_weave(staple)
+    assert abs(wp["yarns"][0]["psi"]) > 0.1
+    oracle = IrawanOracle(wp, n_norm=20000)
+    rng = np.random.default_rng(13)
+    n = 20000
+    wi = oracle._cos_hemi(rng.random((n, 2)))
+    wo = oracle._cos_hemi(rng.random((n, 2)))
+    uv = rng.random((n, 2))
+    raw_o = oracle._specular_raw(uv, wi, wo)
+    assert raw_o.mean() > 0  # the staple path is actually exercised
+    weft, u, v, _ = segment_lookup(wp, uv[:, 0], uv[:, 1])
+    raw_m = np.asarray(cloth_spec_raw(
+        wi, wo, weft, u, v, wp["alpha"], wp["beta"], wp["ss"],
+        wp["yarns"][0]["psi"], wp["yarns"][0]["umax"],
+        wp["yarns"][0]["kappa"], 1.0, 1.0, wp["hWidth"], 2.0, 2.0, xp=np))
+    assert np.abs(raw_m - raw_o).mean() / max(raw_o.mean(), 1e-9) < 1e-3
+
+
+def test_cloth_fallback_energy(plain):
+    """Integrators that cannot supply yarn records (cloth_aux=None) get
+    the round-4 isotropic-Ward fallback; its build-time fb_scale must
+    keep the hemispherical energy within a few percent of the exact
+    model's."""
+    import jax.numpy as jnp
+
+    from mitsuba_path_guiding_tpu.models import bsdf as bsdf_mod
+    from mitsuba_path_guiding_tpu.scene.builder import build_scene
+    from mitsuba_path_guiding_tpu.scene.transforms import look_at
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    wp, oracle, cc = plain
+    desc = {
+        "sensor": {"type": "orthographic",
+                   "to_world": look_at([0, 0, -2], [0, 0, 0])},
+        "shapes": [{"type": "rectangle", "bsdf": {"type": "irawan"}}],
+        "emitters": [{"type": "point", "position": [0, 0, -2],
+                      "intensity": [1.0] * 3}],
+    }
+    scene = build_scene(desc)
+    mid_v = int(np.where(
+        np.asarray(scene.mats.packed)[:, 0] == int(BSDFType.CLOTH))[0][0])
+    rng = np.random.default_rng(17)
+    n = 20000
+    wil = IrawanOracle._cos_hemi(rng.random((n, 2)))
+    wol = IrawanOracle._cos_hemi(rng.random((n, 2)))
+    uv = rng.random((n, 2))
+    f, _ = bsdf_mod.eval_pdf(
+        scene.mats, jnp.full((n,), mid_v, jnp.int32),
+        jnp.asarray(wil, jnp.float32), jnp.asarray(wol, jnp.float32),
+        types=(int(BSDFType.CLOTH),))
+    ref = oracle.eval(uv, wil, wol)
+    assert abs(float(np.asarray(f).mean()) - ref.mean()) / ref.mean() < 0.08
