@@ -245,6 +245,13 @@ def _parse_bsdf(el, defaults, bsdf_registry, strict=True):
     for k, v in p.items():
         if k in ren:
             b[ren[k]] = v
+    if t == "irawan":
+        # the weave pattern filename, repeat factors, and any custom
+        # parameters must reach the builder verbatim — pattern files
+        # reference them as $identifier (irawan.cpp "additional
+        # parameters"; resolved in models/cloth.py parse_weave)
+        for k, v in p.items():
+            b.setdefault(k, v)
     # nested <texture name="reflectance" type="bitmap|checkerboard|...">
     tex_el = el.find("texture")
     if tex_el is not None:

@@ -196,3 +196,45 @@ def test_scene_version_migration_bsdf_renames():
     desc, _ = load_scene_xml(old)
     assert desc["shapes"][0]["bsdf"]["type"] == "roughconductor"
     assert abs(desc["shapes"][0]["bsdf"]["alpha"] - 0.2) < 1e-6
+
+
+def test_irawan_xml_properties_reach_weave(tmp_path):
+    """irawan via XML: filename + repeats + custom properties flow to the
+    weave compiler; $identifier placeholders resolve from the XML props
+    (irawan.cpp 'additional parameters')."""
+    from mitsuba_path_guiding_tpu.models.cloth import PLAIN_WEAVE
+    from mitsuba_path_guiding_tpu.scene.types import BSDFType
+
+    wf = tmp_path / "param.weave"
+    wf.write_text(PLAIN_WEAVE.replace("kd = {0.45, 0.4, 0.36}",
+                                      "kd = $warp_kd"))
+    xml = f"""<scene version="0.5.0">
+      <shape type="rectangle">
+        <bsdf type="irawan">
+          <string name="filename" value="{wf}"/>
+          <float name="repeatU" value="3"/>
+          <float name="repeatV" value="3"/>
+          <rgb name="warp_kd" value="0.7 0.1 0.2"/>
+        </bsdf>
+      </shape>
+      <emitter type="point">
+        <point name="position" x="0" y="0" z="-2"/>
+        <rgb name="intensity" value="1 1 1"/>
+      </emitter>
+    </scene>"""
+    desc, _ = load_scene_xml(xml)
+    b = desc["shapes"][0]["bsdf"]
+    assert b["type"] == "irawan" and b["filename"] == str(wf)
+    scene = build_scene(desc)
+    packed = np.asarray(scene.mats.packed)
+    rows = np.where(packed[:, 0] == int(BSDFType.CLOTH))[0]
+    assert rows.size == 1
+    mid = int(rows[0])
+    # repeats landed in the uv-scale columns
+    np.testing.assert_allclose(packed[mid, 25:27], [3.0, 3.0])
+    # the $warp_kd recolor reached the baked kd texture: some texel has it
+    tid = int(np.asarray(scene.mats.texture_id)[mid])
+    sizes = np.asarray(scene.texture_sizes)[tid].astype(int)
+    img = np.asarray(scene.textures)[tid, : sizes[0], : sizes[1]]
+    assert np.any(np.all(np.abs(img - np.array([0.7, 0.1, 0.2])) < 1e-5,
+                         axis=-1))
