@@ -44,6 +44,7 @@ routed through the blocklist kernel fallback by the caller.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -56,6 +57,26 @@ from mitsuba_path_guiding_tpu.accel.pairs import PairTable
 INF = 3.0e38
 EPS_T = 1e-4
 IMAX = 0x7FFFFFFF
+# MEASUREMENT-ONLY knob (round-5 A/B for the NEXT.md bf16-pair-data
+# lever): PAIR_DATA_BF16=1 gathers the per-pair ray rows as bfloat16 —
+# halving the dominant (7, P) gather traffic — and widens the kernel's
+# inside tests by a fixed slack so quantization-shifted candidates are
+# still admitted; the exact f32 winner re-evaluation keeps confirmed
+# hits bit-exact and routes slack-admitted impostors to the fallback.
+#
+# MEASURED (tools/ab_bf16_pairs.py, door_room 512^2 depth-5): DEAD END
+# in this naive form — 3.08 vs 4.75 Mrays/s (-35%) and an 18% rel image
+# error.  bf16 on the ray ORIGIN carries ~0.4% of |o| absolute error
+# (~0.01 units here) while the 244k-tri scene's triangles are that size
+# themselves, so u/v shift past any fixed slack: true hits are lost
+# (image mean 0.52 -> 0.42) and the slack-admitted impostors flood the
+# winner-reject fallback (the slowdown).  A viable bf16 scheme needs
+# per-tile RE-CENTERED origins (subtract the block AABB center in f32,
+# quantize the small residual) — round-6 material.  Closest-hit only —
+# any_hit (shadow proofs) always stays f32, a false occluder/leak there
+# has no re-evaluation to catch it.
+PAIR_DATA_BF16 = os.environ.get("PAIR_DATA_BF16", "0") == "1"
+BF16_SLACK = 0.02
 PAIR_KSB = 8   # superblock candidate slots per ray
 PAIR_L = 8     # block pair slots per ray
 PRE_SLOT = 4   # per-slot nearest blocks kept before the global extract
@@ -200,7 +221,7 @@ def build_pair_lists(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
 
 
 def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
-                      any_hit=False):
+                      any_hit=False, loose=False):
     """One 128-pair tile: dense (128 tris x 128 pairs) Moeller-Trumbore.
 
     tri_ref (1, 10, 128) is auto-DMA'd by the BlockSpec index map from
@@ -225,7 +246,9 @@ def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
             return tri_ref[0, c, :][:, None]          # (128tri, 1)
 
         def rrow(c):
-            return pd_ref[c, :][None, :]              # (1, 128pair)
+            r = pd_ref[c, :][None, :]                 # (1, 128pair)
+            # bf16 pair data (PAIR_DATA_BF16): upcast once in VMEM
+            return r.astype(jnp.float32) if loose else r
 
         p0x, p0y, p0z = tcol(0), tcol(1), tcol(2)
         e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
@@ -250,13 +273,18 @@ def _mt_pallas_kernel(tile_block_ref, tri_ref, pd_ref, out_ref,
         qvz = tvx * e1y - tvy * e1x
         v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        # bf16 pair data: widen the inside tests so quantization-shifted
+        # candidates stay admitted — the exact f32 winner re-evaluation
+        # outside the kernel rejects impostors (fallback re-traces them)
+        eps_in = BF16_SLACK if loose else 0.0
+        t_hi = tmax * (1.0 + eps_in) if loose else tmax
         hit = (
             (inv_det != 0.0)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > EPS_T)
-            & (t < tmax)
+            & (u >= -eps_in)
+            & (v >= -eps_in)
+            & (u + v <= 1.0 + eps_in)
+            & (t > EPS_T * (1.0 - eps_in))
+            & (t < t_hi)
             & (tid >= 0.0)
         )
         t = jnp.where(hit, t, INF)
@@ -280,7 +308,8 @@ def _mt_tiles_pallas(tri_rows, tile_block, pdata_tiles, any_hit,
     tile = pdata_tiles.shape[1] // n_tiles
     bmax = tri_rows.shape[0] - 1
     out = pl.pallas_call(
-        partial(_mt_pallas_kernel, any_hit=any_hit),
+        partial(_mt_pallas_kernel, any_hit=any_hit,
+                loose=(pdata_tiles.dtype == jnp.bfloat16)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -606,9 +635,13 @@ def intersect_pairs_raw(pt: PairTable, o, d, tmax, ksb: int = PAIR_KSB,
     is_real = (skeys != IMAX) & (skeys % 2 == 0)      # real pair, not dummy
     ray_idx = jnp.where(spays != IMAX, spays % n, 0)
     comp = jnp.concatenate([o.T, d.T, tmax[None, :]], axis=0)  # (7, N)
+    bf16_pairs = PAIR_DATA_BF16 and not any_hit and engine == "mt" \
+        and use_pallas
+    if bf16_pairs:
+        comp = comp.astype(jnp.bfloat16)
     pdata = comp[:, ray_idx]                          # (7, P)
     # dead pair lanes must not hit anything
-    ptm = jnp.where(is_real, pdata[6], 0.0)
+    ptm = jnp.where(is_real, pdata[6], jnp.zeros((), pdata.dtype))
 
     n_tiles = skeys.shape[0] // TILE
     tk = skeys.reshape(n_tiles, TILE)
